@@ -1,0 +1,146 @@
+"""Frame-level data structures: fixed-shape device buffers the jitted frame
+program consumes.
+
+TPU design note: the reference binds ~150 independent GPU resources through a
+bindless descriptor heap (reference: OpenRenderGraph descriptor service,
+Renderer.cpp:387-390). Under XLA there is no binding model — the analogue is a
+pytree of arrays passed to the jitted frame function. Capacities are static
+(part of the jit cache key via FrameConfig); live counts are traced i32
+scalars, mirroring the reference's counter-buffer + capacity pattern
+(SURVEY.md §5 "fixed GPU budgets").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+# Packed light layout (float lanes), reference: LightInfo ShaderBuffers.h:377-404
+LIGHT_STRIDE = 16
+# 0-2 position, 3 type, 4-6 direction, 7 intensity, 8-10 color, 11 range,
+# 12 cos(inner), 13 cos(outer), 14 shadow slot (-1 none, bitcast), 15 pad
+
+
+@struct.dataclass
+class SceneBuffers:
+    """All scene-constant + per-frame-updated device arrays (one pytree)."""
+    # Geometry (instance-flattened; see models/mesh.py docstring)
+    positions: jnp.ndarray       # (V, 3) f32 object-space
+    normals: jnp.ndarray         # (V, 3) f32
+    tangents: jnp.ndarray        # (V, 4) f32
+    uvs: jnp.ndarray             # (V, 2) f32
+    vert_object: jnp.ndarray     # (V,) i32 instance id
+    indices: jnp.ndarray         # (T, 3) i32 global vertex ids
+    tri_material: jnp.ndarray    # (T,) i32
+    tri_object: jnp.ndarray      # (T,) i32 (-1 = unused slot)
+    num_tris: jnp.ndarray        # () i32
+    num_verts: jnp.ndarray       # () i32
+    # Per-object
+    object_mats: jnp.ndarray         # (O, 4, 4) f32 model->world
+    object_normal_mats: jnp.ndarray  # (O, 3, 3) f32 inverse-transpose
+    # Materials / lights
+    material_table: jnp.ndarray  # (M, MAT_STRIDE) f32
+    lights: jnp.ndarray          # (L, LIGHT_STRIDE) f32
+    num_lights: jnp.ndarray      # () i32
+    # Environment (IBL) — optional, zeros when disabled
+    env_sh: jnp.ndarray          # (9, 3) f32 irradiance SH
+    env_specular: jnp.ndarray    # (mips, 6, R, R, 3) f32 prefiltered cubemap
+    env_brdf_lut: jnp.ndarray    # (Nv, Nr, 2) f32 split-sum BRDF LUT
+
+
+@struct.dataclass
+class ViewData:
+    """Per-view camera data (primary camera or a shadow view)."""
+    view: jnp.ndarray       # (4, 4)
+    proj: jnp.ndarray       # (4, 4)
+    viewproj: jnp.ndarray   # (4, 4)
+    cam_pos: jnp.ndarray    # (3,)
+    near: jnp.ndarray       # () f32
+
+
+def make_view(view_mat, proj_mat, cam_pos, near: float = 0.1) -> "ViewData":
+    view_mat = jnp.asarray(view_mat, jnp.float32)
+    proj_mat = jnp.asarray(proj_mat, jnp.float32)
+    return ViewData(
+        view=view_mat,
+        proj=proj_mat,
+        viewproj=proj_mat @ view_mat,
+        cam_pos=jnp.asarray(cam_pos, jnp.float32),
+        near=jnp.float32(near),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameConfig:
+    """Static (hashable) frame configuration — part of the jit cache key.
+    Mirrors the reference's structural settings that force a render-graph
+    rebuild (Renderer.cpp:1794-1800)."""
+    width: int = 1280
+    height: int = 720
+    tile_h: int = 32
+    tile_w: int = 128
+    max_pairs: int = 1 << 20          # (tile, triangle) bin capacity
+    max_tiles_per_tri: int = 32       # small-tri fast path bin span cap
+    enable_shadows: bool = False
+    num_cascades: int = 4
+    shadow_resolution: int = 1024
+    enable_clustered: bool = False
+    cluster_grid: Tuple[int, int, int] = (12, 12, 24)
+    max_lights_per_cluster: int = 64
+    enable_ibl: bool = False
+    enable_bloom: bool = False
+    enable_gtao: bool = False
+    enable_ssr: bool = False
+    enable_taa: bool = False
+    enable_oit: bool = False
+    oit_layers: int = 4
+    enable_vsm: bool = False
+    enable_culling: bool = True
+    debug_view: str = "none"
+    use_pallas_raster: bool = True
+
+    @property
+    def tiles_x(self) -> int:
+        return (self.width + self.tile_w - 1) // self.tile_w
+
+    @property
+    def tiles_y(self) -> int:
+        return (self.height + self.tile_h - 1) // self.tile_h
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def padded_width(self) -> int:
+        return self.tiles_x * self.tile_w
+
+    @property
+    def padded_height(self) -> int:
+        return self.tiles_y * self.tile_h
+
+
+@struct.dataclass
+class FrameParams:
+    """Traced per-frame value settings (never trigger recompiles)."""
+    exposure: jnp.ndarray
+    bloom_intensity: jnp.ndarray
+    bloom_threshold: jnp.ndarray
+    ibl_intensity: jnp.ndarray
+    shadow_bias: jnp.ndarray
+    sky_intensity: jnp.ndarray
+    taa_blend: jnp.ndarray
+    frame_index: jnp.ndarray  # i32
+
+    @staticmethod
+    def default() -> "FrameParams":
+        f = jnp.float32
+        return FrameParams(
+            exposure=f(1.0), bloom_intensity=f(0.04), bloom_threshold=f(1.0),
+            ibl_intensity=f(1.0), shadow_bias=f(0.0015), sky_intensity=f(1.0),
+            taa_blend=f(0.1), frame_index=jnp.int32(0),
+        )

@@ -1,0 +1,118 @@
+"""Mesh data model and registry.
+
+TPU-native analogue of the reference's Mesh/MeshManager GPU geometry database
+(reference: BasicRenderer/include/Managers/MeshManager.h:31-130,
+BasicRenderer/src/Mesh/Mesh.cpp). Meshes are CPU-side numpy arrays; the
+registry packs all registered meshes + scene instances into *fixed-capacity*
+device buffers (SceneBuffers) that the jitted frame program consumes.
+
+Key TPU design choice: instead of per-mesh vertex buffers + indirect draws,
+every renderable instance is flattened into one global triangle soup with
+per-vertex object ids. Per-frame, only the object matrices change; the
+geometry buffers are uploaded once (streaming updates them incrementally
+later — see ops/streaming.py). Clustering (meshlets) is layered on top in
+models/clusters.py for the virtualized-geometry path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MeshData:
+    """One mesh's geometry, object space. float32/int32 numpy arrays."""
+    positions: np.ndarray          # (V, 3)
+    normals: np.ndarray            # (V, 3)
+    uvs: np.ndarray                # (V, 2)
+    indices: np.ndarray            # (T, 3) int32
+    tangents: Optional[np.ndarray] = None  # (V, 4) xyz + handedness
+    joints: Optional[np.ndarray] = None    # (V, 4) int32 joint indices
+    weights: Optional[np.ndarray] = None   # (V, 4) f32 skin weights
+    name: str = ""
+
+    def __post_init__(self):
+        self.positions = np.ascontiguousarray(self.positions, np.float32)
+        self.normals = np.ascontiguousarray(self.normals, np.float32)
+        self.uvs = np.ascontiguousarray(self.uvs, np.float32)
+        self.indices = np.ascontiguousarray(self.indices, np.int32)
+        if self.tangents is not None:
+            self.tangents = np.ascontiguousarray(self.tangents, np.float32)
+
+    @property
+    def num_vertices(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+    def bounding_sphere(self) -> Tuple[np.ndarray, float]:
+        c = (self.positions.min(0) + self.positions.max(0)) * 0.5
+        r = float(np.linalg.norm(self.positions - c, axis=1).max()) if len(self.positions) else 0.0
+        return c.astype(np.float32), r
+
+    def aabb(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.positions.min(0).astype(np.float32), self.positions.max(0).astype(np.float32)
+
+
+def compute_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (reference computes these at import when
+    absent; GlTFGeometryExtractor)."""
+    n = np.zeros_like(positions, dtype=np.float64)
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    for k in range(3):
+        np.add.at(n, indices[:, k], fn)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.maximum(ln, 1e-20)).astype(np.float32)
+
+
+def compute_tangents(positions, normals, uvs, indices) -> np.ndarray:
+    """Per-vertex tangents (simplified mikktspace analogue; reference vendors
+    mikktspace — BasicRenderer/include/Utilities/mikktspace.h)."""
+    V = positions.shape[0]
+    tan = np.zeros((V, 3), np.float64)
+    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
+    e1 = positions[i1] - positions[i0]
+    e2 = positions[i2] - positions[i0]
+    du1 = uvs[i1] - uvs[i0]
+    du2 = uvs[i2] - uvs[i0]
+    det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
+    r = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
+    t = (e1 * du2[:, 1:2] - e2 * du1[:, 1:2]) * r[:, None]
+    for k in range(3):
+        np.add.at(tan, indices[:, k], t)
+    # Gram-Schmidt against normal
+    tan = tan - normals * np.sum(tan * normals, axis=1, keepdims=True)
+    ln = np.linalg.norm(tan, axis=1, keepdims=True)
+    tan = np.where(ln > 1e-12, tan / np.maximum(ln, 1e-20), np.array([[1.0, 0, 0]]))
+    return np.concatenate([tan, np.ones((V, 1))], axis=1).astype(np.float32)
+
+
+class MeshRegistry:
+    """Host-side mesh database; hands out integer mesh ids."""
+
+    def __init__(self):
+        self.meshes: List[MeshData] = []
+
+    def add(self, mesh: MeshData) -> int:
+        if mesh.normals is None or mesh.normals.size == 0:
+            mesh.normals = compute_normals(mesh.positions, mesh.indices)
+        if mesh.uvs is None or mesh.uvs.size == 0:
+            mesh.uvs = np.zeros((mesh.num_vertices, 2), np.float32)
+        if mesh.tangents is None:
+            mesh.tangents = compute_tangents(mesh.positions, mesh.normals, mesh.uvs, mesh.indices)
+        self.meshes.append(mesh)
+        return len(self.meshes) - 1
+
+    def get(self, mesh_id: int) -> MeshData:
+        return self.meshes[mesh_id]
+
+    def __len__(self):
+        return len(self.meshes)

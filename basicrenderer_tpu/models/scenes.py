@@ -1,0 +1,89 @@
+"""Benchmark / demo scene builders.
+
+Deterministic stand-ins for the reference's demo content (Zorah, Bistro,
+San Miguel, Sponza — reference README.md:41-52, BasicRenderer.cpp:346-368),
+which is not redistributable. Scene scale is tunable so benches can sweep
+triangle counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..scene.scene import Scene
+from .materials import Material, MaterialRegistry
+from .mesh import MeshRegistry
+from . import procedural
+
+
+@dataclasses.dataclass
+class BuiltScene:
+    scene: Scene
+    meshes: MeshRegistry
+    materials: MaterialRegistry
+    num_triangles: int
+
+
+def build_courtyard(grid: int = 10, seed: int = 42,
+                    meshes: Optional[MeshRegistry] = None,
+                    materials: Optional[MaterialRegistry] = None) -> BuiltScene:
+    """A Sponza-courtyard-style scene: terrain floor + a grid^2 field of
+    mixed sphere/cube/torus instances with varied PBR materials + lights."""
+    rng = np.random.default_rng(seed)
+    meshes = meshes or MeshRegistry()
+    materials = materials or MaterialRegistry()
+
+    terrain = meshes.add(procedural.make_fractal_terrain(size=60.0, segments=96, height=2.0))
+    sphere = meshes.add(procedural.make_uv_sphere(0.5, rings=16, sectors=32))
+    cube = meshes.add(procedural.make_cube(0.8))
+    torus = meshes.add(procedural.make_torus(0.5, 0.2, rings=24, sides=12))
+    shapes = [sphere, cube, torus]
+
+    mat_ids = []
+    palette = [
+        ([0.8, 0.15, 0.1], 0.0, 0.35), ([0.1, 0.5, 0.8], 0.0, 0.2),
+        ([0.9, 0.75, 0.3], 1.0, 0.25), ([0.2, 0.7, 0.25], 0.0, 0.6),
+        ([0.85, 0.85, 0.9], 1.0, 0.1), ([0.6, 0.3, 0.7], 0.0, 0.5),
+        ([0.95, 0.55, 0.15], 0.0, 0.4), ([0.35, 0.35, 0.4], 1.0, 0.55),
+    ]
+    for rgb, metal, rough in palette:
+        mat_ids.append(materials.add(Material(
+            base_color=np.array(rgb + [1.0], np.float32),
+            metallic=metal, roughness=rough)))
+    ground = materials.add(Material(
+        base_color=np.array([0.45, 0.42, 0.38, 1.0], np.float32), roughness=0.95))
+
+    sc = Scene()
+    sc.create_renderable(terrain, ground)
+
+    extent = grid * 2.0
+    tri_count = meshes.get(terrain).num_triangles
+    for i in range(grid):
+        for j in range(grid):
+            shape = shapes[(i * grid + j) % len(shapes)]
+            mat = mat_ids[(i * 3 + j) % len(mat_ids)]
+            x = (i - grid / 2 + 0.5) * 2.0 + rng.uniform(-0.4, 0.4)
+            z = (j - grid / 2 + 0.5) * 2.0 + rng.uniform(-0.4, 0.4)
+            y = rng.uniform(0.4, 1.2)
+            s = rng.uniform(0.6, 1.3)
+            angle = rng.uniform(0, 2 * np.pi)
+            q = np.array([0, np.sin(angle / 2), 0, np.cos(angle / 2)], np.float32)
+            sc.create_renderable(shape, mat, position=(x, y, z),
+                                 rotation=q, scale=(s, s, s))
+            tri_count += meshes.get(shape).num_triangles
+
+    sc.create_directional_light(direction=(-0.45, -1.0, -0.3),
+                                color=(1.0, 0.96, 0.9), intensity=3.0)
+    # A few accent point lights.
+    for k in range(4):
+        ang = k * np.pi / 2 + 0.4
+        sc.create_point_light(position=(np.cos(ang) * 6, 2.5, np.sin(ang) * 6),
+                              color=(1.0, 0.7, 0.4) if k % 2 else (0.4, 0.6, 1.0),
+                              intensity=30.0, range=14.0)
+    sc.set_camera(position=(grid * 1.1, grid * 0.55, grid * 1.25),
+                  target=(0, 0.0, 0), aspect=16 / 9)
+    sc.propagate_transforms()
+    return BuiltScene(sc, meshes, materials, tri_count)

@@ -1,0 +1,139 @@
+"""Pallas TPU tile rasterizer — the production visibility-buffer raster path.
+
+TPU-native redesign of the reference's compute software rasterizer
+(reference: shaders/ClusterLOD/softwareRaster.hlsl — 128-thread group per
+cluster, edge functions + InterlockedMin64 into the visibility buffer). On
+TPU the mapping is:
+
+- grid cell  = one framebuffer tile (tile_h x tile_w pixels in VMEM)
+- "atomics"  = sequential masked max over the tile's own VMEM block
+  (exact and race-free: each tile owns its pixels exclusively)
+- triangle feed = the tile's contiguous, RANGE_ALIGN-aligned row range of
+  the sorted pair buffer (see ops/raster_setup.bin_triangles), double-buffer
+  DMA'd from HBM into SMEM in CHUNK-sized slabs so the transfer overlaps the
+  VPU edge evaluation. The payload is consumed as scalars (one triangle's
+  planes broadcast across the whole tile), which is exactly what SMEM is for.
+
+The inner loop evaluates 3 edge planes + 1 depth plane per triangle across
+the whole tile with fused multiply-adds on the VPU — with a (32, 128) tile
+those are 4096-lane vector ops, the TPU-shaped replacement for the
+reference's per-pixel threads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..graph.framedata import FrameConfig
+from .raster_setup import BinnedPairs, RANGE_ALIGN, SETUP_LANES
+
+CHUNK = RANGE_ALIGN  # pairs per DMA slab; binning aligns ranges to this
+
+
+def _raster_kernel(tile_off_ref, flat_ref, depth_ref, vis_ref, buf_ref, sem_ref,
+                   *, tile_h: int, tile_w: int, tiles_x: int):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * tiles_x + tx
+    start = tile_off_ref[tile]
+    end = tile_off_ref[tile + 1]
+    n = end - start  # multiple of CHUNK by construction
+
+    depth_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    vis_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
+
+    # Pixel-center coordinates for this tile (computed once, reused per tri).
+    px = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+          + (tx * tile_w).astype(jnp.float32) + 0.5)
+    py = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+          + (ty * tile_h).astype(jnp.float32) + 0.5)
+
+    nchunks = n // CHUNK
+    SLAB = CHUNK * SETUP_LANES
+
+    def get_dma(slot, c):
+        off = pl.multiple_of((start + c * CHUNK) * SETUP_LANES, SLAB)
+        dst = pl.multiple_of(slot * SLAB, SLAB)
+        return pltpu.make_async_copy(
+            flat_ref.at[pl.ds(off, SLAB)],
+            buf_ref.at[pl.ds(dst, SLAB)],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+
+        def tri_body(j, _):
+            base = slot * SLAB + j * SETUP_LANES
+            e0 = (buf_ref[base + 0] * px + buf_ref[base + 1] * py
+                  + buf_ref[base + 2])
+            e1 = (buf_ref[base + 3] * px + buf_ref[base + 4] * py
+                  + buf_ref[base + 5])
+            e2 = (buf_ref[base + 6] * px + buf_ref[base + 7] * py
+                  + buf_ref[base + 8])
+            z = (buf_ref[base + 9] * px + buf_ref[base + 10] * py
+                 + buf_ref[base + 11])
+            tri_id_f = buf_ref[base + 12]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
+            passd = inside & (z > depth_ref[:])
+            depth_ref[:] = jnp.where(passd, z, depth_ref[:])
+            vis_ref[:] = jnp.where(passd, tri_id_f.astype(jnp.int32), vis_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, tri_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+
+
+def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (depth (H', W') f32, vis (H', W') i32) on the padded tile grid."""
+    th, tw = config.tile_h, config.tile_w
+    tiles_x, tiles_y = config.tiles_x, config.tiles_y
+    flat = pairs.pair_data.reshape(-1)  # (P_pad * SETUP_LANES,) row-major
+
+    kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles_y, tiles_x),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2 * CHUNK * SETUP_LANES,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, vis = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles_y * th, tiles_x * tw), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_y * th, tiles_x * tw), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pairs.tile_offsets, flat)
+    return depth, vis

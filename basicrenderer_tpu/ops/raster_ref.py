@@ -1,0 +1,76 @@
+"""Reference (pure-jnp) tile rasterizer — semantics oracle for the Pallas
+kernel and the CPU-test backend.
+
+Same algorithm as ops/raster_pallas.py: per tile, walk the tile's binned
+pair rows, evaluate barycentric edge planes at pixel centers, and keep the
+closest (reverse-Z max) depth + triangle id per pixel. Runs under vmap over
+tiles; fine for CPU tests and small frames, not the production path.
+
+Reference analogue: shaders/ClusterLOD/softwareRaster.hlsl:1-60 (edge
+functions + InterlockedMin64 depth/id pack — on TPU the atomic becomes a
+sequential masked min per tile, which is exact, not racy).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.framedata import FrameConfig
+from .raster_setup import BinnedPairs, SETUP_LANES
+
+
+def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
+                     max_iters: int = 4096, tile_row0=0
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (depth (H', W') f32, vis (H', W') i32) on the padded grid.
+
+    `max_iters` bounds the per-tile pair walk (tests keep scenes small).
+    `tile_row0` offsets the tile grid vertically — used when rasterizing a
+    screen-space shard whose edge planes are in global screen coordinates
+    (parallel/tile_sharding.py).
+    """
+    th, tw = config.tile_h, config.tile_w
+    tiles_x, tiles_y = config.tiles_x, config.tiles_y
+    pair_data = pairs.pair_data  # (P, SETUP_LANES)
+
+    col = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
+    row = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
+
+    def raster_one_tile(tile_idx):
+        ty = tile_idx // tiles_x + tile_row0
+        tx = tile_idx % tiles_x
+        px = col + (tx * tw).astype(jnp.float32)
+        py = row + (ty * th).astype(jnp.float32)
+        start = pairs.tile_offsets[tile_idx]
+        end = pairs.tile_offsets[tile_idx + 1]
+        n = jnp.minimum(end - start, max_iters)
+
+        def body(j, carry):
+            zbuf, vis = carry
+            idx = start + j
+            d = pair_data[idx]
+            tri_id_f = d[12]
+            e0 = d[0] * px + d[1] * py + d[2]
+            e1 = d[3] * px + d[4] * py + d[5]
+            e2 = d[6] * px + d[7] * py + d[8]
+            z = d[9] * px + d[10] * py + d[11]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
+            passd = inside & (z > zbuf)
+            zbuf = jnp.where(passd, z, zbuf)
+            vis = jnp.where(passd, tri_id_f.astype(jnp.int32), vis)
+            return zbuf, vis
+
+        z0 = jnp.zeros((th, tw), jnp.float32)
+        v0 = jnp.zeros((th, tw), jnp.int32)
+        return jax.lax.fori_loop(0, n, body, (z0, v0))
+
+    zt, vt = jax.vmap(raster_one_tile)(jnp.arange(tiles_x * tiles_y))
+    # (tiles, th, tw) -> (H', W')
+    depth = zt.reshape(tiles_y, tiles_x, th, tw).transpose(0, 2, 1, 3).reshape(
+        tiles_y * th, tiles_x * tw)
+    vis = vt.reshape(tiles_y, tiles_x, th, tw).transpose(0, 2, 1, 3).reshape(
+        tiles_y * th, tiles_x * tw)
+    return depth, vis

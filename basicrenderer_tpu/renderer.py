@@ -1,0 +1,137 @@
+"""Top-level Renderer: the user-facing orchestration class.
+
+Mirrors the reference's Renderer surface (reference:
+BasicRenderer/include/Renderer.h:73-89 — Initialize/OnResize/Update/Render/
+SetCurrentScene/SetEnvironment/Cleanup) reshaped for TPU execution:
+
+- `Initialize` -> constructor (settings + registries + frame-program cache).
+- `Update`     -> host-side scene sync: propagate transforms, snapshot
+  object matrices/lights into device buffers (SceneRenderBridge).
+- `Render`     -> dispatch the jitted frame program; returns device arrays
+  without blocking (XLA async dispatch = the reference's frames-in-flight,
+  Renderer.cpp:1715-1722). Call `np.asarray(...)` on an output to sync.
+- Structural settings changes swap in a new FrameConfig -> new jit
+  specialization (the reference's render-graph rebuild, Renderer.cpp:1794).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+
+from .graph.frame import FrameProgramCache, build_frame_fn
+from .graph.framedata import FrameConfig, FrameParams, SceneBuffers, make_view
+from .models.materials import MaterialRegistry
+from .models.mesh import MeshRegistry
+from .scene.bridge import BridgeCapacities, SceneRenderBridge
+from .scene.scene import Scene
+from .utils.settings import SettingsManager, make_default_settings
+
+
+class Renderer:
+    def __init__(self, settings: Optional[SettingsManager] = None,
+                 caps: Optional[BridgeCapacities] = None):
+        self.settings = settings or make_default_settings()
+        self.meshes = MeshRegistry()
+        self.materials = MaterialRegistry()
+        self.caps = caps or BridgeCapacities()
+        self._programs = FrameProgramCache()
+        self._scene: Optional[Scene] = None
+        self._bridge: Optional[SceneRenderBridge] = None
+        self._buffers: Optional[SceneBuffers] = None
+        self._frame_index = 0
+        self._settings_generation = -1
+        self._config: Optional[FrameConfig] = None
+
+    # -- scene management --------------------------------------------------
+    def set_current_scene(self, scene: Scene) -> None:
+        self._scene = scene
+        self._bridge = SceneRenderBridge(scene, self.meshes, self.materials, self.caps)
+        self._buffers = None  # force geometry re-upload
+
+    @property
+    def scene(self) -> Scene:
+        assert self._scene is not None, "call set_current_scene first"
+        return self._scene
+
+    # -- config ------------------------------------------------------------
+    def _build_config(self) -> FrameConfig:
+        s = self.settings
+        w, h = s.get("renderResolution")
+        return FrameConfig(
+            width=w, height=h,
+            tile_h=s.get("tileSize")[0], tile_w=s.get("tileSize")[1],
+            max_pairs=s.get("maxTrianglePairs"),
+            enable_shadows=s.get("enableShadows"),
+            num_cascades=s.get("numShadowCascades"),
+            shadow_resolution=s.get("shadowResolution"),
+            enable_clustered=s.get("enableClusteredLighting"),
+            cluster_grid=tuple(s.get("lightClusterGrid")),
+            max_lights_per_cluster=s.get("maxLightsPerCluster"),
+            enable_ibl=s.get("enableIBL"),
+            enable_bloom=s.get("enableBloom"),
+            enable_gtao=s.get("enableGTAO"),
+            enable_ssr=s.get("enableSSR"),
+            enable_taa=s.get("enableTAA"),
+            enable_oit=s.get("enableOIT"),
+            oit_layers=s.get("oitLayers"),
+            enable_vsm=s.get("enableVSM"),
+            enable_culling=s.get("enableOcclusionCulling"),
+            debug_view=s.get("debugView"),
+        )
+
+    def current_config(self) -> FrameConfig:
+        if self._config is None or self.settings.generation != self._settings_generation:
+            self._config = self._build_config()
+            self._settings_generation = self.settings.generation
+        return self._config
+
+    def on_resize(self, width: int, height: int) -> None:
+        self.settings.set("renderResolution", (width, height))
+
+    # -- frame loop --------------------------------------------------------
+    def update(self) -> None:
+        """Host-side per-frame work (reference Renderer::Update,
+        Renderer.cpp:1724): transforms + dynamic buffer snapshot."""
+        assert self._bridge is not None
+        self.scene.world.flush_deferred()
+        self.scene.propagate_transforms()
+        if self._buffers is None:
+            self._buffers = self._bridge.build_scene_buffers()
+        else:
+            self._buffers = self._bridge.update_dynamic(self._buffers)
+
+    def render(self) -> Dict[str, Any]:
+        """Dispatch the frame program (reference Renderer::Render,
+        Renderer.cpp:1935). Returns the output pytree (device arrays)."""
+        assert self._buffers is not None, "call update() first"
+        config = self.current_config()
+        view_np, proj_np, cam_pos = self.scene.camera_matrices(
+            aspect=config.width / config.height)
+        view = make_view(view_np, proj_np, cam_pos)
+        params = self._frame_params()
+        frame_fn = self._programs.get(config)
+        out = frame_fn(self._buffers, view, params)
+        self._frame_index += 1
+        return out
+
+    def render_to_numpy(self) -> np.ndarray:
+        """Render + sync: returns the (H, W, 3) uint8 image."""
+        return np.asarray(self.render()["image"])
+
+    def _frame_params(self) -> FrameParams:
+        import jax.numpy as jnp
+        s = self.settings
+        return FrameParams(
+            exposure=jnp.float32(s.get("exposure")),
+            bloom_intensity=jnp.float32(s.get("bloomIntensity")),
+            bloom_threshold=jnp.float32(s.get("bloomThreshold")),
+            ibl_intensity=jnp.float32(s.get("iblIntensity")),
+            shadow_bias=jnp.float32(s.get("shadowBias")),
+            sky_intensity=jnp.float32(s.get("skyIntensity")),
+            taa_blend=jnp.float32(s.get("taaBlend")),
+            frame_index=jnp.int32(self._frame_index),
+        )

@@ -1,0 +1,192 @@
+"""Scene -> device bridge: packs the ECS world into SceneBuffers.
+
+TPU-native analogue of the reference's SceneRenderBridge + the manager upload
+path (reference: BasicRenderer/src/Render/SceneRenderBridge.cpp,
+RunRenderResourceSyncStage Renderer.cpp:743-971). The reference exports a
+SceneFrameSnapshot from the game world and ingests it into a render world each
+frame; here the equivalent split is:
+
+- `pack_geometry` (cold): flatten all renderable instances into the global
+  fixed-capacity triangle soup once (geometry upload).
+- `snapshot` (hot, per frame): gather object matrices + lights into small
+  numpy arrays — cheap host work that runs while the previous frame's XLA
+  program executes (frame overlap, reference Renderer.cpp:597-741).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..graph.framedata import LIGHT_STRIDE, SceneBuffers
+from ..models.materials import MAT_STRIDE, MaterialRegistry
+from ..models.mesh import MeshRegistry
+from ..utils import math3d
+from .components import Light, LightType, Renderable, WorldMatrix, Position, Rotation
+from .scene import Scene
+
+
+@dataclasses.dataclass
+class BridgeCapacities:
+    max_vertices: int = 1 << 20
+    max_triangles: int = 1 << 20
+    max_objects: int = 1 << 12
+    max_materials: int = 1 << 10
+    max_lights: int = 256
+
+
+@dataclasses.dataclass
+class PackedGeometry:
+    """Host-side packed arrays + instance bookkeeping."""
+    positions: np.ndarray
+    normals: np.ndarray
+    tangents: np.ndarray
+    uvs: np.ndarray
+    vert_object: np.ndarray
+    indices: np.ndarray
+    tri_material: np.ndarray
+    tri_object: np.ndarray
+    num_verts: int
+    num_tris: int
+    entity_to_object: Dict[int, int]
+
+
+class SceneRenderBridge:
+    def __init__(self, scene: Scene, meshes: MeshRegistry, materials: MaterialRegistry,
+                 caps: Optional[BridgeCapacities] = None):
+        self.scene = scene
+        self.meshes = meshes
+        self.materials = materials
+        self.caps = caps or BridgeCapacities()
+        self.packed: Optional[PackedGeometry] = None
+
+    # -- cold path ---------------------------------------------------------
+    def pack_geometry(self) -> PackedGeometry:
+        c = self.caps
+        pos = np.zeros((c.max_vertices, 3), np.float32)
+        nrm = np.zeros((c.max_vertices, 3), np.float32)
+        tan = np.zeros((c.max_vertices, 4), np.float32)
+        uv = np.zeros((c.max_vertices, 2), np.float32)
+        vobj = np.zeros((c.max_vertices,), np.int32)
+        idx = np.zeros((c.max_triangles, 3), np.int32)
+        tmat = np.zeros((c.max_triangles,), np.int32)
+        tobj = np.full((c.max_triangles,), -1, np.int32)
+
+        v_off = 0
+        t_off = 0
+        ent2obj: Dict[int, int] = {}
+        obj = 0
+        for eid, (r,) in self.scene.world.query(Renderable):
+            mesh = self.meshes.get(r.mesh_id)
+            nv, nt = mesh.num_vertices, mesh.num_triangles
+            if v_off + nv > c.max_vertices or t_off + nt > c.max_triangles:
+                raise ValueError(
+                    f"geometry capacity exceeded: verts {v_off + nv}/{c.max_vertices}, "
+                    f"tris {t_off + nt}/{c.max_triangles}")
+            if obj >= c.max_objects:
+                raise ValueError("object capacity exceeded")
+            pos[v_off:v_off + nv] = mesh.positions
+            nrm[v_off:v_off + nv] = mesh.normals
+            tan[v_off:v_off + nv] = mesh.tangents
+            uv[v_off:v_off + nv] = mesh.uvs
+            vobj[v_off:v_off + nv] = obj
+            idx[t_off:t_off + nt] = mesh.indices + v_off
+            tmat[t_off:t_off + nt] = r.material_id
+            tobj[t_off:t_off + nt] = obj
+            ent2obj[eid] = obj
+            v_off += nv
+            t_off += nt
+            obj += 1
+        self.packed = PackedGeometry(pos, nrm, tan, uv, vobj, idx, tmat, tobj,
+                                     v_off, t_off, ent2obj)
+        return self.packed
+
+    # -- hot path ----------------------------------------------------------
+    def snapshot_objects(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(O,4,4) model matrices + (O,3,3) normal matrices for all instances."""
+        assert self.packed is not None
+        c = self.caps
+        mats = np.tile(np.eye(4, dtype=np.float32), (c.max_objects, 1, 1))
+        for eid, o in self.packed.entity_to_object.items():
+            wm = self.scene.world.get(eid, WorldMatrix)
+            if wm is not None:
+                mats[o] = wm.value
+        m3 = mats[:, :3, :3]
+        # normal matrix = inverse-transpose of upper 3x3
+        nmats = np.linalg.inv(m3.astype(np.float64)).transpose(0, 2, 1).astype(np.float32)
+        return mats, nmats
+
+    def snapshot_lights(self) -> Tuple[np.ndarray, int]:
+        """(L, LIGHT_STRIDE) packed light table; reference: LightInfo."""
+        c = self.caps
+        table = np.zeros((c.max_lights, LIGHT_STRIDE), np.float32)
+        n = 0
+        shadow_slot = 0
+        for eid, (l,) in self.scene.world.query(Light):
+            if n >= c.max_lights:
+                break
+            wm = self.scene.world.get(eid, WorldMatrix)
+            m = wm.value if wm is not None else np.eye(4, dtype=np.float32)
+            p = m[:3, 3]
+            d = -m[:3, 2]  # light looks down local -Z
+            d = d / (np.linalg.norm(d) + 1e-20)
+            row = table[n]
+            row[0:3] = p
+            row[3] = float(l.type)
+            row[4:7] = d
+            row[7] = l.intensity
+            row[8:11] = l.color
+            row[11] = l.range
+            row[12] = np.cos(l.inner_cone)
+            row[13] = np.cos(l.outer_cone)
+            slot = -1
+            if l.cast_shadows:
+                slot = shadow_slot
+                shadow_slot += 1
+            row[14] = np.array([slot], np.int32).view(np.float32)[0]
+            n += 1
+        return table, n
+
+    def build_scene_buffers(self, env_sh=None, env_specular=None, env_brdf_lut=None) -> SceneBuffers:
+        """Full device upload (cold start or after geometry changes)."""
+        if self.packed is None:
+            self.pack_geometry()
+        p = self.packed
+        mats, nmats = self.snapshot_objects()
+        lights, num_lights = self.snapshot_lights()
+        mat_table = self.materials.packed_table(self.caps.max_materials)
+        f32 = jnp.asarray
+        if env_sh is None:
+            env_sh = np.zeros((9, 3), np.float32)
+        if env_specular is None:
+            env_specular = np.zeros((1, 6, 8, 8, 3), np.float32)
+        if env_brdf_lut is None:
+            env_brdf_lut = np.zeros((32, 32, 2), np.float32)
+        return SceneBuffers(
+            positions=f32(p.positions), normals=f32(p.normals),
+            tangents=f32(p.tangents), uvs=f32(p.uvs),
+            vert_object=jnp.asarray(p.vert_object),
+            indices=jnp.asarray(p.indices),
+            tri_material=jnp.asarray(p.tri_material),
+            tri_object=jnp.asarray(p.tri_object),
+            num_tris=jnp.int32(p.num_tris), num_verts=jnp.int32(p.num_verts),
+            object_mats=f32(mats), object_normal_mats=f32(nmats),
+            material_table=f32(mat_table),
+            lights=f32(lights), num_lights=jnp.int32(num_lights),
+            env_sh=f32(env_sh), env_specular=f32(env_specular),
+            env_brdf_lut=f32(env_brdf_lut),
+        )
+
+    def update_dynamic(self, buffers: SceneBuffers) -> SceneBuffers:
+        """Per-frame refresh of matrices + lights only (geometry untouched)."""
+        mats, nmats = self.snapshot_objects()
+        lights, num_lights = self.snapshot_lights()
+        return buffers.replace(
+            object_mats=jnp.asarray(mats),
+            object_normal_mats=jnp.asarray(nmats),
+            lights=jnp.asarray(lights),
+            num_lights=jnp.int32(num_lights),
+        )

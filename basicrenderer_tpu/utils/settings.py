@@ -1,0 +1,156 @@
+"""Typed runtime settings registry with change subscriptions.
+
+TPU-native equivalent of the reference's SettingsManager (reference:
+BasicRenderer/include/Managers/Singletons/SettingsManager.h:13-90 and the
+~120 `registerSetting` calls in Renderer.cpp:1108-1463).
+
+Design difference from the reference: on TPU, settings that change the frame
+*structure* (pass toggles, capacities, resolutions) are **static jit args** —
+changing one triggers a frame-program recompile, mirroring the reference's
+render-graph rebuild-on-toggle behavior (Renderer.cpp:1794-1800). Settings
+that only change *values* (exposure, light intensity) flow through as traced
+device scalars and never recompile. Each setting declares which kind it is.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+from typing import Any, Callable, Dict, List, Optional
+
+
+@dataclasses.dataclass
+class Setting:
+    name: str
+    value: Any
+    dtype: type
+    structural: bool  # True -> static jit arg (recompiles frame on change)
+    description: str = ""
+
+
+class SettingsManager:
+    """Thread-safe typed key/value registry with subscriptions."""
+
+    def __init__(self):
+        self._settings: Dict[str, Setting] = {}
+        self._subs: Dict[str, List[Callable[[Any], None]]] = {}
+        self._lock = threading.RLock()
+        self._generation = 0  # bumps on structural changes
+
+    # -- registration ------------------------------------------------------
+    def register(self, name: str, default: Any, *, structural: bool = False,
+                 description: str = "") -> None:
+        with self._lock:
+            if name in self._settings:
+                return
+            self._settings[name] = Setting(name, default, type(default), structural, description)
+
+    def registered(self, name: str) -> bool:
+        return name in self._settings
+
+    # -- access ------------------------------------------------------------
+    def get(self, name: str, default: Any = None) -> Any:
+        with self._lock:
+            s = self._settings.get(name)
+            return s.value if s is not None else default
+
+    def __getitem__(self, name: str) -> Any:
+        return self._settings[name].value
+
+    def set(self, name: str, value: Any) -> None:
+        with self._lock:
+            s = self._settings.get(name)
+            if s is None:
+                self.register(name, value)
+                s = self._settings[name]
+            if s.value == value:
+                return
+            s.value = value
+            if s.structural:
+                self._generation += 1
+            for cb in self._subs.get(name, []):
+                cb(value)
+
+    def subscribe(self, name: str, callback: Callable[[Any], None]) -> None:
+        with self._lock:
+            self._subs.setdefault(name, []).append(callback)
+
+    @property
+    def generation(self) -> int:
+        """Monotone counter of structural changes; the renderer compares this
+        against the generation its compiled frame program was built at."""
+        return self._generation
+
+    # -- structural snapshot ----------------------------------------------
+    def structural_key(self) -> tuple:
+        """Hashable tuple of all structural settings — used as part of the
+        jit cache key for the frame program."""
+        with self._lock:
+            return tuple(sorted(
+                (s.name, s.value) for s in self._settings.values() if s.structural
+            ))
+
+    def to_dict(self) -> Dict[str, Any]:
+        with self._lock:
+            return {k: s.value for k, s in self._settings.items()}
+
+    # -- persistence (reference keeps settings live-editable via the UI;
+    #    we expose JSON load/save for headless configs) --------------------
+    def save_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, sort_keys=True)
+
+    def load_json(self, path: str) -> None:
+        with open(path) as f:
+            for k, v in json.load(f).items():
+                self.set(k, v)
+
+
+def make_default_settings() -> SettingsManager:
+    """Registers the renderer's settings catalog (the subset of the
+    reference's ~120 settings that is meaningful on TPU; reference:
+    Renderer.cpp:1108-1463)."""
+    s = SettingsManager()
+    # Structural (recompile frame program on change)
+    s.register("renderResolution", (1280, 720), structural=True)
+    s.register("outputResolution", (1280, 720), structural=True)
+    s.register("tileSize", (32, 128), structural=True,
+               description="raster framebuffer tile (rows, cols); cols=128 matches TPU lanes")
+    s.register("enableShadows", True, structural=True)
+    s.register("enableVSM", False, structural=True, description="virtual shadow maps")
+    s.register("numShadowCascades", 4, structural=True)
+    s.register("shadowResolution", 1024, structural=True)
+    s.register("enableClusteredLighting", True, structural=True)
+    s.register("lightClusterGrid", (12, 12, 24), structural=True,
+               description="froxel grid; reference default Renderer.h:157")
+    s.register("maxLightsPerCluster", 64, structural=True)
+    s.register("enableIBL", True, structural=True)
+    s.register("enableGTAO", False, structural=True)
+    s.register("enableSSR", False, structural=True)
+    s.register("enableBloom", True, structural=True)
+    s.register("enableTAA", False, structural=True)
+    s.register("enableOIT", False, structural=True)
+    s.register("oitLayers", 4, structural=True, description="K-buffer depth layers")
+    s.register("enableAutoExposure", False, structural=True)
+    s.register("enableSkinning", False, structural=True)
+    s.register("enableOcclusionCulling", True, structural=True)
+    s.register("enableMeshletCulling", True, structural=True)
+    s.register("wireframe", False, structural=True)
+    s.register("debugView", "none", structural=True)
+    s.register("maxVisibleClusters", 1 << 16, structural=True,
+               description="visible-cluster list capacity (reference budget 30M, Renderer.cpp:2494)")
+    s.register("maxTrianglePairs", 1 << 20, structural=True,
+               description="tile-binning (tile,tri) pair capacity")
+    s.register("upscaleMode", "none", structural=True, description="none|taa")
+    # Value-only (traced; no recompile)
+    s.register("exposure", 1.0)
+    s.register("bloomIntensity", 0.04)
+    s.register("bloomThreshold", 1.0)
+    s.register("gtaoRadius", 0.5)
+    s.register("gtaoIntensity", 1.0)
+    s.register("shadowBias", 0.0015)
+    s.register("iblIntensity", 1.0)
+    s.register("taaBlend", 0.1)
+    s.register("skyIntensity", 1.0)
+    return s

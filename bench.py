@@ -1,0 +1,74 @@
+"""Headline benchmark: steady-state ms/frame of the visibility-buffer
+deferred path at 1920x1080 on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver's north star of 16 ms/frame at 1080p (BASELINE.md).
+vs_baseline = 16.0 / value, so > 1.0 means faster than the target.
+
+Scene: the procedural courtyard (models/scenes.py) standing in for Bistro
+(the reference's demo content is not redistributable) at a comparable
+on-screen instance/material mix.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_MS = 16.0
+
+
+def main() -> None:
+    import jax
+    from basicrenderer_tpu.graph.frame import build_frame_fn
+    from basicrenderer_tpu.graph.framedata import FrameConfig, make_view
+    from basicrenderer_tpu.models.scenes import build_courtyard
+    from basicrenderer_tpu.renderer import Renderer
+    from basicrenderer_tpu.scene.bridge import BridgeCapacities, SceneRenderBridge
+
+    width, height = 1920, 1080
+    built = build_courtyard(grid=12)
+    caps = BridgeCapacities(max_vertices=1 << 19, max_triangles=1 << 19,
+                            max_objects=512, max_materials=64, max_lights=16)
+    bridge = SceneRenderBridge(built.scene, built.meshes, built.materials, caps)
+    buffers = bridge.build_scene_buffers()
+    view_np, proj_np, cam = built.scene.camera_matrices(aspect=width / height)
+    vd = make_view(view_np, proj_np, cam)
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    config = FrameConfig(width=width, height=height, tile_h=32, tile_w=128,
+                         max_pairs=1 << 19, use_pallas_raster=on_tpu)
+    from basicrenderer_tpu.graph.framedata import FrameParams
+    params = FrameParams.default()
+
+    frame = jax.jit(build_frame_fn(config))
+    out = frame(buffers, vd, params)
+    jax.block_until_ready(out["image"])  # compile + first run
+    overflow = int(out["bin_overflow"])
+
+    # Steady state: async dispatch, block at the end (frames-in-flight model).
+    warmup, iters = 3, 20
+    for _ in range(warmup):
+        out = frame(buffers, vd, params)
+    jax.block_until_ready(out["image"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = frame(buffers, vd, params)
+    jax.block_until_ready(out["image"])
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    print(json.dumps({
+        "metric": "ms/frame 1080p courtyard (vis-buffer deferred, "
+                  f"{built.num_triangles} tris, overflow={overflow})",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
