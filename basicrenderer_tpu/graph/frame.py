@@ -24,30 +24,38 @@ import jax.numpy as jnp
 from ..ops import raster_setup
 from ..ops.raster_pallas import raster_tiles_pallas
 from ..ops.raster_ref import raster_tiles_ref
+from ..ops.resolve_pallas import resolve_attributes_ref
 from ..ops import shade as shade_ops
 from .framedata import FrameConfig, FrameParams, SceneBuffers, ViewData
 
 
 def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig):
     """Vertex transform + triangle setup + binning (the 'CLod raster feed')."""
-    clip, world_pos = raster_setup.transform_vertices(
-        scene.positions, scene.vert_object, scene.object_mats, view.viewproj)
-    nmats = scene.object_normal_mats[scene.vert_object]
-    world_normals = jnp.einsum("vij,vj->vi", nmats, scene.normals)
-    T = scene.indices.shape[0]
+    clip, world_pos, world_normals = raster_setup.transform_geometry(
+        scene.positions, scene.normals, scene.vert_object, scene.object_mats,
+        scene.object_normal_mats, view.viewproj)
+    # Stage barrier (2D arrays only — rank-3 intermediates pad to (8,128)
+    # tiles in HBM and must never be materialized): stops XLA re-running the
+    # vertex one-hot matmul inside downstream fusions.
+    clip, world_pos, world_normals = jax.lax.optimization_barrier(
+        (clip, world_pos, world_normals))
     tri_valid = scene.tri_object >= 0
-    setup = raster_setup.triangle_setup(clip, scene.indices, tri_valid, config)
-    pairs = raster_setup.bin_triangles(setup, config)
-    return clip, world_pos, world_normals, setup, pairs
+    lanes, bbox, valid = raster_setup.triangle_setup_packed(
+        clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
+        scene.tri_material)
+    pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
+    return clip, world_pos, world_normals, None, pairs
 
 
 def visibility_pass(pairs, config: FrameConfig):
-    """Rasterize binned triangles -> (depth, vis) cropped to (H, W)."""
+    """Rasterize binned triangles -> (depth, vis, channels) on the PADDED
+    tile grid. The Pallas path fuses the attribute resolve into the raster
+    loop; the portable path runs the two reference kernels back to back."""
     if config.use_pallas_raster:
-        depth, vis = raster_tiles_pallas(pairs, config)
-    else:
-        depth, vis = raster_tiles_ref(pairs, config)
-    return depth[:config.height, :config.width], vis[:config.height, :config.width]
+        return raster_tiles_pallas(pairs, config)
+    depth_p, vis_p = raster_tiles_ref(pairs, config)
+    channels = resolve_attributes_ref(pairs, vis_p, config)
+    return depth_p, vis_p, channels
 
 
 def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]:
@@ -56,10 +64,13 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
     def frame(scene: SceneBuffers, view: ViewData, params: FrameParams
               ) -> Dict[str, jnp.ndarray]:
         clip, world_pos, world_normals, setup, pairs = geometry_pass(scene, view, config)
-        depth, vis = visibility_pass(pairs, config)
+        depth_p, vis_p, channels = visibility_pass(pairs, config)
 
-        gb = shade_ops.resolve_gbuffer(
-            vis, depth, setup.edges, setup.inv_w, scene, world_pos, world_normals)
+        H, W = config.height, config.width
+        depth = depth_p[:H, :W]
+        vis = vis_p[:H, :W]
+        gb = shade_ops.gbuffer_from_channels(
+            channels[:, :H, :W], depth, vis, view, scene.material_table, W, H)
 
         hdr = shade_ops.shade_deferred(gb, scene, view)
         sky = shade_ops.procedural_sky(view, config.height, config.width,

@@ -31,22 +31,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..graph.framedata import FrameConfig
-from .raster_setup import BinnedPairs, RANGE_ALIGN, SETUP_LANES
+from .raster_setup import BinnedPairs, SETUP_LANES
 
-CHUNK = RANGE_ALIGN  # pairs per DMA slab; binning aligns ranges to this
+CHUNK = 128  # pairs per DMA slab
+NUM_CHANNELS = 8  # [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
 
 
-def _raster_kernel(tile_off_ref, flat_ref, depth_ref, vis_ref, buf_ref, sem_ref,
+def _raster_kernel(tile_off_ref, flat_ref, depth_ref, vis_ref, chan_ref,
+                   buf_ref, sem_ref,
                    *, tile_h: int, tile_w: int, tiles_x: int):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * tiles_x + tx
-    start = tile_off_ref[tile]
+    # Round the tile's pair range out to whole DMA slabs. Overlap rows
+    # belong to neighboring tiles and are harmless: a triangle whose bbox
+    # misses this tile can cover none of its pixels (edge tests are exact),
+    # and duplicate rows are idempotent under the z-max resolve.
+    start = (tile_off_ref[tile] // CHUNK) * CHUNK
     end = tile_off_ref[tile + 1]
-    n = end - start  # multiple of CHUNK by construction
+    n = end - start
 
     depth_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
     vis_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
+    chan_ref[:] = jnp.zeros((NUM_CHANNELS, tile_h, tile_w), jnp.float32)
 
     # Pixel-center coordinates for this tile (computed once, reused per tri).
     px = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
@@ -54,7 +61,7 @@ def _raster_kernel(tile_off_ref, flat_ref, depth_ref, vis_ref, buf_ref, sem_ref,
     py = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
           + (ty * tile_h).astype(jnp.float32) + 0.5)
 
-    nchunks = n // CHUNK
+    nchunks = pl.cdiv(n, CHUNK)
     SLAB = CHUNK * SETUP_LANES
 
     def get_dma(slot, c):
@@ -94,6 +101,16 @@ def _raster_kernel(tile_off_ref, flat_ref, depth_ref, vis_ref, buf_ref, sem_ref,
             passd = inside & (z > depth_ref[:])
             depth_ref[:] = jnp.where(passd, z, depth_ref[:])
             vis_ref[:] = jnp.where(passd, tri_id_f.astype(jnp.int32), vis_ref[:])
+            # Fused attribute resolve: write the perspective-correct channel
+            # planes under the same pass mask (reference VisUtilEvaluate
+            # equivalent, done during raster — overdrawn writes are later
+            # overwritten by closer triangles, exactly like a GBuffer raster).
+            for ch in range(6):
+                val = (buf_ref[base + 14 + ch * 3] * px
+                       + buf_ref[base + 15 + ch * 3] * py
+                       + buf_ref[base + 16 + ch * 3])
+                chan_ref[ch] = jnp.where(passd, val, chan_ref[ch])
+            chan_ref[6] = jnp.where(passd, buf_ref[base + 13], chan_ref[6])
             return 0
 
         jax.lax.fori_loop(0, CHUNK, tri_body, 0)
@@ -104,11 +121,16 @@ def _raster_kernel(tile_off_ref, flat_ref, depth_ref, vis_ref, buf_ref, sem_ref,
 
 def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
                         interpret: bool = False
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (depth (H', W') f32, vis (H', W') i32) on the padded tile grid."""
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused raster + attribute resolve on the padded tile grid.
+
+    Returns (depth (H', W') f32, vis (H', W') i32,
+             channels (NUM_CHANNELS, H', W') f32)."""
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
-    flat = pairs.pair_data.reshape(-1)  # (P_pad * SETUP_LANES,) row-major
+    # Pad by one slab so ceil-rounded chunk reads stay in bounds; padded
+    # rows carry tri id 0 and never rasterize.
+    flat = jnp.pad(pairs.pair_data, ((0, CHUNK), (0, 0))).reshape(-1)
 
     kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw, tiles_x=tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -118,22 +140,26 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
         out_specs=[
             pl.BlockSpec((th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_CHANNELS, th, tw), lambda i, j, *_: (0, i, j),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.SMEM((2 * CHUNK * SETUP_LANES,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    depth, vis = pl.pallas_call(
+    depth, vis, channels = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((tiles_y * th, tiles_x * tw), jnp.float32),
             jax.ShapeDtypeStruct((tiles_y * th, tiles_x * tw), jnp.int32),
+            jax.ShapeDtypeStruct((NUM_CHANNELS, tiles_y * th, tiles_x * tw),
+                                 jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(pairs.tile_offsets, flat)
-    return depth, vis
+    return depth, vis, channels

@@ -6,17 +6,18 @@ feeds visible clusters into HW mesh shaders or a compute SW rasterizer
 CLodExtension.cpp:1580-1650). On TPU there is no rasterizer hardware and no
 global atomics across cores, so the design is:
 
-1. Vertex transform: one big MXU matmul batch (all vertices x viewproj).
-2. Triangle setup: per-triangle edge-function plane + depth plane
-   coefficients, computed vectorized over the whole (fixed-capacity)
-   triangle buffer.
-3. Tile binning: each triangle's screen bbox is expanded into (tile, tri)
-   pairs with a capacity bound, sorted by tile (XLA sort ~ the reference's
-   GPU ParallelSort, clodStreamingFeedbackSort.hlsl uses the same primitive),
-   then per-tile ranges come from a searchsorted. Triangle setup data is
-   gathered into pair order so the Pallas raster kernel reads contiguous
-   rows per tile — the TPU equivalent of the reference's per-bucket
-   compacted cluster lists.
+1. Vertex transform: batched matmuls; the per-vertex model-matrix lookup is
+   a one-hot MXU matmul (measured ~50x faster than XLA's row gather on TPU).
+2. Triangle setup: per-triangle *screen-space plane equations* — edge/
+   barycentric planes, a depth plane, and perspective-correct attribute
+   planes (attr/w and 1/w are affine in screen space). Shading interpolates
+   from planes, so no per-pixel vertex gathers exist anywhere downstream.
+3. Tile binning: every triangle emits K tile slots (vectorized, no scatter
+   — TPU scatters serialize at ~100ns/row), one 2-key sort groups them by
+   tile, and a single bounded gather materializes the pair payload. Tile
+   ranges are NOT aligned; the raster kernel rounds to whole DMA slabs and
+   relies on edge-function rejection + z-idempotence to make overlap reads
+   harmless.
 
 Everything is fixed-shape; truncation is surfaced via `overflow` counters
 (the reference's counter+capacity pattern, SURVEY.md §5).
@@ -24,23 +25,27 @@ Everything is fixed-shape; truncation is surfaced via `overflow` counters
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..graph.framedata import FrameConfig
 
-# Triangle setup lane layout, row-per-triangle (P, SETUP_LANES):
-# 0-2: edge0 A,B,C   (E(x,y) = A*x + B*y + C, >=0 inside)
-# 3-5: edge1
-# 6-8: edge2
-# 9-11: depth plane  (z = A*x + B*y + C; reverse-Z, bigger = closer)
-# 12: triangle id + 1 stored AS A FLOAT VALUE (ids < 2^24 are exact; Mosaic
-#     has no scalar bitcast, and float ids also survive the pair gather)
-# 13: inv_area2 (for barycentrics in shading)
-# 14-15: reserved
-SETUP_LANES = 16
+# Triangle payload lane layout, row-per-triangle (P, SETUP_LANES):
+#  0-2: edge0 A,B,C   (normalized: E_i(x,y) IS the barycentric weight of v_i)
+#  3-5: edge1
+#  6-8: edge2
+#  9-11: depth plane  (z_ndc = A*x + B*y + C; reverse-Z, bigger = closer)
+#  12: triangle id + 1 AS A FLOAT (ids < 2^24 exact; Mosaic lacks scalar bitcast)
+#  13: material id AS A FLOAT
+#  14-16: 1/w plane
+#  17-19: nx/w plane   (world-space normal x over clip w)
+#  20-22: ny/w plane
+#  23-25: nz/w plane
+#  26-28: u/w plane
+#  29-31: v/w plane
+SETUP_LANES = 32
 
 
 class TriangleSetup(NamedTuple):
@@ -48,57 +53,116 @@ class TriangleSetup(NamedTuple):
     screen_xy: jnp.ndarray     # (T, 3, 2) f32 screen-space vertex positions
     z_ndc: jnp.ndarray         # (T, 3) f32 vertex depths (reverse-Z NDC)
     inv_w: jnp.ndarray         # (T, 3) f32 1/clip.w (perspective correction)
-    edges: jnp.ndarray         # (T, 3, 3) f32 edge plane coefficients
+    edges: jnp.ndarray         # (T, 3, 3) f32 barycentric weight planes
     zplane: jnp.ndarray        # (T, 3) f32 depth plane coefficients
-    inv_area2: jnp.ndarray     # (T,) f32
+    attr_planes: jnp.ndarray   # (T, 6, 3) f32 [1/w, nx/w, ny/w, nz/w, u/w, v/w]
+    inv_area2: jnp.ndarray     # (T,) f32 signed
     bbox: jnp.ndarray          # (T, 4) i32 tile-space x0,y0,x1,y1 inclusive
     valid: jnp.ndarray         # (T,) bool
+    lane_cols: list            # 32 (T,) payload columns (perf path; the
+    #                            rank-3 fields above exist for tests/debug)
 
 
-def transform_vertices(positions: jnp.ndarray, vert_object: jnp.ndarray,
-                       object_mats: jnp.ndarray, viewproj: jnp.ndarray
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Object-space verts -> (clip (V,4), world (V,3)).
+def gather_rows_onehot(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row lookup from a SMALL table via one-hot matmul on the MXU.
 
-    The per-vertex model matrix gather + transform runs as a batched einsum;
-    XLA fuses the gather into the pipeline. Reference analogue: the vertex
-    stage of mesh.hlsl / softwareRaster.hlsl cluster vertex fetch.
+    XLA's native gather serializes on TPU (~0.6ns/float); for tables with at
+    most a few thousand rows a one-hot f32 matmul is far faster.
+    table: (R, C), idx: (N,) -> (N, C).
     """
-    mats = object_mats[vert_object]                      # (V, 4, 4) gather
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
+    return oh @ table
+
+
+def transform_geometry(positions: jnp.ndarray, normals: jnp.ndarray,
+                       vert_object: jnp.ndarray, object_mats: jnp.ndarray,
+                       object_normal_mats: jnp.ndarray, viewproj: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Object-space verts+normals -> (clip (V,4), world (V,3), wnormal (V,3)).
+
+    Reference analogue: the vertex stage of mesh.hlsl / softwareRaster.hlsl
+    cluster vertex fetch. Both per-vertex matrices are fetched with ONE
+    one-hot MXU matmul (model 16 + normal 9 lanes) and applied as explicit
+    fused multiply-adds.
+    """
+    O = object_mats.shape[0]
+    table = jnp.concatenate(
+        [object_mats.reshape(O, 16), object_normal_mats.reshape(O, 9)], axis=-1)
+    rows = gather_rows_onehot(table, vert_object)        # (V, 25)
+    mats = rows[:, :16].reshape(-1, 4, 4)
+    nmats = rows[:, 16:25].reshape(-1, 3, 3)
+    ph = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=-1)
+    world_h = jnp.einsum("vij,vj->vi", mats, ph)
+    wn = jnp.einsum("vij,vj->vi", nmats, normals)
+    clip = world_h @ viewproj.T
+    return clip, world_h[:, :3], wn
+
+
+def transform_vertices(positions, vert_object, object_mats, viewproj):
+    """Positions-only variant (shadow passes don't need normals)."""
+    O = object_mats.shape[0]
+    mats = gather_rows_onehot(object_mats.reshape(O, 16), vert_object)
+    mats = mats.reshape(-1, 4, 4)
     ph = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=-1)
     world_h = jnp.einsum("vij,vj->vi", mats, ph)
     clip = world_h @ viewproj.T
     return clip, world_h[:, :3]
 
 
-def triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray, tri_valid: jnp.ndarray,
-                   config: FrameConfig) -> TriangleSetup:
-    """Clip-space triangles -> screen-space edge/depth planes + tile bboxes.
+def transform_normals(normals: jnp.ndarray, vert_object: jnp.ndarray,
+                      object_normal_mats: jnp.ndarray) -> jnp.ndarray:
+    """Object-space normals -> world space via inverse-transpose 3x3s."""
+    O = object_normal_mats.shape[0]
+    nm = gather_rows_onehot(object_normal_mats.reshape(O, 9), vert_object)
+    nm = nm.reshape(-1, 3, 3)
+    return jnp.einsum("vij,vj->vi", nm, normals)
 
-    Backface culling keeps counter-clockwise-in-screen-space triangles
-    (positive area with y-down), matching D3D's default front face after the
-    projection flip. Near-plane handling: triangles with any w <= eps are
-    rejected (guard-band reject; proper clipping is a later milestone —
-    reference relies on HW clipping).
+
+def triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray, tri_valid: jnp.ndarray,
+                   config: FrameConfig,
+                   world_normals: Optional[jnp.ndarray] = None,
+                   uvs: Optional[jnp.ndarray] = None) -> TriangleSetup:
+    """Clip-space triangles -> screen-space plane equations + tile bboxes.
+
+    Backface culling keeps world-CCW front faces (glTF winding; they project
+    to clockwise in y-down screen space => signed area < 0). Near-plane
+    handling: triangles with any w <= eps are guard-band rejected (proper
+    clipping is a later milestone — the reference relies on HW clipping).
     """
     W, H = config.width, config.height
     tw, th = config.tile_w, config.tile_h
-    v = clip[indices]            # (T, 3, 4)
-    w = v[..., 3]
-    w_ok = jnp.all(w > 1e-6, axis=-1)
-    inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
-    ndc = v[..., :3] * inv_w[..., None]
+    # Per-vertex data packed into (V, 9) rows, gathered ONCE PER CORNER as a
+    # 2D (T, 9) gather. TPU layout rule: rank-3 intermediates like (T, 3, 9)
+    # are padded to (.., 8, 128) tiles, making every op on them ~14-40x more
+    # expensive; keeping everything (T,)-column shaped avoids that entirely.
+    parts = [clip]
+    if world_normals is not None:
+        parts.append(world_normals)
+    if uvs is not None:
+        parts.append(uvs)
+    packed = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else clip
+    g0 = packed[indices[:, 0]]   # (T, 9)
+    g1 = packed[indices[:, 1]]
+    g2 = packed[indices[:, 2]]
+    g0, g1, g2 = jax.lax.optimization_barrier((g0, g1, g2))
+
+    w_c = [g0[:, 3], g1[:, 3], g2[:, 3]]
+    w_ok = (w_c[0] > 1e-6) & (w_c[1] > 1e-6) & (w_c[2] > 1e-6)
+    iw_c = [1.0 / jnp.where(jnp.abs(wc) > 1e-9, wc, 1.0) for wc in w_c]
     # D3D viewport transform: y flips (NDC +y up -> screen y down).
-    sx = (ndc[..., 0] * 0.5 + 0.5) * W
-    sy = (0.5 - ndc[..., 1] * 0.5) * H
-    z = ndc[..., 2]
+    sx_c = [(g[:, 0] * iw * 0.5 + 0.5) * W for g, iw in zip((g0, g1, g2), iw_c)]
+    sy_c = [(0.5 - g[:, 1] * iw * 0.5) * H for g, iw in zip((g0, g1, g2), iw_c)]
+    z_c = [g[:, 2] * iw for g, iw in zip((g0, g1, g2), iw_c)]
+    sx = jnp.stack(sx_c, axis=1)
+    sy = jnp.stack(sy_c, axis=1)
+    z = jnp.stack(z_c, axis=1)
+    inv_w = jnp.stack(iw_c, axis=1)
     screen = jnp.stack([sx, sy], axis=-1)  # (T, 3, 2)
 
-    x0, y0 = sx[:, 0], sy[:, 0]
-    x1, y1 = sx[:, 1], sy[:, 1]
-    x2, y2 = sx[:, 2], sy[:, 2]
-    # Signed 2*area in y-down screen space. World-space CCW front faces
-    # (glTF convention) project to clockwise in y-down coords => s < 0.
+    x0, y0 = sx_c[0], sy_c[0]
+    x1, y1 = sx_c[1], sy_c[1]
+    x2, y2 = sx_c[2], sy_c[2]
+    # Signed 2*area in y-down screen space; world-CCW front faces => s < 0.
     s = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     front = s < -1e-12
     valid = tri_valid & w_ok & front
@@ -106,34 +170,51 @@ def triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray, tri_valid: jnp.ndarr
     # the normalized edges are then exactly the barycentric weight planes.
     inv_area2 = jnp.where(front, 1.0 / jnp.where(jnp.abs(s) > 1e-12, s, 1.0), 0.0)
 
-    # Edge functions: E_i covers the edge opposite vertex i, normalized so
-    # that E_i(vertex_i) = 1 — i.e. E_i IS the barycentric weight of vertex i.
-    # E0 from edge (v1 -> v2): E0(x, y) = cross(v2-v1, p-v1) (sign-fixed).
     def edge(ax, ay, bx, by):
-        # plane for edge a->b with y-down CCW-front: inside = positive
-        A = ay - by
-        B = bx - ax
-        C = ax * by - ay * bx
-        return A, B, C
+        # Columns (A, B, C) of the edge plane a->b, normalized to barycentric.
+        return ((ay - by) * inv_area2, (bx - ax) * inv_area2,
+                (ax * by - ay * bx) * inv_area2)
 
-    e0 = edge(x1, y1, x2, y2)
+    e0 = edge(x1, y1, x2, y2)   # barycentric weight plane of vertex 0
     e1 = edge(x2, y2, x0, y0)
     e2 = edge(x0, y0, x1, y1)
-    edges = jnp.stack([jnp.stack(e0, -1), jnp.stack(e1, -1), jnp.stack(e2, -1)], axis=1)
-    # Normalize edges by area2 so they become barycentric weights directly.
-    edges = edges * inv_area2[:, None, None]
-    # Depth plane: z(x,y) = sum_i bary_i * z_i -> affine in (x, y).
-    # z = z0*E0 + z1*E1 + z2*E2 where E_i are the normalized edges.
-    zA = z[:, 0] * edges[:, 0, 0] + z[:, 1] * edges[:, 1, 0] + z[:, 2] * edges[:, 2, 0]
-    zB = z[:, 0] * edges[:, 0, 1] + z[:, 1] * edges[:, 1, 1] + z[:, 2] * edges[:, 2, 1]
-    zC = z[:, 0] * edges[:, 0, 2] + z[:, 1] * edges[:, 1, 2] + z[:, 2] * edges[:, 2, 2]
-    zplane = jnp.stack([zA, zB, zC], axis=-1)
+
+    def plane_from(v0, v1, v2):
+        """Per-vertex scalars -> affine plane columns (A, B, C)."""
+        return tuple(v0 * e0[c] + v1 * e1[c] + v2 * e2[c] for c in range(3))
+
+    zplane_c = plane_from(*z_c)
+
+    # Perspective-correct attribute planes: attr/w and 1/w are affine in
+    # screen space (standard rational-linear interpolation).
+    plane_cols = [plane_from(*iw_c)]
+    zero = jnp.zeros_like(s)
+    off = 4
+    if world_normals is not None:
+        for c in range(3):
+            plane_cols.append(plane_from(g0[:, off + c] * iw_c[0],
+                                         g1[:, off + c] * iw_c[1],
+                                         g2[:, off + c] * iw_c[2]))
+        off += 3
+    else:
+        plane_cols += [(zero, zero, zero)] * 3
+    if uvs is not None:
+        for c in range(2):
+            plane_cols.append(plane_from(g0[:, off + c] * iw_c[0],
+                                         g1[:, off + c] * iw_c[1],
+                                         g2[:, off + c] * iw_c[2]))
+    else:
+        plane_cols += [(zero, zero, zero)] * 2
 
     # Tile-space bbox (inclusive), clamped to screen.
-    bx0 = jnp.floor(jnp.min(sx, axis=1)).astype(jnp.int32)
-    by0 = jnp.floor(jnp.min(sy, axis=1)).astype(jnp.int32)
-    bx1 = jnp.ceil(jnp.max(sx, axis=1)).astype(jnp.int32)
-    by1 = jnp.ceil(jnp.max(sy, axis=1)).astype(jnp.int32)
+    minx = jnp.minimum(jnp.minimum(x0, x1), x2)
+    miny = jnp.minimum(jnp.minimum(y0, y1), y2)
+    maxx = jnp.maximum(jnp.maximum(x0, x1), x2)
+    maxy = jnp.maximum(jnp.maximum(y0, y1), y2)
+    bx0 = jnp.floor(minx).astype(jnp.int32)
+    by0 = jnp.floor(miny).astype(jnp.int32)
+    bx1 = jnp.ceil(maxx).astype(jnp.int32)
+    by1 = jnp.ceil(maxy).astype(jnp.int32)
     offscreen = (bx1 < 0) | (by1 < 0) | (bx0 >= W) | (by0 >= H)
     valid = valid & ~offscreen
     tx0 = jnp.clip(bx0 // tw, 0, config.tiles_x - 1)
@@ -142,107 +223,120 @@ def triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray, tri_valid: jnp.ndarr
     ty1 = jnp.clip(by1 // th, 0, config.tiles_y - 1)
     bbox = jnp.stack([tx0, ty0, tx1, ty1], axis=-1)
 
-    return TriangleSetup(screen, z, inv_w, edges, zplane, inv_area2, bbox, valid)
+    edges = jnp.stack([jnp.stack(e, -1) for e in (e0, e1, e2)], axis=1)
+    zplane = jnp.stack(zplane_c, axis=-1)
+    attr_planes = jnp.stack([jnp.stack(p, -1) for p in plane_cols], axis=1)
+    return TriangleSetup(screen, z, inv_w, edges, zplane, attr_planes,
+                         inv_area2, bbox, valid,
+                         _lane_columns(e0, e1, e2, zplane_c, plane_cols, valid))
 
 
-def pack_setup_lanes(setup: TriangleSetup) -> jnp.ndarray:
-    """(T, SETUP_LANES) row-per-triangle raster payload (see lane layout).
-
-    Row-major layout so the raster kernel can DMA contiguous row slabs of
-    the pair-ordered buffer with a dynamic row offset (Mosaic allows dynamic
-    sublane offsets; dynamic *lane* offsets would need 128-alignment)."""
-    T = setup.valid.shape[0]
-    tri_ids = jnp.arange(T, dtype=jnp.int32) + 1
-    lanes = jnp.zeros((T, SETUP_LANES), jnp.float32)
-    e = setup.edges  # (T, 3, 3) already normalized to barycentric weights
-    lanes = lanes.at[:, 0:3].set(e[:, 0])
-    lanes = lanes.at[:, 3:6].set(e[:, 1])
-    lanes = lanes.at[:, 6:9].set(e[:, 2])
-    lanes = lanes.at[:, 9:12].set(setup.zplane)
-    lanes = lanes.at[:, 12].set(tri_ids.astype(jnp.float32))
-    lanes = lanes.at[:, 13].set(setup.inv_area2)
-    return lanes
+def _lane_columns(e0, e1, e2, zplane_c, plane_cols, valid):
+    """The 32 payload columns in lane order (ids/material filled by pack)."""
+    T = valid.shape[0]
+    tri_ids = (jnp.arange(T, dtype=jnp.int32) + 1).astype(jnp.float32)
+    cols = list(e0) + list(e1) + list(e2) + list(zplane_c)
+    cols.append(tri_ids)                      # lane 12
+    cols.append(jnp.zeros((T,), jnp.float32))  # lane 13 (material, pack fills)
+    for p in plane_cols:
+        cols.extend(p)
+    return cols
 
 
-# Pair ranges are aligned to RANGE_ALIGN rows so the Pallas raster kernel's
-# chunk DMAs are always full, 128-lane-aligned slabs (Mosaic requires DMA
-# slice offsets provably divisible by the lane tiling).
-RANGE_ALIGN = 128
+def pack_setup_lanes(setup: TriangleSetup,
+                     tri_material: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(T, SETUP_LANES) row-per-triangle raster payload (see lane layout)."""
+    cols = list(setup.lane_cols)
+    if tri_material is not None:
+        cols[13] = tri_material.astype(jnp.float32)
+    return jnp.stack(cols, axis=1)
+
+
+def triangle_setup_packed(clip: jnp.ndarray, indices: jnp.ndarray,
+                          tri_valid: jnp.ndarray, config: FrameConfig,
+                          world_normals: jnp.ndarray, uvs: jnp.ndarray,
+                          tri_material: Optional[jnp.ndarray] = None
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Production setup: returns ONLY 2D arrays (lanes (T, SETUP_LANES),
+    bbox (T, 4) i32, valid (T,) bool).
+
+    TPU layout note: every materialized array pads its minor two dims to
+    (8, 128), so rank-3 intermediates like (T, 3, 3) blow up ~40x in HBM and
+    ops on them waste 97% of the VPU lanes. The whole setup computes in
+    (T,)-column form; only the flat lane rows are written.
+    """
+    setup = triangle_setup(clip, indices, tri_valid, config,
+                           world_normals=world_normals, uvs=uvs)
+    lanes = pack_setup_lanes(setup, tri_material)
+    # Barrier the 2D results only — cheap to materialize, and it stops XLA
+    # from re-running the vertex gather inside every downstream fusion.
+    lanes, bbox, valid = jax.lax.optimization_barrier(
+        (lanes, setup.bbox, setup.valid))
+    return lanes, bbox, valid
 
 
 class BinnedPairs(NamedTuple):
-    pair_data: jnp.ndarray     # (P_pad, SETUP_LANES) f32, pair-ordered, tile
-    #                            ranges CHUNK-aligned, dead rows have id 0
+    pair_data: jnp.ndarray     # (P, SETUP_LANES) f32 pair-ordered payload;
+    #                            rows past a tile's range have tri id 0
     tile_offsets: jnp.ndarray  # (num_tiles + 1,) i32 row ranges per tile
-    num_pairs: jnp.ndarray     # () i32 live pairs (pre-alignment)
+    num_pairs: jnp.ndarray     # () i32 live pairs
     overflow: jnp.ndarray      # () i32 pairs dropped due to capacity
 
 
-def bin_triangles(setup: TriangleSetup, config: FrameConfig) -> BinnedPairs:
-    """Expand triangle tile-bboxes into sorted (tile, tri) pairs.
+def bin_pairs(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
+              config: FrameConfig) -> BinnedPairs:
+    """Sort-based tile binning (scatter-free) over packed lane rows.
 
-    The per-triangle tile span is capped at `max_tiles_per_tri`; triangles
-    spanning more tiles than that contribute their first K tiles in row-major
-    bbox order and count toward `overflow`. (The reference handles huge
-    triangles via raster size-buckets + the HW path — our analogue, a
-    big-triangle full-screen pass, lands with the cluster pipeline.)
+    Every triangle owns K = max_tiles_per_tri implicit slots; slot k holds
+    the k-th tile of its bbox span in row-major order, or a sentinel. One
+    2-key sort groups live pairs by tile; triangles spanning more than K
+    tiles contribute their first K and count toward `overflow`. (Big
+    triangles belong to the HW-raster bucket in the reference — our
+    analogue, a dedicated large-triangle path, rides the cluster pipeline.)
     """
     P = config.max_pairs
     K = config.max_tiles_per_tri
-    T = setup.valid.shape[0]
-    tx0, ty0, tx1, ty1 = setup.bbox[:, 0], setup.bbox[:, 1], setup.bbox[:, 2], setup.bbox[:, 3]
+    T = valid.shape[0]
+    num_tiles = config.num_tiles
+
+    tx0, ty0, tx1, ty1 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
     spanx = tx1 - tx0 + 1
     spany = ty1 - ty0 + 1
-    ntiles = jnp.where(setup.valid, spanx * spany, 0)
-    n_emit = jnp.minimum(ntiles, K)
-    offsets = jnp.cumsum(n_emit) - n_emit          # exclusive prefix sum
-    total = offsets[-1] + n_emit[-1] if T > 0 else jnp.int32(0)
-    overflow = jnp.sum(ntiles - n_emit) + jnp.maximum(total - P, 0)
+    ntiles = jnp.where(valid, spanx * spany, 0)
 
-    num_tiles = config.num_tiles
-    # Emit k-th covered tile of each triangle via K scatters.
-    pair_tile = jnp.full((P,), num_tiles, jnp.int32)   # sentinel sorts last
-    pair_tri = jnp.zeros((P,), jnp.int32)
-    tri_idx = jnp.arange(T, dtype=jnp.int32)
-    for k in range(K):
-        live = (k < n_emit)
-        kx = k % jnp.maximum(spanx, 1)
-        ky = k // jnp.maximum(spanx, 1)
-        tile = (ty0 + ky) * config.tiles_x + (tx0 + kx)
-        dst = offsets + k
-        ok = live & (dst < P)
-        dst = jnp.where(ok, dst, P)  # out-of-range drops (scatter mode)
-        pair_tile = pair_tile.at[dst].set(jnp.where(ok, tile, num_tiles), mode="drop")
-        pair_tri = pair_tri.at[dst].set(tri_idx, mode="drop")
+    ks = jnp.arange(K, dtype=jnp.int32)[None, :]         # (1, K)
+    kx = ks % jnp.maximum(spanx, 1)[:, None]
+    ky = ks // jnp.maximum(spanx, 1)[:, None]
+    tile_kt = (ty0[:, None] + ky) * config.tiles_x + (tx0[:, None] + kx)
+    live_kt = ks < jnp.minimum(ntiles, K)[:, None]
+    tile_kt = jnp.where(live_kt, tile_kt, num_tiles)     # sentinel sorts last
+    tri_kt = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None], (T, K))
 
-    # Sort pairs by (tile, tri) lexicographically — tri as a secondary key
-    # keeps submission order within a tile, which the z-test makes
-    # order-independent anyway but helps determinism.
-    pair_tile, pair_tri = jax.lax.sort((pair_tile, pair_tri), num_keys=2)
+    flat_tile = tile_kt.reshape(-1)
+    flat_tri = tri_kt.reshape(-1)
+    flat_tile, flat_tri = jax.lax.sort((flat_tile, flat_tri), num_keys=2)
+    flat_tile, flat_tri = jax.lax.optimization_barrier((flat_tile, flat_tri))
 
-    # Raw per-tile ranges from the sort.
-    raw_offsets = jnp.searchsorted(
-        pair_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32)).astype(jnp.int32)
-    num_pairs = raw_offsets[-1]
+    total = jnp.sum(jnp.minimum(ntiles, K))
+    overflow = jnp.sum(ntiles - jnp.minimum(ntiles, K)) + jnp.maximum(total - P, 0)
 
-    # Re-scatter into RANGE_ALIGN-aligned per-tile ranges: every tile's row
-    # range starts and ends on a RANGE_ALIGN boundary so the raster kernel
-    # DMAs only full slabs. Dead rows keep tri id 0.
-    counts = raw_offsets[1:] - raw_offsets[:-1]
-    padded = ((counts + RANGE_ALIGN - 1) // RANGE_ALIGN) * RANGE_ALIGN
-    aligned_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)])
-    P_pad = P + num_tiles * RANGE_ALIGN
-    pair_idx = jnp.arange(P, dtype=jnp.int32)
-    live = pair_tile < num_tiles
-    tile_clamped = jnp.minimum(pair_tile, num_tiles - 1)
-    dst = jnp.where(
-        live,
-        aligned_off[tile_clamped] + (pair_idx - raw_offsets[tile_clamped]),
-        P_pad)
+    # Keep the first P sorted pairs (all live pairs sort before sentinels).
+    flat_tile = flat_tile[:P]
+    flat_tri = flat_tri[:P]
+    tile_offsets = jnp.searchsorted(flat_tile,
+                                    jnp.arange(num_tiles + 1, dtype=jnp.int32))
+    tile_offsets = jnp.minimum(tile_offsets, P).astype(jnp.int32)
+    num_pairs = jnp.minimum(total, P)
 
-    lanes = pack_setup_lanes(setup)          # (T, SETUP_LANES)
-    src_rows = lanes[pair_tri]               # (P, SETUP_LANES)
-    pair_data = jnp.zeros((P_pad, SETUP_LANES), jnp.float32)
-    pair_data = pair_data.at[dst].set(src_rows, mode="drop")
-    return BinnedPairs(pair_data, aligned_off, num_pairs, overflow)
+    pair_data = lanes[flat_tri]                          # (P, SETUP_LANES)
+    # Sentinel rows must never rasterize: zero their tri-id lane.
+    live = flat_tile < num_tiles
+    pair_data = pair_data.at[:, 12].set(jnp.where(live, pair_data[:, 12], 0.0))
+    return BinnedPairs(pair_data, tile_offsets, num_pairs, overflow)
+
+
+def bin_triangles(setup: TriangleSetup, config: FrameConfig,
+                  tri_material: Optional[jnp.ndarray] = None) -> BinnedPairs:
+    """Compat/test wrapper: bin from an unpacked TriangleSetup."""
+    lanes = pack_setup_lanes(setup, tri_material)
+    return bin_pairs(lanes, setup.bbox, setup.valid, config)

@@ -110,6 +110,60 @@ def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
     )
 
 
+def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
+                          vis: jnp.ndarray, view: ViewData,
+                          material_table: jnp.ndarray,
+                          full_w: int, full_h: int, row0=0) -> GBuffer:
+    """Build the GBuffer from resolve-pass channel images (no gathers).
+
+    channels: (8, H, W) = [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
+    cropped to the visible region. `full_w/full_h` are the full framebuffer
+    dimensions (differ from H/W when shading a screen shard at `row0`).
+    """
+    H, W = depth.shape
+    covered = vis > 0
+    inv_w = channels[0]
+    safe_iw = jnp.where(jnp.abs(inv_w) > 1e-12, inv_w, 1.0)
+    nrm = jnp.stack([channels[1] / safe_iw, channels[2] / safe_iw,
+                     channels[3] / safe_iw], axis=-1)
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.maximum(nlen, 1e-12)
+    uv = jnp.stack([channels[4] / safe_iw, channels[5] / safe_iw], axis=-1)
+    mat_id = jnp.round(channels[6]).astype(jnp.int32)
+
+    # World position from depth (reverse-Z NDC) + inverse viewproj.
+    ndc_x = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5) / full_w * 2.0 - 1.0
+    ndc_y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5 + row0) / full_h * 2.0
+    inv_vp = jnp.linalg.inv(view.viewproj)
+    ndc = jnp.stack([ndc_x, ndc_y, depth, jnp.ones_like(depth)], axis=-1)
+    wp_h = ndc @ inv_vp.T
+    wp = wp_h[..., :3] / jnp.where(jnp.abs(wp_h[..., 3:]) > 1e-12, wp_h[..., 3:], 1.0)
+
+    # Material params via one-hot MXU lookup (XLA row-gather serializes).
+    from .raster_setup import gather_rows_onehot
+    flat_ids = jnp.clip(mat_id.reshape(-1), 0, material_table.shape[0] - 1)
+    mat = gather_rows_onehot(material_table, flat_ids)    # (HW, MAT_STRIDE)
+    albedo = mat[:, 0:3].reshape(H, W, 3)
+    metallic = mat[:, 4].reshape(H, W)
+    roughness = mat[:, 5].reshape(H, W)
+    emissive = mat[:, 6:9].reshape(H, W, 3)
+
+    zero3 = jnp.zeros((H, W, 3), jnp.float32)
+    c3 = covered[..., None]
+    return GBuffer(
+        world_pos=jnp.where(c3, wp, zero3),
+        normal=jnp.where(c3, nrm, zero3),
+        albedo=jnp.where(c3, albedo, zero3),
+        metallic=jnp.where(covered, metallic, 0.0),
+        roughness=jnp.where(covered, roughness, 1.0),
+        emissive=jnp.where(c3, emissive, zero3),
+        valid=covered,
+        depth=depth,
+        material_id=jnp.where(covered, mat_id, -1),
+        uv=jnp.where(c3[..., :2], uv, 0.0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # GGX / Cook-Torrance BRDF (reference: shaders/Include/PBR.hlsli)
 # ---------------------------------------------------------------------------

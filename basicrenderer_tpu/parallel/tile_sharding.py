@@ -40,6 +40,7 @@ from ..graph import frame as frame_mod
 from ..graph.framedata import FrameConfig, FrameParams, SceneBuffers, ViewData
 from ..ops import raster_setup, shade as shade_ops
 from ..ops.raster_ref import raster_tiles_ref
+from ..ops.resolve_pallas import resolve_attributes_ref
 
 
 def build_sharded_frame_fn(config: FrameConfig, mesh: Mesh):
@@ -52,18 +53,20 @@ def build_sharded_frame_fn(config: FrameConfig, mesh: Mesh):
     local_cfg = dataclasses.replace(config, height=rows_per * config.tile_h)
     shard_h = rows_per * config.tile_h
 
-    def per_shard(tile_offsets_l, sky_l, scene, view, params,
-                  pair_data, setup_edges, setup_inv_w, world_pos, world_normals):
+    def per_shard(tile_offsets_l, sky_l, scene, view, params, pair_data):
         idx = jax.lax.axis_index("sp")
         row0 = (idx * shard_h).astype(jnp.float32)
         pairs = raster_setup.BinnedPairs(
             pair_data=pair_data, tile_offsets=tile_offsets_l[0],
             num_pairs=jnp.int32(0), overflow=jnp.int32(0))
-        depth, vis = raster_tiles_ref(pairs, local_cfg, tile_row0=idx * rows_per)
-        depth = depth[:shard_h, :config.width]
-        vis = vis[:shard_h, :config.width]
-        gb = shade_ops.resolve_gbuffer(vis, depth, setup_edges, setup_inv_w,
-                                       scene, world_pos, world_normals, row0=row0)
+        depth_p, vis_p = raster_tiles_ref(pairs, local_cfg, tile_row0=idx * rows_per)
+        channels = resolve_attributes_ref(pairs, vis_p, local_cfg,
+                                          tile_row0=idx * rows_per)
+        depth = depth_p[:shard_h, :config.width]
+        vis = vis_p[:shard_h, :config.width]
+        gb = shade_ops.gbuffer_from_channels(
+            channels[:, :shard_h, :config.width], depth, vis, view,
+            scene.material_table, config.width, config.height, row0=row0)
         hdr = shade_ops.shade_deferred(gb, scene, view)
         hdr = jnp.where(gb.valid[..., None], hdr, sky_l[0])
         # Cross-device auto-exposure (collective): psum of shard luminance.
@@ -78,7 +81,7 @@ def build_sharded_frame_fn(config: FrameConfig, mesh: Mesh):
 
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P("sp"), P("sp"), P(), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P("sp"), P("sp"), P(), P(), P(), P()),
         out_specs=(P("sp"), P("sp"), P("sp")),
         check_vma=False,
     )
@@ -98,8 +101,7 @@ def build_sharded_frame_fn(config: FrameConfig, mesh: Mesh):
         ])  # (n, per_rows + 1)
         sky_sharded = sky[:config.height].reshape(n, shard_h, config.width, 3)
         image, depth, vis = sharded(
-            slices, sky_sharded, scene, view, params, pairs.pair_data,
-            setup.edges, setup.inv_w, world_pos, world_normals)
+            slices, sky_sharded, scene, view, params, pairs.pair_data)
         H = config.height
         return {
             "image": image.reshape(H, config.width, 3),

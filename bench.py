@@ -32,8 +32,8 @@ def main() -> None:
 
     width, height = 1920, 1080
     built = build_courtyard(grid=12)
-    caps = BridgeCapacities(max_vertices=1 << 19, max_triangles=1 << 19,
-                            max_objects=512, max_materials=64, max_lights=16)
+    caps = BridgeCapacities(max_vertices=1 << 17, max_triangles=1 << 17,
+                            max_objects=256, max_materials=64, max_lights=16)
     bridge = SceneRenderBridge(built.scene, built.meshes, built.materials, caps)
     buffers = bridge.build_scene_buffers()
     view_np, proj_np, cam = built.scene.camera_matrices(aspect=width / height)
@@ -41,25 +41,31 @@ def main() -> None:
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     config = FrameConfig(width=width, height=height, tile_h=32, tile_w=128,
-                         max_pairs=1 << 19, use_pallas_raster=on_tpu)
+                         max_pairs=1 << 17, max_tiles_per_tri=8,
+                         use_pallas_raster=on_tpu)
     from basicrenderer_tpu.graph.framedata import FrameParams
     params = FrameParams.default()
 
     frame = jax.jit(build_frame_fn(config))
     out = frame(buffers, vd, params)
-    jax.block_until_ready(out["image"])  # compile + first run
+    np.asarray(out["image"])  # compile + first run + tunnel warmup
     overflow = int(out["bin_overflow"])
 
-    # Steady state: async dispatch, block at the end (frames-in-flight model).
-    warmup, iters = 3, 20
-    for _ in range(warmup):
-        out = frame(buffers, vd, params)
-    jax.block_until_ready(out["image"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = frame(buffers, vd, params)
-    jax.block_until_ready(out["image"])
-    ms = (time.perf_counter() - t0) / iters * 1000.0
+    # Steady state via the 2N-N slope: on this platform block_until_ready
+    # does not synchronize; only a real fetch does, and the fetch has a
+    # fixed latency that the slope cancels out.
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = frame(buffers, vd, params)
+        np.asarray(o["image"][0, 0])
+        return time.perf_counter() - t0
+
+    iters = 20
+    run(3)
+    t1 = run(iters)
+    t2 = run(iters * 2)
+    ms = (t2 - t1) / iters * 1000.0
 
     print(json.dumps({
         "metric": "ms/frame 1080p courtyard (vis-buffer deferred, "

@@ -91,11 +91,9 @@ def test_binning_counts_and_offsets():
     offs = np.asarray(pairs.tile_offsets)
     assert offs[0] == 0
     assert np.all(np.diff(offs) >= 0)
-    # Ranges are RANGE_ALIGN-aligned and hold all live pairs.
-    assert np.all(offs % raster_setup.RANGE_ALIGN == 0)
     ids = np.asarray(pairs.pair_data[:, 12]).astype(np.int32)
     assert (ids > 0).sum() == int(pairs.num_pairs)
-    assert offs[-1] >= int(pairs.num_pairs)
+    assert offs[-1] == int(pairs.num_pairs)
     assert int(pairs.overflow) == 0
     # Every valid triangle appears at least once.
     live = ids[ids > 0] - 1

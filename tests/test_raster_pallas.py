@@ -23,7 +23,7 @@ def test_pallas_interpret_matches_ref(seed):
     pairs = raster_setup.bin_triangles(setup, config)
 
     depth_ref, vis_ref = raster_tiles_ref(pairs, config)
-    depth_pl, vis_pl = raster_tiles_pallas(pairs, config, interpret=True)
+    depth_pl, vis_pl, chan_pl = raster_tiles_pallas(pairs, config, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(vis_pl), np.asarray(vis_ref))
     np.testing.assert_allclose(np.asarray(depth_pl), np.asarray(depth_ref),
@@ -37,6 +37,6 @@ def test_pallas_interpret_empty_scene():
     clip_tris[..., 3] = 1.0  # degenerate tris at origin, all culled
     setup = setup_from_clip(clip_tris, config)
     pairs = raster_setup.bin_triangles(setup, config)
-    depth, vis = raster_tiles_pallas(pairs, config, interpret=True)
+    depth, vis, _ = raster_tiles_pallas(pairs, config, interpret=True)
     assert np.asarray(vis).max() == 0
     assert np.asarray(depth).max() == 0.0
