@@ -21,7 +21,7 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops import raster_setup
+from ..ops import culling, raster_setup
 from ..ops.raster_pallas import raster_tiles_pallas
 from ..ops.raster_ref import raster_tiles_ref
 from ..ops.resolve_pallas import resolve_attributes_ref
@@ -29,8 +29,17 @@ from ..ops import shade as shade_ops
 from .framedata import FrameConfig, FrameParams, SceneBuffers, ViewData
 
 
-def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig):
-    """Vertex transform + triangle setup + binning (the 'CLod raster feed')."""
+def object_mask_to_tris(object_visible: jnp.ndarray, tri_object: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """(O,) object visibility -> (T,) triangle mask via one-hot MXU lookup
+    (a direct row gather of T rows serializes on TPU)."""
+    table = object_visible.astype(jnp.float32)[:, None]   # (O, 1)
+    ok = raster_setup.gather_rows_onehot(table, jnp.maximum(tri_object, 0))
+    return ok[:, 0] > 0.5
+
+
+def geometry_setup(scene: SceneBuffers, view: ViewData, config: FrameConfig):
+    """Vertex transform + triangle setup (phase-independent)."""
     clip, world_pos, world_normals = raster_setup.transform_geometry(
         scene.positions, scene.normals, scene.vert_object, scene.object_mats,
         scene.object_normal_mats, view.viewproj)
@@ -43,28 +52,80 @@ def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig):
     lanes, bbox, valid = raster_setup.triangle_setup_packed(
         clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
         scene.tri_material)
+    return clip, world_pos, world_normals, lanes, bbox, valid
+
+
+def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig):
+    """Setup + frustum-culled binning (single-phase; kept for the sharded
+    path and tests)."""
+    clip, world_pos, world_normals, lanes, bbox, valid = geometry_setup(
+        scene, view, config)
+    if config.enable_culling:
+        obj_vis = culling.frustum_cull_spheres(
+            view.viewproj, scene.object_bounds[:, :3], scene.object_bounds[:, 3],
+            scene.object_valid)
+        valid = valid & object_mask_to_tris(obj_vis, scene.tri_object)
     pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
     return clip, world_pos, world_normals, None, pairs
 
 
-def visibility_pass(pairs, config: FrameConfig):
+def visibility_pass(pairs, config: FrameConfig, init=None):
     """Rasterize binned triangles -> (depth, vis, channels) on the PADDED
     tile grid. The Pallas path fuses the attribute resolve into the raster
-    loop; the portable path runs the two reference kernels back to back."""
+    loop; the portable path runs the two reference kernels back to back.
+    `init` seeds the buffers (two-phase occlusion replay)."""
     if config.use_pallas_raster:
-        return raster_tiles_pallas(pairs, config)
-    depth_p, vis_p = raster_tiles_ref(pairs, config)
+        return raster_tiles_pallas(pairs, config, init=init)
+    depth_p, vis_p = raster_tiles_ref(
+        pairs, config, init=None if init is None else (init[0], init[1]))
     channels = resolve_attributes_ref(pairs, vis_p, config)
+    if init is not None:
+        # Merge: keep phase-1 channels where phase 2 didn't overwrite.
+        fresh = vis_p != init[1]
+        channels = jnp.where(fresh[None], channels, init[2])
     return depth_p, vis_p, channels
 
 
 def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]:
-    """Returns the traced frame function (not yet jitted)."""
+    """Returns the traced frame function (not yet jitted).
 
-    def frame(scene: SceneBuffers, view: ViewData, params: FrameParams
-              ) -> Dict[str, jnp.ndarray]:
-        clip, world_pos, world_normals, setup, pairs = geometry_pass(scene, view, config)
-        depth_p, vis_p, channels = visibility_pass(pairs, config)
+    With `enable_occlusion`, the frame takes the previous frame's (padded)
+    depth buffer and performs two-phase occlusion culling at object
+    granularity: phase 1 rasters objects unoccluded against the previous
+    HZB; phase 2 re-tests the rejected candidates against the fresh HZB and
+    rasters newly-visible ones into the same buffers (reference: phase-1/2
+    occlusion with replay buffers, CLodExtension.cpp:1474-1514)."""
+
+    def frame(scene: SceneBuffers, view: ViewData, params: FrameParams,
+              prev_depth: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
+        centers = scene.object_bounds[:, :3]
+        radii = scene.object_bounds[:, 3]
+        if config.enable_occlusion and prev_depth is not None:
+            clip, world_pos, world_normals, lanes, bbox, valid = geometry_setup(
+                scene, view, config)
+            prev_hzb = culling.build_hzb(prev_depth, config.hzb_levels)
+            vis1, cand = culling.two_phase_object_cull(
+                view.viewproj, centers, radii, scene.object_valid, prev_hzb,
+                config.width, config.height)
+            pairs = raster_setup.bin_pairs(
+                lanes, bbox, valid & object_mask_to_tris(vis1, scene.tri_object),
+                config)
+            depth_p, vis_p, channels = visibility_pass(pairs, config)
+            # Phase 2: re-test candidates against the fresh HZB.
+            hzb_now = culling.build_hzb(depth_p, config.hzb_levels)
+            bb2, zn2, behind2 = culling.project_sphere_bounds(
+                view.viewproj, centers, radii, config.width, config.height)
+            vis2 = cand & culling.occlusion_test_hzb(
+                hzb_now, bb2, zn2, behind2, config.width, config.height)
+            pairs2 = raster_setup.bin_pairs(
+                lanes, bbox, valid & object_mask_to_tris(vis2, scene.tri_object),
+                config)
+            depth_p, vis_p, channels = visibility_pass(
+                pairs2, config, init=(depth_p, vis_p, channels))
+        else:
+            clip, world_pos, world_normals, setup, pairs = geometry_pass(
+                scene, view, config)
+            depth_p, vis_p, channels = visibility_pass(pairs, config)
 
         H, W = config.height, config.width
         depth = depth_p[:H, :W]
@@ -85,6 +146,7 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
             "image": image,
             "hdr": hdr,
             "depth": depth,
+            "depth_padded": depth_p,   # next frame's occlusion HZB source
             "vis": vis,
             "bin_overflow": pairs.overflow,
             "num_pairs": pairs.num_pairs,

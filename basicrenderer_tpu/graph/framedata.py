@@ -42,6 +42,8 @@ class SceneBuffers:
     # Per-object
     object_mats: jnp.ndarray         # (O, 4, 4) f32 model->world
     object_normal_mats: jnp.ndarray  # (O, 3, 3) f32 inverse-transpose
+    object_bounds: jnp.ndarray       # (O, 4) f32 world bounding sphere xyz+r
+    object_valid: jnp.ndarray        # (O,) bool live objects
     # Materials / lights
     material_table: jnp.ndarray  # (M, MAT_STRIDE) f32
     lights: jnp.ndarray          # (L, LIGHT_STRIDE) f32
@@ -100,6 +102,8 @@ class FrameConfig:
     oit_layers: int = 4
     enable_vsm: bool = False
     enable_culling: bool = True
+    enable_occlusion: bool = False   # two-phase HZB occlusion culling
+    hzb_levels: int = 8
     debug_view: str = "none"
     use_pallas_raster: bool = True
 

@@ -1,0 +1,145 @@
+"""GPU-driven culling: frustum + two-phase HZB occlusion, and the HZB build.
+
+TPU-native redesign of the reference's hierarchical culling
+(reference: shaders/ClusterLOD/computeCulling.hlsl frontier loops,
+HierarchicalDispatchCullingPass.cpp; HZB via FidelityFX SPD Downsample,
+"scheduled between phase-1 and phase-2" Renderer.cpp:2602). Differences by
+design:
+
+- The reference culls objects -> DAG nodes -> clusters with persistent
+  GPU frontiers. Here culling is *vectorized masking* over fixed-capacity
+  tables — no frontier needed until the cluster-LOD DAG lands (ops/clod.py);
+  this module handles object- and cluster-granular culling.
+- Two-phase occlusion: phase 1 tests against the PREVIOUS frame's HZB
+  (temporal reprojection-free variant: previous HZB + current transforms,
+  like the reference's phase-1), rendering survivors; phase 2 re-tests the
+  phase-1-rejected set against the fresh HZB and renders newly-visible ones.
+  The frame graph carries the previous HZB as loop state.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.framedata import FrameConfig, ViewData
+from ..utils import math3d
+
+
+def frustum_cull_spheres(viewproj: jnp.ndarray, centers: jnp.ndarray,
+                         radii: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """(N,) visibility mask for bounding spheres (world space)."""
+    planes = math3d.frustum_planes(viewproj)
+    return valid & math3d.sphere_in_frustum(planes, centers, radii)
+
+
+def build_hzb(depth: jnp.ndarray, levels: int = 8) -> List[jnp.ndarray]:
+    """Reverse-Z hierarchical depth pyramid: each level keeps the MIN depth
+    (farthest; conservative for occlusion: an occludee is hidden only if its
+    nearest point is farther than the max... with reverse-Z bigger=closer,
+    occluded iff occludee_z < min(occluder block z)).
+
+    Reference analogue: FidelityFX SPD Downsample.h building the HZB mips.
+    Returns [full, /2, /4, ...] — `levels` entries.
+    """
+    mips = [depth]
+    d = depth
+    for _ in range(levels - 1):
+        h, w = d.shape
+        h2, w2 = h // 2, w // 2
+        d4 = d[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
+        d = jnp.min(jnp.min(d4, axis=3), axis=1)
+        mips.append(d)
+    return mips
+
+
+def project_sphere_bounds(viewproj: jnp.ndarray, centers: jnp.ndarray,
+                          radii: jnp.ndarray, width: int, height: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Conservative screen-space AABB + nearest reverse-Z depth of spheres.
+
+    Returns (bbox (N,4) f32 [x0,y0,x1,y1] pixels, z_near (N,) f32 NDC,
+    behind (N,) bool). Uses 8 corner points of the sphere's world AABB —
+    conservative and branch-free (the reference projects cluster bounds
+    similarly in computeCulling.hlsl).
+    """
+    offs = jnp.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                      for sz in (-1, 1)], jnp.float32)     # (8, 3)
+    corners = centers[:, None, :] + radii[:, None, None] * offs[None]  # (N,8,3)
+    ch = jnp.concatenate([corners, jnp.ones_like(corners[..., :1])], -1)
+    clip = ch @ viewproj.T                                  # (N, 8, 4)
+    w = clip[..., 3]
+    behind = jnp.any(w <= 1e-6, axis=-1)
+    iw = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
+    sx = (clip[..., 0] * iw * 0.5 + 0.5) * width
+    sy = (0.5 - clip[..., 1] * iw * 0.5) * height
+    z = clip[..., 2] * iw
+    bbox = jnp.stack([sx.min(-1), sy.min(-1), sx.max(-1), sy.max(-1)], axis=-1)
+    z_near = z.max(-1)   # reverse-Z: max = nearest
+    return bbox, z_near, behind
+
+
+def occlusion_test_hzb(hzb_mips: List[jnp.ndarray], bbox: jnp.ndarray,
+                       z_near: jnp.ndarray, behind: jnp.ndarray,
+                       width: int, height: int) -> jnp.ndarray:
+    """(N,) bool: True = POSSIBLY VISIBLE (fails conservative occlusion).
+
+    Picks the mip where the bbox spans <= 2x2 texels and compares the
+    sphere's nearest depth against the 2x2 min (farthest) — classic HZB test
+    (reference: occlusion section of computeCulling.hlsl).
+    """
+    x0 = jnp.clip(bbox[:, 0], 0, width - 1)
+    y0 = jnp.clip(bbox[:, 1], 0, height - 1)
+    x1 = jnp.clip(bbox[:, 2], 0, width - 1)
+    y1 = jnp.clip(bbox[:, 3], 0, height - 1)
+    size = jnp.maximum(x1 - x0, y1 - y0)
+    num_mips = len(hzb_mips)
+    mip = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(size, 1.0))).astype(jnp.int32),
+                   0, num_mips - 1)
+
+    # Gather the 2x2 neighborhood at each candidate mip, select by mip.
+    # N is small (objects/clusters), so these gathers are cheap.
+    occluder_z = jnp.full(x0.shape, jnp.inf, jnp.float32)
+    for m, hz in enumerate(hzb_mips):
+        hm, wm = hz.shape
+        scale = 1.0 / (1 << m)
+        tx0 = jnp.clip((x0 * scale).astype(jnp.int32), 0, wm - 1)
+        ty0 = jnp.clip((y0 * scale).astype(jnp.int32), 0, hm - 1)
+        tx1 = jnp.clip((x1 * scale).astype(jnp.int32), 0, wm - 1)
+        ty1 = jnp.clip((y1 * scale).astype(jnp.int32), 0, hm - 1)
+        z00 = hz[ty0, tx0]
+        z01 = hz[ty0, tx1]
+        z10 = hz[ty1, tx0]
+        z11 = hz[ty1, tx1]
+        zmin = jnp.minimum(jnp.minimum(z00, z01), jnp.minimum(z10, z11))
+        occluder_z = jnp.where(mip == m, zmin, occluder_z)
+
+    # Reverse-Z: visible if the sphere's nearest point is closer (>=) than
+    # the farthest occluder in its footprint, or conservative fallbacks.
+    visible = (z_near >= occluder_z) | behind
+    return visible
+
+
+def two_phase_object_cull(viewproj: jnp.ndarray, centers: jnp.ndarray,
+                          radii: jnp.ndarray, valid: jnp.ndarray,
+                          prev_hzb: Optional[List[jnp.ndarray]],
+                          width: int, height: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase-1 cull: frustum + previous-frame HZB occlusion.
+
+    Returns (phase1_visible, occlusion_candidates) — candidates are objects
+    that passed frustum but failed the HZB test; phase 2 re-tests them
+    against the fresh HZB after rendering phase-1 survivors (reference:
+    occlusion replay buffers, CLodExtension.cpp:1474-1514).
+    """
+    in_frustum = frustum_cull_spheres(viewproj, centers, radii, valid)
+    if prev_hzb is None:
+        return in_frustum, jnp.zeros_like(in_frustum)
+    bbox, z_near, behind = project_sphere_bounds(viewproj, centers, radii,
+                                                 width, height)
+    unoccluded = occlusion_test_hzb(prev_hzb, bbox, z_near, behind, width, height)
+    phase1 = in_frustum & unoccluded
+    candidates = in_frustum & ~unoccluded
+    return phase1, candidates

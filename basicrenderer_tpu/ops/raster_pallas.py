@@ -37,9 +37,13 @@ CHUNK = 128  # pairs per DMA slab
 NUM_CHANNELS = 8  # [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
 
 
-def _raster_kernel(tile_off_ref, flat_ref, depth_ref, vis_ref, chan_ref,
-                   buf_ref, sem_ref,
-                   *, tile_h: int, tile_w: int, tiles_x: int):
+def _raster_kernel(tile_off_ref, *refs, tile_h: int, tile_w: int,
+                   tiles_x: int, seeded: bool):
+    if seeded:
+        (flat_ref, depth0_ref, vis0_ref, chan0_ref,
+         depth_ref, vis_ref, chan_ref, buf_ref, sem_ref) = refs
+    else:
+        flat_ref, depth_ref, vis_ref, chan_ref, buf_ref, sem_ref = refs
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * tiles_x + tx
@@ -51,9 +55,16 @@ def _raster_kernel(tile_off_ref, flat_ref, depth_ref, vis_ref, chan_ref,
     end = tile_off_ref[tile + 1]
     n = end - start
 
-    depth_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-    vis_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
-    chan_ref[:] = jnp.zeros((NUM_CHANNELS, tile_h, tile_w), jnp.float32)
+    if seeded:
+        # Phase-2 raster continues into phase-1's buffers (reference:
+        # occlusion replay re-raster, CLodExtension.cpp:1474-1514).
+        depth_ref[:] = depth0_ref[:]
+        vis_ref[:] = vis0_ref[:]
+        chan_ref[:] = chan0_ref[:]
+    else:
+        depth_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        vis_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
+        chan_ref[:] = jnp.zeros((NUM_CHANNELS, tile_h, tile_w), jnp.float32)
 
     # Pixel-center coordinates for this tile (computed once, reused per tri).
     px = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
@@ -120,29 +131,36 @@ def _raster_kernel(tile_off_ref, flat_ref, depth_ref, vis_ref, chan_ref,
 
 
 def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
-                        interpret: bool = False
+                        interpret: bool = False, init=None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused raster + attribute resolve on the padded tile grid.
 
     Returns (depth (H', W') f32, vis (H', W') i32,
-             channels (NUM_CHANNELS, H', W') f32)."""
+             channels (NUM_CHANNELS, H', W') f32). `init` seeds the buffers
+    with a previous raster's output (two-phase occlusion replay)."""
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
     # Pad by one slab so ceil-rounded chunk reads stay in bounds; padded
     # rows carry tri id 0 and never rasterize.
     flat = jnp.pad(pairs.pair_data, ((0, CHUNK), (0, 0))).reshape(-1)
+    seeded = init is not None
 
-    kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw, tiles_x=tiles_x)
+    kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw,
+                               tiles_x=tiles_x, seeded=seeded)
+    img_spec = pl.BlockSpec((th, tw), lambda i, j, *_: (i, j),
+                            memory_space=pltpu.VMEM)
+    chan_spec = pl.BlockSpec((NUM_CHANNELS, th, tw), lambda i, j, *_: (0, i, j),
+                             memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    inputs = [flat]
+    if seeded:
+        in_specs += [img_spec, img_spec, chan_spec]
+        inputs += [init[0], init[1], init[2]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles_y, tiles_x),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=[
-            pl.BlockSpec((th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_CHANNELS, th, tw), lambda i, j, *_: (0, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=[img_spec, img_spec, chan_spec],
         scratch_shapes=[
             pltpu.SMEM((2 * CHUNK * SETUP_LANES,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -161,5 +179,5 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(pairs.tile_offsets, flat)
+    )(pairs.tile_offsets, *inputs)
     return depth, vis, channels

@@ -23,7 +23,7 @@ from .raster_setup import BinnedPairs, SETUP_LANES
 
 
 def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
-                     max_iters: int = 4096, tile_row0=0
+                     max_iters: int = 4096, tile_row0=0, init=None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (depth (H', W') f32, vis (H', W') i32) on the padded grid.
 
@@ -63,8 +63,14 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
             vis = jnp.where(passd, tri_id_f.astype(jnp.int32), vis)
             return zbuf, vis
 
-        z0 = jnp.zeros((th, tw), jnp.float32)
-        v0 = jnp.zeros((th, tw), jnp.int32)
+        if init is not None:
+            ty_l = tile_idx // tiles_x
+            tx_l = tile_idx % tiles_x
+            z0 = jax.lax.dynamic_slice(init[0], (ty_l * th, tx_l * tw), (th, tw))
+            v0 = jax.lax.dynamic_slice(init[1], (ty_l * th, tx_l * tw), (th, tw))
+        else:
+            z0 = jnp.zeros((th, tw), jnp.float32)
+            v0 = jnp.zeros((th, tw), jnp.int32)
         return jax.lax.fori_loop(0, n, body, (z0, v0))
 
     zt, vt = jax.vmap(raster_one_tile)(jnp.arange(tiles_x * tiles_y))

@@ -79,7 +79,8 @@ class Renderer:
             enable_oit=s.get("enableOIT"),
             oit_layers=s.get("oitLayers"),
             enable_vsm=s.get("enableVSM"),
-            enable_culling=s.get("enableOcclusionCulling"),
+            enable_culling=s.get("enableFrustumCulling", True),
+            enable_occlusion=s.get("enableOcclusionCulling"),
             debug_view=s.get("debugView"),
         )
 
@@ -114,7 +115,16 @@ class Renderer:
         view = make_view(view_np, proj_np, cam_pos)
         params = self._frame_params()
         frame_fn = self._programs.get(config)
-        out = frame_fn(self._buffers, view, params)
+        if config.enable_occlusion:
+            import jax.numpy as jnp
+            if getattr(self, "_prev_depth", None) is None or \
+               self._prev_depth.shape != (config.padded_height, config.padded_width):
+                self._prev_depth = jnp.zeros(
+                    (config.padded_height, config.padded_width), jnp.float32)
+            out = frame_fn(self._buffers, view, params, self._prev_depth)
+            self._prev_depth = out["depth_padded"]
+        else:
+            out = frame_fn(self._buffers, view, params)
         self._frame_index += 1
         return out
 

@@ -52,6 +52,7 @@ class PackedGeometry:
     num_verts: int
     num_tris: int
     entity_to_object: Dict[int, int]
+    local_bounds: np.ndarray  # (O, 4) object-space bounding sphere xyz + r
 
 
 class SceneRenderBridge:
@@ -78,6 +79,7 @@ class SceneRenderBridge:
         v_off = 0
         t_off = 0
         ent2obj: Dict[int, int] = {}
+        local_bounds = np.zeros((c.max_objects, 4), np.float32)
         obj = 0
         for eid, (r,) in self.scene.world.query(Renderable):
             mesh = self.meshes.get(r.mesh_id)
@@ -96,28 +98,40 @@ class SceneRenderBridge:
             idx[t_off:t_off + nt] = mesh.indices + v_off
             tmat[t_off:t_off + nt] = r.material_id
             tobj[t_off:t_off + nt] = obj
+            bc, br = mesh.bounding_sphere()
+            local_bounds[obj, :3] = bc
+            local_bounds[obj, 3] = br
             ent2obj[eid] = obj
             v_off += nv
             t_off += nt
             obj += 1
         self.packed = PackedGeometry(pos, nrm, tan, uv, vobj, idx, tmat, tobj,
-                                     v_off, t_off, ent2obj)
+                                     v_off, t_off, ent2obj, local_bounds)
         return self.packed
 
     # -- hot path ----------------------------------------------------------
-    def snapshot_objects(self) -> Tuple[np.ndarray, np.ndarray]:
-        """(O,4,4) model matrices + (O,3,3) normal matrices for all instances."""
+    def snapshot_objects(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Model matrices, normal matrices, world bounding spheres, validity."""
         assert self.packed is not None
         c = self.caps
         mats = np.tile(np.eye(4, dtype=np.float32), (c.max_objects, 1, 1))
+        valid = np.zeros((c.max_objects,), bool)
         for eid, o in self.packed.entity_to_object.items():
             wm = self.scene.world.get(eid, WorldMatrix)
             if wm is not None:
                 mats[o] = wm.value
+            valid[o] = True
         m3 = mats[:, :3, :3]
         # normal matrix = inverse-transpose of upper 3x3
         nmats = np.linalg.inv(m3.astype(np.float64)).transpose(0, 2, 1).astype(np.float32)
-        return mats, nmats
+        # World bounding spheres: transform local center, scale radius by the
+        # largest axis scale (conservative).
+        lb = self.packed.local_bounds
+        centers = np.einsum("oij,oj->oi", m3, lb[:, :3]) + mats[:, :3, 3]
+        scale = np.linalg.norm(m3, axis=1).max(axis=1)  # max column norm
+        bounds = np.concatenate(
+            [centers, (lb[:, 3] * scale)[:, None]], axis=1).astype(np.float32)
+        return mats, nmats, bounds, valid
 
     def snapshot_lights(self) -> Tuple[np.ndarray, int]:
         """(L, LIGHT_STRIDE) packed light table; reference: LightInfo."""
@@ -155,7 +169,7 @@ class SceneRenderBridge:
         if self.packed is None:
             self.pack_geometry()
         p = self.packed
-        mats, nmats = self.snapshot_objects()
+        mats, nmats, bounds, ovalid = self.snapshot_objects()
         lights, num_lights = self.snapshot_lights()
         mat_table = self.materials.packed_table(self.caps.max_materials)
         f32 = jnp.asarray
@@ -174,6 +188,7 @@ class SceneRenderBridge:
             tri_object=jnp.asarray(p.tri_object),
             num_tris=jnp.int32(p.num_tris), num_verts=jnp.int32(p.num_verts),
             object_mats=f32(mats), object_normal_mats=f32(nmats),
+            object_bounds=f32(bounds), object_valid=jnp.asarray(ovalid),
             material_table=f32(mat_table),
             lights=f32(lights), num_lights=jnp.int32(num_lights),
             env_sh=f32(env_sh), env_specular=f32(env_specular),
@@ -182,11 +197,13 @@ class SceneRenderBridge:
 
     def update_dynamic(self, buffers: SceneBuffers) -> SceneBuffers:
         """Per-frame refresh of matrices + lights only (geometry untouched)."""
-        mats, nmats = self.snapshot_objects()
+        mats, nmats, bounds, ovalid = self.snapshot_objects()
         lights, num_lights = self.snapshot_lights()
         return buffers.replace(
             object_mats=jnp.asarray(mats),
             object_normal_mats=jnp.asarray(nmats),
+            object_bounds=jnp.asarray(bounds),
+            object_valid=jnp.asarray(ovalid),
             lights=jnp.asarray(lights),
             num_lights=jnp.int32(num_lights),
         )

@@ -134,7 +134,9 @@ def make_default_settings() -> SettingsManager:
     s.register("oitLayers", 4, structural=True, description="K-buffer depth layers")
     s.register("enableAutoExposure", False, structural=True)
     s.register("enableSkinning", False, structural=True)
-    s.register("enableOcclusionCulling", True, structural=True)
+    s.register("enableFrustumCulling", True, structural=True)
+    s.register("enableOcclusionCulling", False, structural=True,
+               description="two-phase HZB occlusion culling (object granular)")
     s.register("enableMeshletCulling", True, structural=True)
     s.register("wireframe", False, structural=True)
     s.register("debugView", "none", structural=True)
