@@ -21,7 +21,7 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops import culling, raster_setup
+from ..ops import culling, lighting, raster_setup
 from ..ops.raster_pallas import raster_tiles_pallas
 from ..ops.raster_ref import raster_tiles_ref
 from ..ops.resolve_pallas import resolve_attributes_ref
@@ -133,7 +133,37 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
         gb = shade_ops.gbuffer_from_channels(
             channels[:, :H, :W], depth, vis, view, scene.material_table, W, H)
 
-        hdr = shade_ops.shade_deferred(gb, scene, view)
+        if config.enable_clustered:
+            # Tiled many-light pass (reference: clustered lighting,
+            # clustering.hlsl + lightCulling.hlsl — see ops/lighting.py for
+            # the TPU-shaped redesign).
+            payload, counts, light_overflow = lighting.cull_lights_tiles(
+                depth_p, scene.lights, scene.num_lights, view, config)
+            Hp, Wp = config.padded_height, config.padded_width
+
+            def pad(x):
+                return jnp.pad(x, ((0, Hp - H), (0, Wp - W)))
+
+            shade_in = jnp.stack([
+                pad(gb.normal[..., 0]), pad(gb.normal[..., 1]), pad(gb.normal[..., 2]),
+                pad(gb.albedo[..., 0]), pad(gb.albedo[..., 1]), pad(gb.albedo[..., 2]),
+                pad(gb.metallic), pad(gb.roughness),
+                pad(gb.world_pos[..., 0]), pad(gb.world_pos[..., 1]),
+                pad(gb.world_pos[..., 2]),
+                pad(gb.valid.astype(jnp.float32)),
+            ])
+            shade_in = jax.lax.optimization_barrier(shade_in)
+            if config.use_pallas_raster:
+                local = lighting.tiled_shade_pallas(
+                    shade_in, payload, counts, view.cam_pos, config)
+            else:
+                local = lighting.tiled_shade_ref(
+                    shade_in, payload, counts, view.cam_pos, config)
+            hdr = shade_ops.shade_deferred(gb, scene, view, directional_only=True)
+            hdr = hdr + local[:, :H, :W].transpose(1, 2, 0)
+        else:
+            light_overflow = jnp.int32(0)
+            hdr = shade_ops.shade_deferred(gb, scene, view)
         sky = shade_ops.procedural_sky(view, config.height, config.width,
                                        params.sky_intensity)
         hdr = jnp.where(gb.valid[..., None], hdr, sky)
@@ -150,6 +180,7 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
             "vis": vis,
             "bin_overflow": pairs.overflow,
             "num_pairs": pairs.num_pairs,
+            "light_overflow": light_overflow,
         }
 
     return frame

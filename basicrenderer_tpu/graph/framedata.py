@@ -46,8 +46,9 @@ class SceneBuffers:
     object_valid: jnp.ndarray        # (O,) bool live objects
     # Materials / lights
     material_table: jnp.ndarray  # (M, MAT_STRIDE) f32
-    lights: jnp.ndarray          # (L, LIGHT_STRIDE) f32
+    lights: jnp.ndarray          # (L, LIGHT_STRIDE) f32, directional first
     num_lights: jnp.ndarray      # () i32
+    num_dir_lights: jnp.ndarray  # () i32 directional count (table prefix)
     # Environment (IBL) — optional, zeros when disabled
     env_sh: jnp.ndarray          # (9, 3) f32 irradiance SH
     env_specular: jnp.ndarray    # (mips, 6, R, R, 3) f32 prefiltered cubemap

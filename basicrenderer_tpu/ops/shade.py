@@ -208,7 +208,8 @@ def eval_brdf(n, v, l, albedo, metallic, roughness):
 
 def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
                    shadow_fn=None, ambient: float = 0.0,
-                   max_lights: int = 0) -> jnp.ndarray:
+                   max_lights: int = 0, directional_only: bool = False
+                   ) -> jnp.ndarray:
     """Full-screen deferred lighting -> HDR (H, W, 3).
 
     `shadow_fn(light_index, world_pos, normal) -> (H, W) visibility` is
@@ -243,19 +244,26 @@ def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
         radiance = color[None, None, :] * (intensity * att)
         brdf = eval_brdf(n, v, l, gb.albedo, gb.metallic, gb.roughness)
         out = brdf * radiance
+        if directional_only:
+            # Local lights are handled by the tiled Pallas pass
+            # (ops/lighting.py); only type-0 lights shade here.
+            out = out * jnp.where(ltype == 0.0, 1.0, 0.0)
         if shadow_fn is not None:
             vis = shadow_fn(i, gb.world_pos, n)
             out = out * vis[..., None]
         return out
 
+    # Directional lights are packed first in the table; a directional-only
+    # pass loops just that prefix (the tiled pass covers positional lights).
+    bound = scene.num_dir_lights if directional_only else scene.num_lights
     if max_lights > 0:
         total = jnp.zeros((H, W, 3), jnp.float32)
         for i in range(max_lights):
-            total = total + jnp.where(i < scene.num_lights, 1.0, 0.0) * light_contrib(i)
+            total = total + jnp.where(i < bound, 1.0, 0.0) * light_contrib(i)
     else:
         def body(i, acc):
             return acc + light_contrib(i)
-        total = jax.lax.fori_loop(0, scene.num_lights, body,
+        total = jax.lax.fori_loop(0, bound, body,
                                   jnp.zeros((H, W, 3), jnp.float32))
 
     total = total + gb.emissive + ambient * gb.albedo

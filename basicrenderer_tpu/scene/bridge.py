@@ -133,13 +133,20 @@ class SceneRenderBridge:
             [centers, (lb[:, 3] * scale)[:, None]], axis=1).astype(np.float32)
         return mats, nmats, bounds, valid
 
-    def snapshot_lights(self) -> Tuple[np.ndarray, int]:
-        """(L, LIGHT_STRIDE) packed light table; reference: LightInfo."""
+    def snapshot_lights(self) -> Tuple[np.ndarray, int, int]:
+        """(L, LIGHT_STRIDE) packed light table, total count, directional
+        count. Directional lights are packed FIRST so the full-screen pass
+        can loop over just rows [0, num_directional) while the tiled pass
+        culls the positional rest (reference keeps one LightInfo table and
+        branches per type; on TPU the split loop bound is cheaper)."""
         c = self.caps
         table = np.zeros((c.max_lights, LIGHT_STRIDE), np.float32)
         n = 0
         shadow_slot = 0
-        for eid, (l,) in self.scene.world.query(Light):
+        entries = sorted(
+            self.scene.world.query(Light),
+            key=lambda e: 0 if e[1][0].type == LightType.DIRECTIONAL else 1)
+        for eid, (l,) in entries:
             if n >= c.max_lights:
                 break
             wm = self.scene.world.get(eid, WorldMatrix)
@@ -162,7 +169,8 @@ class SceneRenderBridge:
                 shadow_slot += 1
             row[14] = np.array([slot], np.int32).view(np.float32)[0]
             n += 1
-        return table, n
+        n_dir = int(np.sum(table[:n, 3] == 0.0))
+        return table, n, n_dir
 
     def build_scene_buffers(self, env_sh=None, env_specular=None, env_brdf_lut=None) -> SceneBuffers:
         """Full device upload (cold start or after geometry changes)."""
@@ -170,7 +178,7 @@ class SceneRenderBridge:
             self.pack_geometry()
         p = self.packed
         mats, nmats, bounds, ovalid = self.snapshot_objects()
-        lights, num_lights = self.snapshot_lights()
+        lights, num_lights, num_dir = self.snapshot_lights()
         mat_table = self.materials.packed_table(self.caps.max_materials)
         f32 = jnp.asarray
         if env_sh is None:
@@ -191,6 +199,7 @@ class SceneRenderBridge:
             object_bounds=f32(bounds), object_valid=jnp.asarray(ovalid),
             material_table=f32(mat_table),
             lights=f32(lights), num_lights=jnp.int32(num_lights),
+            num_dir_lights=jnp.int32(num_dir),
             env_sh=f32(env_sh), env_specular=f32(env_specular),
             env_brdf_lut=f32(env_brdf_lut),
         )
@@ -198,7 +207,7 @@ class SceneRenderBridge:
     def update_dynamic(self, buffers: SceneBuffers) -> SceneBuffers:
         """Per-frame refresh of matrices + lights only (geometry untouched)."""
         mats, nmats, bounds, ovalid = self.snapshot_objects()
-        lights, num_lights = self.snapshot_lights()
+        lights, num_lights, num_dir = self.snapshot_lights()
         return buffers.replace(
             object_mats=jnp.asarray(mats),
             object_normal_mats=jnp.asarray(nmats),
@@ -206,4 +215,5 @@ class SceneRenderBridge:
             object_valid=jnp.asarray(ovalid),
             lights=jnp.asarray(lights),
             num_lights=jnp.int32(num_lights),
+            num_dir_lights=jnp.int32(num_dir),
         )
