@@ -133,6 +133,24 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
         gb = shade_ops.gbuffer_from_channels(
             channels[:, :H, :W], depth, vis, view, scene.material_table, W, H)
 
+        shadow_fn = None
+        if config.enable_shadows:
+            # Cascaded shadow maps for the primary directional light
+            # (reference: LightManager directional cascades; ops/shadows.py).
+            from ..ops import shadows as shadow_ops
+            ldir = scene.lights[0, 4:7]
+            cascade_vps, _splits = shadow_ops.cascade_matrices(
+                view, ldir, config.num_cascades)
+            smaps = jnp.stack([
+                shadow_ops.render_cascade(scene, cascade_vps[k], config)
+                for k in range(config.num_cascades)])
+            shadow_term = shadow_ops.sample_shadow_cascades(
+                gb.world_pos, gb.normal, ldir, cascade_vps, smaps,
+                params.shadow_bias)
+
+            def shadow_fn(i, wp, n):
+                return jnp.where(i == 0, shadow_term, jnp.ones_like(shadow_term))
+
         if config.enable_clustered:
             # Tiled many-light pass (reference: clustered lighting,
             # clustering.hlsl + lightCulling.hlsl — see ops/lighting.py for
@@ -159,14 +177,35 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
             else:
                 local = lighting.tiled_shade_ref(
                     shade_in, payload, counts, view.cam_pos, config)
-            hdr = shade_ops.shade_deferred(gb, scene, view, directional_only=True)
+            hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn,
+                                           directional_only=True)
             hdr = hdr + local[:, :H, :W].transpose(1, 2, 0)
         else:
             light_overflow = jnp.int32(0)
-            hdr = shade_ops.shade_deferred(gb, scene, view)
+            hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn)
         sky = shade_ops.procedural_sky(view, config.height, config.width,
                                        params.sky_intensity)
         hdr = jnp.where(gb.valid[..., None], hdr, sky)
+
+        if config.enable_ibl:
+            # Ambient IBL (reference: IBL.hlsli — SH diffuse + split-sum
+            # specular with the Karis analytic env-BRDF, see ops/ibl.py).
+            from ..ops import ibl as ibl_ops
+            v = view.cam_pos[None, None, :] - gb.world_pos
+            v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+            ndv = jnp.maximum(jnp.sum(gb.normal * v, -1), 1e-4)
+            irr = ibl_ops.eval_sh_irradiance(scene.env_sh, gb.normal)
+            f0 = 0.04 * (1 - gb.metallic[..., None]) + gb.albedo * gb.metallic[..., None]
+            kd = (1.0 - f0) * (1.0 - gb.metallic[..., None])
+            diffuse_ibl = kd * gb.albedo * irr
+            scale, bias = ibl_ops.env_brdf_karis(ndv, gb.roughness)
+            prefiltered = ibl_ops.runtime_specular_ibl(
+                gb.normal, v, gb.roughness, scene.env_specular,
+                downscale=config.ibl_specular_downscale)
+            spec_ibl = prefiltered * (f0 * scale[..., None] + bias[..., None])
+            hdr = hdr + jnp.where(gb.valid[..., None],
+                                  (diffuse_ibl + spec_ibl) * params.ibl_intensity,
+                                  0.0)
 
         ldr = shade_ops.aces_tonemap(hdr * params.exposure)
         srgb = shade_ops.linear_to_srgb(ldr)

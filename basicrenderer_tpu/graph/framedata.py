@@ -95,6 +95,7 @@ class FrameConfig:
     cluster_grid: Tuple[int, int, int] = (12, 12, 24)
     max_lights_per_cluster: int = 64
     enable_ibl: bool = False
+    ibl_specular_downscale: int = 2
     enable_bloom: bool = False
     enable_gtao: bool = False
     enable_ssr: bool = False

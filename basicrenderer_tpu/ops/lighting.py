@@ -96,9 +96,16 @@ def cull_lights_tiles(depth_p: jnp.ndarray, lights: jnp.ndarray,
 
     counts = jnp.sum(hit, axis=1).astype(jnp.int32)
     overflow = jnp.sum(jnp.maximum(counts - MAX, 0))
-    # Fixed-capacity list: sort light indices (misses to the back).
+    # Fixed-capacity list: sort light indices (misses to the back). The list
+    # MUST be exactly MAX wide — the shading kernel DMAs MAX*LIGHT_STRIDE
+    # per tile (a short slice here means out-of-bounds DMAs -> TPU Internal
+    # errors), so pad with the sentinel when the table is smaller than MAX.
     key = jnp.where(hit, jnp.arange(L, dtype=jnp.int32)[None, :], L)
-    key = jnp.sort(key, axis=1)[:, :MAX]                     # (NT, MAX)
+    key = jnp.sort(key, axis=1)
+    if MAX <= L:
+        key = key[:, :MAX]
+    else:
+        key = jnp.pad(key, ((0, 0), (0, MAX - L)), constant_values=L)
     payload = lights[jnp.minimum(key, L - 1)]                # (NT, MAX, 16)
     # Zero the intensity lane of out-of-range slots so they contribute 0.
     slot_live = key < L

@@ -23,7 +23,7 @@ from .raster_setup import BinnedPairs, SETUP_LANES
 
 
 def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
-                     max_iters: int = 4096, tile_row0=0, init=None
+                     max_iters: int = None, tile_row0=0, init=None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (depth (H', W') f32, vis (H', W') i32) on the padded grid.
 
@@ -46,7 +46,7 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
         py = row + (ty * th).astype(jnp.float32)
         start = pairs.tile_offsets[tile_idx]
         end = pairs.tile_offsets[tile_idx + 1]
-        n = jnp.minimum(end - start, max_iters)
+        n = end - start if max_iters is None else jnp.minimum(end - start, max_iters)
 
         def body(j, carry):
             zbuf, vis = carry

@@ -163,12 +163,17 @@ def triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray, tri_valid: jnp.ndarr
     x1, y1 = sx_c[1], sy_c[1]
     x2, y2 = sx_c[2], sy_c[2]
     # Signed 2*area in y-down screen space; world-CCW front faces => s < 0.
+    # The threshold is in PIXEL^2 units: triangles below ~1e-3 px^2 are
+    # degenerate slivers (e.g. duplicated seam vertices whose positions
+    # differ by float noise after the fused vertex matmul) — normalizing by
+    # their tiny area would produce ~1e10 plane values that stomp the depth
+    # buffer across whole tiles.
     s = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    front = s < -1e-12
+    front = s < -1e-3
     valid = tri_valid & w_ok & front
     # Normalize by the SIGNED area so E_i(v_i) = +1 regardless of winding —
     # the normalized edges are then exactly the barycentric weight planes.
-    inv_area2 = jnp.where(front, 1.0 / jnp.where(jnp.abs(s) > 1e-12, s, 1.0), 0.0)
+    inv_area2 = jnp.where(front, 1.0 / jnp.where(jnp.abs(s) > 1e-6, s, -1e-6), 0.0)
 
     def edge(ax, ay, bx, by):
         # Columns (A, B, C) of the edge plane a->b, normalized to barycentric.

@@ -138,7 +138,7 @@ def resolve_attributes_pallas(pairs: BinnedPairs, vis: jnp.ndarray,
 
 
 def resolve_attributes_ref(pairs: BinnedPairs, vis: jnp.ndarray,
-                           config: FrameConfig, max_iters: int = 4096,
+                           config: FrameConfig, max_iters: int = None,
                            tile_row0=0) -> jnp.ndarray:
     """Pure-jnp twin of the Pallas resolve (CPU tests + sharded path)."""
     th, tw = config.tile_h, config.tile_w
@@ -157,7 +157,7 @@ def resolve_attributes_ref(pairs: BinnedPairs, vis: jnp.ndarray,
         py = row + (ty * th).astype(jnp.float32)
         start = pairs.tile_offsets[tile_idx]
         end = pairs.tile_offsets[tile_idx + 1]
-        n = jnp.minimum(end - start, max_iters)
+        n = end - start if max_iters is None else jnp.minimum(end - start, max_iters)
 
         def body(j, acc):
             d = pair_data[start + j]

@@ -52,6 +52,20 @@ class Renderer:
         self._bridge = SceneRenderBridge(scene, self.meshes, self.materials, self.caps)
         self._buffers = None  # force geometry re-upload
 
+    def set_environment(self, env) -> None:
+        """Set the IBL environment (reference: Renderer::SetEnvironment,
+        Renderer.h:84). Accepts a models.environment.Environment, an
+        equirect (H, W, 3) array, or the string 'procedural'."""
+        from .models.environment import Environment
+        import numpy as _np
+        if isinstance(env, str):
+            env = Environment.procedural()
+        elif isinstance(env, _np.ndarray):
+            env = Environment.precompute(env)
+        self._environment = env
+        self.settings.set("enableIBL", True)
+        self._buffers = None
+
     @property
     def scene(self) -> Scene:
         assert self._scene is not None, "call set_current_scene first"
@@ -59,8 +73,10 @@ class Renderer:
 
     # -- config ------------------------------------------------------------
     def _build_config(self) -> FrameConfig:
+        import jax
         s = self.settings
         w, h = s.get("renderResolution")
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
         return FrameConfig(
             width=w, height=h,
             tile_h=s.get("tileSize")[0], tile_w=s.get("tileSize")[1],
@@ -82,6 +98,7 @@ class Renderer:
             enable_culling=s.get("enableFrustumCulling", True),
             enable_occlusion=s.get("enableOcclusionCulling"),
             debug_view=s.get("debugView"),
+            use_pallas_raster=on_tpu,
         )
 
     def current_config(self) -> FrameConfig:
@@ -101,7 +118,12 @@ class Renderer:
         self.scene.world.flush_deferred()
         self.scene.propagate_transforms()
         if self._buffers is None:
-            self._buffers = self._bridge.build_scene_buffers()
+            env = getattr(self, "_environment", None)
+            if env is not None:
+                self._buffers = self._bridge.build_scene_buffers(
+                    env_sh=env.sh, env_specular=env.spec_mips)
+            else:
+                self._buffers = self._bridge.build_scene_buffers()
         else:
             self._buffers = self._bridge.update_dynamic(self._buffers)
 
