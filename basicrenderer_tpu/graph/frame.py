@@ -97,7 +97,8 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
     occlusion with replay buffers, CLodExtension.cpp:1474-1514)."""
 
     def frame(scene: SceneBuffers, view: ViewData, params: FrameParams,
-              prev_depth: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
+              prev_depth: jnp.ndarray = None,
+              taa_history: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
         centers = scene.object_bounds[:, :3]
         radii = scene.object_bounds[:, 3]
         if config.enable_occlusion and prev_depth is not None:
@@ -187,6 +188,15 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
                                        params.sky_intensity)
         hdr = jnp.where(gb.valid[..., None], hdr, sky)
 
+        ao = None
+        if config.enable_gtao:
+            # XeGTAO analogue (shift-tap variant, ops/post.py).
+            from ..ops import post as post_ops
+            ao = post_ops.gtao(depth, gb.normal, view, view.near,
+                               params.gtao_radius, params.gtao_intensity,
+                               params.frame_index)
+            ao = jnp.where(gb.valid, ao, 1.0)
+
         if config.enable_ibl:
             # Ambient IBL (reference: IBL.hlsli — SH diffuse + split-sum
             # specular with the Karis analytic env-BRDF, see ops/ibl.py).
@@ -203,11 +213,25 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
                 gb.normal, v, gb.roughness, scene.env_specular,
                 downscale=config.ibl_specular_downscale)
             spec_ibl = prefiltered * (f0 * scale[..., None] + bias[..., None])
-            hdr = hdr + jnp.where(gb.valid[..., None],
-                                  (diffuse_ibl + spec_ibl) * params.ibl_intensity,
-                                  0.0)
+            ambient = (diffuse_ibl + spec_ibl) * params.ibl_intensity
+            if ao is not None:
+                ambient = ambient * ao[..., None]
+            hdr = hdr + jnp.where(gb.valid[..., None], ambient, 0.0)
+        elif ao is not None:
+            hdr = hdr * (0.5 + 0.5 * ao[..., None])
 
-        ldr = shade_ops.aces_tonemap(hdr * params.exposure)
+        from ..ops import post as post_ops
+        if config.enable_taa and taa_history is not None:
+            hdr = post_ops.taa_resolve(hdr, taa_history, params.taa_blend)
+        taa_out = hdr
+        if config.enable_bloom:
+            hdr = post_ops.bloom(hdr, params.bloom_threshold,
+                                 params.bloom_intensity)
+        exposure = params.exposure
+        if config.enable_auto_exposure:
+            exposure = exposure * post_ops.auto_exposure(hdr)
+
+        ldr = shade_ops.aces_tonemap(hdr * exposure)
         srgb = shade_ops.linear_to_srgb(ldr)
         image = (srgb * 255.0 + 0.5).astype(jnp.uint8)
 
@@ -220,6 +244,7 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
             "bin_overflow": pairs.overflow,
             "num_pairs": pairs.num_pairs,
             "light_overflow": light_overflow,
+            "taa_out": taa_out,
         }
 
     return frame

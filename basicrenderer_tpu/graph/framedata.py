@@ -102,6 +102,7 @@ class FrameConfig:
     enable_taa: bool = False
     enable_oit: bool = False
     oit_layers: int = 4
+    enable_auto_exposure: bool = False
     enable_vsm: bool = False
     enable_culling: bool = True
     enable_occlusion: bool = False   # two-phase HZB occlusion culling
@@ -140,6 +141,8 @@ class FrameParams:
     shadow_bias: jnp.ndarray
     sky_intensity: jnp.ndarray
     taa_blend: jnp.ndarray
+    gtao_radius: jnp.ndarray
+    gtao_intensity: jnp.ndarray
     frame_index: jnp.ndarray  # i32
 
     @staticmethod
@@ -148,5 +151,6 @@ class FrameParams:
         return FrameParams(
             exposure=f(1.0), bloom_intensity=f(0.04), bloom_threshold=f(1.0),
             ibl_intensity=f(1.0), shadow_bias=f(0.0015), sky_intensity=f(1.0),
-            taa_blend=f(0.1), frame_index=jnp.int32(0),
+            taa_blend=f(0.1), gtao_radius=f(0.5), gtao_intensity=f(1.0),
+            frame_index=jnp.int32(0),
         )

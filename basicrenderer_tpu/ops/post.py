@@ -1,0 +1,180 @@
+"""Post-processing stack: bloom, luminance auto-exposure, GTAO, TAA.
+
+Reference analogues (reference files):
+- Bloom: 5-mip down/up chain, BuildBloomPipeline RenderGraphBuildHelper.h:
+  504-530.
+- Auto-exposure: 256-bin luminance histogram + exposure average,
+  luminanceHistogram*.hlsl.
+- GTAO: Intel XeGTAO port (shaders/Intel/XeGTAO.hlsli) — depth-filtered
+  horizon-based AO. TPU redesign: per-pixel *random* tap directions would
+  need per-lane gathers, so taps are fixed per-frame screen-space offsets
+  realized as shifted-image reads (pure vectorized slices); direction
+  rotation varies per frame for TAA-style convergence.
+- TAA: UpscalingPass jitter accumulation (Renderer.h:223 m_jitter); this is
+  the TAA path (no DLSS/FSR on TPU). Reprojection uses the camera-jitter
+  offset only (constant per frame -> a vectorized shift); full motion-vector
+  reprojection needs per-pixel gathers and lands with a dedicated kernel.
+
+All passes are pure jnp image ops — XLA fuses them into the frame program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape[:2]
+    h2, w2 = h // 2, w // 2
+    return img[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2, -1).mean((1, 3))
+
+
+def _blur3(img: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape[:2]
+    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    k = jnp.array([1.0, 2.0, 1.0]) / 4.0
+    horiz = sum(p[1:h + 1, dx:dx + w] * k[dx] for dx in range(3))
+    p2 = jnp.pad(horiz, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    return sum(p2[dy:dy + h] * k[dy] for dy in range(3))
+
+
+def bloom(hdr: jnp.ndarray, threshold, intensity, mips: int = 5) -> jnp.ndarray:
+    """Threshold -> 5-mip down chain -> blurred up chain -> add."""
+    lum = hdr[..., 0] * 0.2126 + hdr[..., 1] * 0.7152 + hdr[..., 2] * 0.0722
+    scale = jnp.clip((lum - threshold) / jnp.maximum(threshold, 1e-3), 0.0, 1e3)
+    bright = hdr * scale[..., None]
+    chain = [bright]
+    for _ in range(mips - 1):
+        chain.append(_blur3(_downsample2(chain[-1])))
+    up = chain[-1]
+    for m in range(mips - 2, -1, -1):
+        up = chain[m] + jax.image.resize(up, chain[m].shape, "bilinear")
+    return hdr + up * (intensity / mips)
+
+
+# ---------------------------------------------------------------------------
+# Luminance histogram + auto exposure (reference: luminanceHistogram*.hlsl)
+# ---------------------------------------------------------------------------
+
+def luminance_histogram(hdr: jnp.ndarray, bins: int = 256,
+                        log_min: float = -10.0, log_max: float = 6.0
+                        ) -> jnp.ndarray:
+    lum = hdr[..., 0] * 0.2126 + hdr[..., 1] * 0.7152 + hdr[..., 2] * 0.0722
+    loglum = jnp.log2(jnp.maximum(lum, 1e-6))
+    t = jnp.clip((loglum - log_min) / (log_max - log_min), 0.0, 1.0)
+    idx = jnp.clip((t * bins).astype(jnp.int32), 0, bins - 1)
+    return jnp.zeros((bins,), jnp.int32).at[idx.reshape(-1)].add(1)
+
+
+def auto_exposure(hdr: jnp.ndarray, target_gray: float = 0.18,
+                  low_clip: float = 0.05, high_clip: float = 0.95,
+                  bins: int = 256, log_min: float = -10.0, log_max: float = 6.0
+                  ) -> jnp.ndarray:
+    """Histogram-clipped geometric-mean exposure (the reference's exposure
+    average pass). Returns a scalar multiplier."""
+    hist = luminance_histogram(hdr, bins, log_min, log_max).astype(jnp.float32)
+    cdf = jnp.cumsum(hist)
+    total = cdf[-1]
+    lo = low_clip * total
+    hi = high_clip * total
+    # Weight bins inside the clip range only.
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), cdf[:-1]])
+    inside = jnp.clip(jnp.minimum(cdf, hi) - jnp.maximum(prev, lo), 0.0, None)
+    centers = log_min + (jnp.arange(bins, dtype=jnp.float32) + 0.5) \
+        / bins * (log_max - log_min)
+    avg_log = jnp.sum(inside * centers) / jnp.maximum(jnp.sum(inside), 1.0)
+    avg_lum = jnp.exp2(avg_log)
+    return target_gray / jnp.maximum(avg_lum, 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# GTAO (XeGTAO-style, shift-tap TPU variant)
+# ---------------------------------------------------------------------------
+
+def linearize_depth(depth: jnp.ndarray, near: jnp.ndarray) -> jnp.ndarray:
+    """Reverse-Z NDC -> view-space distance (infinite-far projection)."""
+    return near / jnp.maximum(depth, 1e-6)
+
+
+def gtao(depth: jnp.ndarray, normal: jnp.ndarray, view: "ViewData",
+         near, radius, intensity, frame_index,
+         num_dirs: int = 4, num_steps: int = 3) -> jnp.ndarray:
+    """(H, W) ambient occlusion in [0, 1] (1 = unoccluded).
+
+    Horizon-style AO with FIXED per-frame screen-space offsets (shifted
+    images instead of per-pixel gathers); the direction set rotates with
+    frame_index so TAA accumulates the full sample pattern over time —
+    the same temporal strategy XeGTAO uses for its noise."""
+    H, W = depth.shape
+    lin = linearize_depth(depth, near)
+    base = 2.0 * jnp.pi * (frame_index.astype(jnp.float32) % 4.0) / (4.0 * num_dirs)
+    occ = jnp.zeros((H, W), jnp.float32)
+    count = 0
+    for d in range(num_dirs):
+        ang = base + d * jnp.pi * 2.0 / num_dirs
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        for s in range(1, num_steps + 1):
+            # Screen-space offset in pixels (traced scalars -> dynamic_slice).
+            r_px = radius * s * 24.0 / num_steps
+            dx = (ca * r_px).astype(jnp.int32)
+            dy = (sa * r_px).astype(jnp.int32)
+            shifted = _shift2d(lin, dy, dx)
+            # Horizon test: neighbor significantly closer -> occlusion.
+            dz = lin - shifted
+            w_dist = jnp.clip(1.0 - jnp.abs(dz) / (radius * 8.0), 0.0, 1.0)
+            occ = occ + jnp.where(dz > 0.03 * lin, w_dist, 0.0)
+            count += 1
+    ao = 1.0 - intensity * occ / count
+    return jnp.clip(_box3(ao), 0.0, 1.0)
+
+
+def _shift2d(img: jnp.ndarray, dy, dx) -> jnp.ndarray:
+    H, W = img.shape
+    p = jnp.pad(img, ((H, H), (W, W)), mode="edge")
+    return jax.lax.dynamic_slice(p, (H + dy, W + dx), (H, W))
+
+
+def _box3(img: jnp.ndarray) -> jnp.ndarray:
+    H, W = img.shape
+    p = jnp.pad(img, 1, mode="edge")
+    return sum(p[dy:dy + H, dx:dx + W] for dy in range(3) for dx in range(3)) / 9.0
+
+
+# ---------------------------------------------------------------------------
+# TAA (jitter accumulation)
+# ---------------------------------------------------------------------------
+
+HALTON_23 = jnp.array([
+    [0.5, 0.333333], [0.25, 0.666667], [0.75, 0.111111], [0.125, 0.444444],
+    [0.625, 0.777778], [0.375, 0.222222], [0.875, 0.555556], [0.0625, 0.888889],
+], jnp.float32) - 0.5
+
+
+def taa_jitter(frame_index) -> jnp.ndarray:
+    """Sub-pixel NDC jitter for the projection matrix (reference m_jitter)."""
+    return HALTON_23[frame_index % 8]
+
+
+def taa_resolve(current: jnp.ndarray, history: Optional[jnp.ndarray],
+                blend) -> jnp.ndarray:
+    """History blend with 3x3 neighborhood clamp (disocclusion guard).
+    Camera-static path: reprojection is identity (the jitter was applied in
+    the projection matrix, so geometry samples different sub-pixels each
+    frame and converges to a supersampled result)."""
+    if history is None:
+        return current
+    H, W = current.shape[:2]
+    p = jnp.pad(current, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    neigh = jnp.stack([p[dy:dy + H, dx:dx + W]
+                       for dy in range(3) for dx in range(3)])
+    lo = neigh.min(0)
+    hi = neigh.max(0)
+    hist = jnp.clip(history, lo, hi)
+    return current * blend + hist * (1.0 - blend)

@@ -94,6 +94,7 @@ class Renderer:
             enable_taa=s.get("enableTAA"),
             enable_oit=s.get("enableOIT"),
             oit_layers=s.get("oitLayers"),
+            enable_auto_exposure=s.get("enableAutoExposure"),
             enable_vsm=s.get("enableVSM"),
             enable_culling=s.get("enableFrustumCulling", True),
             enable_occlusion=s.get("enableOcclusionCulling"),
@@ -134,19 +135,34 @@ class Renderer:
         config = self.current_config()
         view_np, proj_np, cam_pos = self.scene.camera_matrices(
             aspect=config.width / config.height)
+        import jax.numpy as jnp
+        if config.enable_taa:
+            # Sub-pixel projection jitter (reference: m_jitter Renderer.h:223).
+            from .ops import post as post_ops
+            jx, jy = np.asarray(post_ops.HALTON_23)[self._frame_index % 8]
+            proj_np = proj_np.copy()
+            proj_np[0] += (2.0 * jx / config.width) * proj_np[3]
+            proj_np[1] += (2.0 * jy / config.height) * proj_np[3]
         view = make_view(view_np, proj_np, cam_pos)
         params = self._frame_params()
         frame_fn = self._programs.get(config)
-        if config.enable_occlusion:
-            import jax.numpy as jnp
+        args = [self._buffers, view, params]
+        if config.enable_occlusion or config.enable_taa:
             if getattr(self, "_prev_depth", None) is None or \
                self._prev_depth.shape != (config.padded_height, config.padded_width):
                 self._prev_depth = jnp.zeros(
                     (config.padded_height, config.padded_width), jnp.float32)
-            out = frame_fn(self._buffers, view, params, self._prev_depth)
+            args.append(self._prev_depth)
+        if config.enable_taa:
+            hist = getattr(self, "_taa_history", None)
+            if hist is None or hist.shape != (config.height, config.width, 3):
+                hist = None
+            args.append(hist)
+        out = frame_fn(*args)
+        if config.enable_occlusion or config.enable_taa:
             self._prev_depth = out["depth_padded"]
-        else:
-            out = frame_fn(self._buffers, view, params)
+        if config.enable_taa:
+            self._taa_history = out["taa_out"]
         self._frame_index += 1
         return out
 
@@ -165,5 +181,7 @@ class Renderer:
             shadow_bias=jnp.float32(s.get("shadowBias")),
             sky_intensity=jnp.float32(s.get("skyIntensity")),
             taa_blend=jnp.float32(s.get("taaBlend")),
+            gtao_radius=jnp.float32(s.get("gtaoRadius")),
+            gtao_intensity=jnp.float32(s.get("gtaoIntensity")),
             frame_index=jnp.int32(self._frame_index),
         )
