@@ -55,16 +55,50 @@ def geometry_setup(scene: SceneBuffers, view: ViewData, config: FrameConfig):
     return clip, world_pos, world_normals, lanes, bbox, valid
 
 
-def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig):
-    """Setup + frustum-culled binning (single-phase; kept for the sharded
-    path and tests)."""
-    clip, world_pos, world_normals, lanes, bbox, valid = geometry_setup(
-        scene, view, config)
-    if config.enable_culling:
-        obj_vis = culling.frustum_cull_spheres(
-            view.viewproj, scene.object_bounds[:, :3], scene.object_bounds[:, 3],
-            scene.object_valid)
-        valid = valid & object_mask_to_tris(obj_vis, scene.tri_object)
+def clod_compact(scene: SceneBuffers, view: ViewData, config: FrameConfig,
+                 params: FrameParams, frustum: bool = True):
+    """Virtualized-geometry LOD cut + visible-triangle compaction
+    (reference: cluster cull + LOD select, computeCulling.hlsl; ops/clod.py
+    for the vectorized reformulation). Returns (indices, material, object,
+    valid, overflow) sized max_visible_clusters * 128."""
+    from ..ops import clod as clod_ops
+    tau = params.clod_error_px if params is not None else jnp.float32(1.0)
+    cut, _n = clod_ops.select_cluster_cut(scene, view, config, tau, None,
+                                          frustum=frustum)
+    return clod_ops.compact_visible_tris(cut=cut, scene=scene,
+                                         max_visible=config.max_visible_clusters)
+
+
+def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig,
+                  params: FrameParams = None):
+    """Setup + culled binning. With enable_clod the pipeline goes through
+    the visible-cluster compaction (cost scales with the visible budget);
+    otherwise the full soup is set up with object-level frustum culling."""
+    if config.enable_clod:
+        # Virtualized-geometry fast path: nothing here touches the full
+        # soup except the cluster table and the compaction gather.
+        idx, mat, tobj, tvalid, cl_overflow = clod_compact(
+            scene, view, config, params)
+        lanes, bbox, valid = raster_setup.triangle_setup_compacted(
+            scene.vertex_table, scene.object_mats, scene.object_normal_mats,
+            view.viewproj, idx, tvalid, config, mat, tobj)
+        pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
+        return None, None, None, None, pairs
+    clip, world_pos, world_normals = raster_setup.transform_geometry(
+        scene.positions, scene.normals, scene.vert_object, scene.object_mats,
+        scene.object_normal_mats, view.viewproj)
+    clip, world_pos, world_normals = jax.lax.optimization_barrier(
+        (clip, world_pos, world_normals))
+    if True:
+        tri_valid = scene.tri_object >= 0
+        lanes, bbox, valid = raster_setup.triangle_setup_packed(
+            clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
+            scene.tri_material)
+        if config.enable_culling:
+            obj_vis = culling.frustum_cull_spheres(
+                view.viewproj, scene.object_bounds[:, :3],
+                scene.object_bounds[:, 3], scene.object_valid)
+            valid = valid & object_mask_to_tris(obj_vis, scene.tri_object)
     pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
     return clip, world_pos, world_normals, None, pairs
 
@@ -101,16 +135,16 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
               taa_history: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
         centers = scene.object_bounds[:, :3]
         radii = scene.object_bounds[:, 3]
-        if config.enable_occlusion and prev_depth is not None:
+        if config.enable_occlusion and not config.enable_clod \
+                and prev_depth is not None:
             clip, world_pos, world_normals, lanes, bbox, valid = geometry_setup(
                 scene, view, config)
             prev_hzb = culling.build_hzb(prev_depth, config.hzb_levels)
             vis1, cand = culling.two_phase_object_cull(
                 view.viewproj, centers, radii, scene.object_valid, prev_hzb,
                 config.width, config.height)
-            pairs = raster_setup.bin_pairs(
-                lanes, bbox, valid & object_mask_to_tris(vis1, scene.tri_object),
-                config)
+            valid1 = valid & object_mask_to_tris(vis1, scene.tri_object)
+            pairs = raster_setup.bin_pairs(lanes, bbox, valid1, config)
             depth_p, vis_p, channels = visibility_pass(pairs, config)
             # Phase 2: re-test candidates against the fresh HZB.
             hzb_now = culling.build_hzb(depth_p, config.hzb_levels)
@@ -118,14 +152,13 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
                 view.viewproj, centers, radii, config.width, config.height)
             vis2 = cand & culling.occlusion_test_hzb(
                 hzb_now, bb2, zn2, behind2, config.width, config.height)
-            pairs2 = raster_setup.bin_pairs(
-                lanes, bbox, valid & object_mask_to_tris(vis2, scene.tri_object),
-                config)
+            valid2 = valid & object_mask_to_tris(vis2, scene.tri_object)
+            pairs2 = raster_setup.bin_pairs(lanes, bbox, valid2, config)
             depth_p, vis_p, channels = visibility_pass(
                 pairs2, config, init=(depth_p, vis_p, channels))
         else:
             clip, world_pos, world_normals, setup, pairs = geometry_pass(
-                scene, view, config)
+                scene, view, config, params)
             depth_p, vis_p, channels = visibility_pass(pairs, config)
 
         H, W = config.height, config.width
@@ -142,8 +175,14 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
             ldir = scene.lights[0, 4:7]
             cascade_vps, _splits = shadow_ops.cascade_matrices(
                 view, ldir, config.num_cascades)
+            if config.enable_clod:
+                shadow_tris = clod_compact(scene, view, config, params,
+                                           frustum=False)
+            else:
+                shadow_tris = None
             smaps = jnp.stack([
-                shadow_ops.render_cascade(scene, cascade_vps[k], config)
+                shadow_ops.render_cascade(scene, cascade_vps[k], config,
+                                          compacted=shadow_tris)
                 for k in range(config.num_cascades)])
             shadow_term = shadow_ops.sample_shadow_cascades(
                 gb.world_pos, gb.normal, ldir, cascade_vps, smaps,

@@ -49,6 +49,16 @@ class SceneBuffers:
     lights: jnp.ndarray          # (L, LIGHT_STRIDE) f32, directional first
     num_lights: jnp.ndarray      # () i32
     num_dir_lights: jnp.ndarray  # () i32 directional count (table prefix)
+    # Static per-vertex table for the compacted (virtualized-geometry)
+    # setup path: [pos3, normal3, uv2, objid] — gathered per visible corner.
+    vertex_table: jnp.ndarray    # (V, 10) f32
+    # Cluster-LOD (virtualized geometry; ops/clod.py). tri_cluster = -1 for
+    # non-clustered triangles (always selected).
+    tri_cluster: jnp.ndarray     # (T,) i32 global cluster id or -1
+    cluster_table: jnp.ndarray   # (C, 8) f32 [center xyz, r, self_err,
+    #                              parent_err, level, pad] (object space)
+    cluster_object: jnp.ndarray  # (C,) i32 owning object
+    num_clusters: jnp.ndarray    # () i32
     # Environment (IBL) — optional, zeros when disabled
     env_sh: jnp.ndarray          # (9, 3) f32 irradiance SH
     env_specular: jnp.ndarray    # (mips, 6, R, R, 3) f32 prefiltered cubemap
@@ -105,6 +115,8 @@ class FrameConfig:
     enable_auto_exposure: bool = False
     enable_vsm: bool = False
     enable_culling: bool = True
+    enable_clod: bool = False        # cluster-LOD cut selection (ops/clod.py)
+    max_visible_clusters: int = 2048  # visible-cluster budget (x128 tris)
     enable_occlusion: bool = False   # two-phase HZB occlusion culling
     hzb_levels: int = 8
     debug_view: str = "none"
@@ -143,6 +155,7 @@ class FrameParams:
     taa_blend: jnp.ndarray
     gtao_radius: jnp.ndarray
     gtao_intensity: jnp.ndarray
+    clod_error_px: jnp.ndarray  # LOD cut threshold tau (pixels)
     frame_index: jnp.ndarray  # i32
 
     @staticmethod
@@ -152,5 +165,5 @@ class FrameParams:
             exposure=f(1.0), bloom_intensity=f(0.04), bloom_threshold=f(1.0),
             ibl_intensity=f(1.0), shadow_bias=f(0.0015), sky_intensity=f(1.0),
             taa_blend=f(0.1), gtao_radius=f(0.5), gtao_intensity=f(1.0),
-            frame_index=jnp.int32(0),
+            clod_error_px=f(1.0), frame_index=jnp.int32(0),
         )

@@ -32,6 +32,10 @@ class MeshData:
     tangents: Optional[np.ndarray] = None  # (V, 4) xyz + handedness
     joints: Optional[np.ndarray] = None    # (V, 4) int32 joint indices
     weights: Optional[np.ndarray] = None   # (V, 4) f32 skin weights
+    # Cluster-LOD (virtualized geometry) attachments — set by
+    # models/clusters.py when the mesh carries a LOD DAG.
+    tri_cluster: Optional[np.ndarray] = None  # (T,) i32 local cluster id
+    clusters: Optional[np.ndarray] = None     # (C, CLUSTER_STRIDE) f32
     name: str = ""
 
     def __post_init__(self):

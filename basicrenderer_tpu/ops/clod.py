@@ -1,0 +1,143 @@
+"""Runtime cluster-LOD selection: the Nanite-style DAG cut.
+
+Reference analogue: the LOD-cut selection inside hierarchical culling
+(reference: shaders/ClusterLOD/computeCulling.hlsl — screen-space-error
+test per cluster/DAG node with the parent-error monotonicity invariant;
+budgets via visible-cluster capacity, Renderer.cpp:2494 maxClusters=30M).
+
+TPU redesign: the reference traverses the DAG with persistent GPU frontiers
+(data-dependent work expansion). Because the error metric is monotonic
+(parent_error > self_error along every path), the cut is *separable*: a
+cluster belongs to the cut iff
+
+    screen_err(self_error)  <= tau  <  screen_err(parent_error)
+
+which evaluates independently per cluster — a single vectorized pass over
+the fixed-capacity cluster table, no traversal loop at all. This is the
+compiler-friendly reformulation of the traversal; frustum/occlusion culling
+then mask the selected clusters exactly like objects.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.framedata import FrameConfig, SceneBuffers, ViewData
+from . import raster_setup
+from .. utils import math3d
+
+
+def _screen_error_factor(view: ViewData, height: int) -> jnp.ndarray:
+    """World-space error -> on-screen pixels ~ err * f / dist where
+    f = proj[1,1] * height / 2 (perspective scale)."""
+    return view.proj[1, 1] * (height * 0.5)
+
+
+def select_cluster_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
+                       tau_px: jnp.ndarray,
+                       object_visible: Optional[jnp.ndarray] = None,
+                       frustum: bool = True
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (selected (C,) bool, num_selected () i32).
+
+    Cluster bounds/errors are object-space; each cluster is transformed by
+    its owning object's matrix (one-hot MXU lookup) and tested against the
+    camera. Clusters of culled objects are dropped here too."""
+    tbl = scene.cluster_table                    # (C, 8)
+    C = tbl.shape[0]
+    O = scene.object_mats.shape[0]
+    rows = raster_setup.gather_rows_onehot(
+        scene.object_mats.reshape(O, 16), scene.cluster_object)  # (C, 16)
+    mats = rows.reshape(C, 4, 4)
+    center_l = tbl[:, 0:3]
+    center_w = jnp.einsum("cij,cj->ci", mats[:, :3, :3], center_l) + mats[:, :3, 3]
+    # Conservative object scale: max column norm.
+    scale = jnp.linalg.norm(mats[:, :3, :3], axis=1).max(axis=-1)
+    radius_w = tbl[:, 3] * scale
+    self_err_w = tbl[:, 4] * scale
+    parent_err_w = tbl[:, 5] * scale             # inf stays inf
+
+    dist = jnp.linalg.norm(center_w - view.cam_pos[None, :], axis=-1)
+    dist = jnp.maximum(dist - radius_w, view.near)
+    f = _screen_error_factor(view, config.height)
+    self_px = self_err_w * f / dist
+    parent_px = parent_err_w * f / dist
+
+    live = jnp.arange(C) < scene.num_clusters
+    cut = live & (self_px <= tau_px) & (parent_px > tau_px)
+
+    # Frustum cull selected clusters (finer than object culling). Disabled
+    # for shadow cuts (casters outside the camera frustum still cast).
+    if frustum:
+        planes = math3d.frustum_planes(view.viewproj)
+        in_frustum = math3d.sphere_in_frustum(planes, center_w, radius_w)
+        cut = cut & in_frustum
+    if object_visible is not None:
+        obj_ok = raster_setup.gather_rows_onehot(
+            object_visible.astype(jnp.float32)[:, None], scene.cluster_object)
+        cut = cut & (obj_ok[:, 0] > 0.5)
+    return cut, jnp.sum(cut).astype(jnp.int32)
+
+
+def compact_visible_tris(scene: SceneBuffers, cut: jnp.ndarray,
+                         max_visible: int, tris_per_cluster: int = 128
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                    jnp.ndarray, jnp.ndarray]:
+    """Gather the cut clusters' triangles into a fixed budget.
+
+    This is THE virtualized-geometry property: downstream cost (setup, bin,
+    raster) scales with max_visible * tris_per_cluster, not with the total
+    LOD soup (reference: visible-cluster lists + raster buckets,
+    CLodExtension.h:83-253; budget Renderer.cpp:2494).
+
+    Returns (indices (Kt, 3) i32, tri_material (Kt,), tri_object (Kt,),
+    tri_valid (Kt,) bool, overflow () i32)."""
+    C = cut.shape[0]
+    T = scene.indices.shape[0]
+    Kc = max_visible
+    slot = jnp.sort(jnp.where(cut, jnp.arange(C, dtype=jnp.int32), C))[:Kc]
+    live_slot = slot < C
+    overflow = jnp.maximum(jnp.sum(cut) - Kc, 0)
+    ci = jnp.minimum(slot, C - 1)
+    rows = scene.cluster_table[ci]                    # (Kc, 12) small gather
+    off = rows[:, 7].astype(jnp.int32)
+    cnt = rows[:, 8].astype(jnp.int32)
+    # Object + material come from the CLUSTER rows (instances share triangle
+    # ranges; only their cluster rows differ — see bridge.pack_geometry).
+    obj_of_slot = scene.cluster_object[ci]
+    mat_of_slot = rows[:, 9].astype(jnp.int32)
+    lane = jnp.arange(tris_per_cluster, dtype=jnp.int32)[None, :]
+    tri_ids = off[:, None] + lane                     # (Kc, 128)
+    tri_ok = live_slot[:, None] & (lane < cnt[:, None])
+    flat = jnp.clip(tri_ids.reshape(-1), 0, T - 1)    # (Kt,)
+    g = scene.indices[flat]                           # (Kt, 3)
+    g = jax.lax.optimization_barrier(g)
+    K = tris_per_cluster
+    tri_mat = jnp.broadcast_to(mat_of_slot[:, None], (Kc, K)).reshape(-1)
+    tri_obj = jnp.broadcast_to(obj_of_slot[:, None], (Kc, K)).reshape(-1)
+    return (g, tri_mat, tri_obj, tri_ok.reshape(-1), overflow)
+
+
+def cluster_mask_to_tris(selected: jnp.ndarray, tri_cluster: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """(C,) cluster cut -> (T,) triangle mask. tri_cluster == -1 (non-LOD
+    geometry) is always selected. One-hot MXU expansion, chunked over C to
+    bound the one-hot width."""
+    T = tri_cluster.shape[0]
+    C = selected.shape[0]
+    is_plain = tri_cluster < 0
+    table = selected.astype(jnp.float32)[:, None]
+    CHUNK_C = 2048
+    ok = jnp.zeros((T,), jnp.float32)
+    idx = jnp.maximum(tri_cluster, 0)
+    for c0 in range(0, C, CHUNK_C):
+        sub = table[c0:c0 + CHUNK_C]
+        local = idx - c0
+        inside = (local >= 0) & (local < sub.shape[0])
+        oh = jax.nn.one_hot(jnp.where(inside, local, 0), sub.shape[0],
+                            dtype=jnp.float32)
+        ok = ok + jnp.where(inside, (oh @ sub)[:, 0], 0.0)
+    return is_plain | (ok > 0.5)

@@ -145,6 +145,18 @@ def triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray, tri_valid: jnp.ndarr
     g1 = packed[indices[:, 1]]
     g2 = packed[indices[:, 2]]
     g0, g1, g2 = jax.lax.optimization_barrier((g0, g1, g2))
+    return _setup_from_corners(g0, g1, g2, tri_valid, config,
+                               world_normals is not None, uvs is not None)
+
+
+def _setup_from_corners(g0, g1, g2, tri_valid, config: FrameConfig,
+                        has_normals: bool, has_uvs: bool) -> TriangleSetup:
+    """Shared column math: per-corner rows g_i = [clip4 | wnormal3 | uv2]
+    -> TriangleSetup. Everything stays (T,)-shaped (see layout note above)."""
+    W, H = config.width, config.height
+    tw, th = config.tile_w, config.tile_h
+    world_normals = has_normals or None   # flags for the plane section below
+    uvs = has_uvs or None
 
     w_c = [g0[:, 3], g1[:, 3], g2[:, 3]]
     w_ok = (w_c[0] > 1e-6) & (w_c[1] > 1e-6) & (w_c[2] > 1e-6)
@@ -257,6 +269,60 @@ def pack_setup_lanes(setup: TriangleSetup,
     return jnp.stack(cols, axis=1)
 
 
+def triangle_setup_compacted(vertex_table: jnp.ndarray, object_mats: jnp.ndarray,
+                             object_normal_mats: jnp.ndarray,
+                             viewproj: jnp.ndarray, indices: jnp.ndarray,
+                             tri_valid: jnp.ndarray, config: FrameConfig,
+                             tri_material: Optional[jnp.ndarray] = None,
+                             tri_object: Optional[jnp.ndarray] = None
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Setup for the virtualized-geometry path: gathers ONLY the compacted
+    visible triangles' corners from the static vertex table and transforms
+    them in-register — every per-vertex cost scales with the visible budget,
+    not the LOD soup (the whole point of cluster culling; reference:
+    softwareRaster.hlsl fetches cluster-local vertices the same way).
+
+    vertex_table: (V, 10) static [pos3, nrm3, uv2, objid, pad]. `tri_object`
+    overrides the vertex-lane object id (cluster instancing: instances share
+    vertex data; the owning object comes from the cluster row).
+    Returns (lanes, bbox, valid) like triangle_setup_packed.
+    """
+    O = object_mats.shape[0]
+    mat_table = jnp.concatenate(
+        [object_mats.reshape(O, 16), object_normal_mats.reshape(O, 9)], axis=-1)
+
+    gs = []
+    for corner in range(3):
+        raw = vertex_table[indices[:, corner]]            # (Kt, 10)
+        raw = jax.lax.optimization_barrier(raw)
+        if tri_object is not None:
+            objid = tri_object
+        else:
+            objid = raw[:, 9].astype(jnp.int32)
+        m = gather_rows_onehot(mat_table, objid)          # (Kt, 25) MXU
+        px, py, pz = raw[:, 0], raw[:, 1], raw[:, 2]
+        # world = M @ [p, 1] (column math; no rank-3 intermediates)
+        wx = m[:, 0] * px + m[:, 1] * py + m[:, 2] * pz + m[:, 3]
+        wy = m[:, 4] * px + m[:, 5] * py + m[:, 6] * pz + m[:, 7]
+        wz = m[:, 8] * px + m[:, 9] * py + m[:, 10] * pz + m[:, 11]
+        vp = viewproj
+        cx = vp[0, 0] * wx + vp[0, 1] * wy + vp[0, 2] * wz + vp[0, 3]
+        cy = vp[1, 0] * wx + vp[1, 1] * wy + vp[1, 2] * wz + vp[1, 3]
+        cz = vp[2, 0] * wx + vp[2, 1] * wy + vp[2, 2] * wz + vp[2, 3]
+        cw = vp[3, 0] * wx + vp[3, 1] * wy + vp[3, 2] * wz + vp[3, 3]
+        nx0, ny0, nz0 = raw[:, 3], raw[:, 4], raw[:, 5]
+        nx = m[:, 16] * nx0 + m[:, 17] * ny0 + m[:, 18] * nz0
+        ny = m[:, 19] * nx0 + m[:, 20] * ny0 + m[:, 21] * nz0
+        nz = m[:, 22] * nx0 + m[:, 23] * ny0 + m[:, 24] * nz0
+        g = jnp.stack([cx, cy, cz, cw, nx, ny, nz, raw[:, 6], raw[:, 7]], axis=1)
+        gs.append(g)
+
+    setup = _setup_from_corners(gs[0], gs[1], gs[2], tri_valid, config,
+                                has_normals=True, has_uvs=True)
+    lanes = pack_setup_lanes(setup, tri_material)
+    return jax.lax.optimization_barrier((lanes, setup.bbox, setup.valid))
+
+
 def triangle_setup_packed(clip: jnp.ndarray, indices: jnp.ndarray,
                           tri_valid: jnp.ndarray, config: FrameConfig,
                           world_normals: jnp.ndarray, uvs: jnp.ndarray,
@@ -319,7 +385,18 @@ def bin_pairs(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
 
     flat_tile = tile_kt.reshape(-1)
     flat_tri = tri_kt.reshape(-1)
-    flat_tile, flat_tri = jax.lax.sort((flat_tile, flat_tri), num_keys=2)
+    # Single fused int32 key (tile * slots + slot) sorts ~2x faster than a
+    # 2-key lexicographic sort; the slot encodes the triangle (slot // K).
+    slots = T * K
+    if (num_tiles + 1) * slots < 2**31:
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (T, K), 0) * K \
+            + jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+        key = flat_tile * slots + slot_ids.reshape(-1)
+        key = jax.lax.sort(key)
+        flat_tile = key // slots
+        flat_tri = (key % slots) // K
+    else:
+        flat_tile, flat_tri = jax.lax.sort((flat_tile, flat_tri), num_keys=2)
     flat_tile, flat_tri = jax.lax.optimization_barrier((flat_tile, flat_tri))
 
     total = jnp.sum(jnp.minimum(ntiles, K))

@@ -100,16 +100,23 @@ def cascade_matrices(view: ViewData, light_dir: jnp.ndarray, num_cascades: int,
 
 
 def render_cascade(scene: SceneBuffers, cascade_vp: jnp.ndarray,
-                   config: FrameConfig) -> jnp.ndarray:
+                   config: FrameConfig, compacted=None) -> jnp.ndarray:
     """Depth-only raster of shadow casters from a cascade's viewproj.
-    Returns (res', res') reverse-style depth (1 = nearest to light)."""
+    `compacted` = (indices, material, object, valid, overflow) from the
+    cluster compaction (virtualized-geometry path). Returns (res', res')
+    reverse-style depth (1 = nearest to light)."""
     scfg = shadow_config(config)
-    clip, _ = raster_setup.transform_vertices(
-        scene.positions, scene.vert_object, scene.object_mats, cascade_vp)
-    clip = jax.lax.optimization_barrier(clip)
-    tri_valid = scene.tri_object >= 0
-    lanes, bbox, valid = raster_setup.triangle_setup_packed(
-        clip, scene.indices, tri_valid, scfg, None, None, None)
+    if compacted is not None:
+        idx, mat, tobj, tri_valid, _ovf = compacted
+        lanes, bbox, valid = raster_setup.triangle_setup_compacted(
+            scene.vertex_table, scene.object_mats, scene.object_normal_mats,
+            cascade_vp, idx, tri_valid, scfg, mat, tobj)
+    else:
+        clip, _ = raster_setup.transform_vertices(
+            scene.positions, scene.vert_object, scene.object_mats, cascade_vp)
+        clip = jax.lax.optimization_barrier(clip)
+        lanes, bbox, valid = raster_setup.triangle_setup_packed(
+            clip, scene.indices, scene.tri_object >= 0, scfg, None, None, None)
     pairs = raster_setup.bin_pairs(lanes, bbox, valid, scfg)
     if config.use_pallas_raster:
         depth, _, _ = raster_tiles_pallas(pairs, scfg)

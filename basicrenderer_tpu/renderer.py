@@ -51,6 +51,17 @@ class Renderer:
         self._scene = scene
         self._bridge = SceneRenderBridge(scene, self.meshes, self.materials, self.caps)
         self._buffers = None  # force geometry re-upload
+        # Virtualized geometry: the cluster path MUST run when any mesh
+        # carries a LOD DAG (all levels are resident in the soup) or any
+        # mesh is instanced more than once (geometry is shared; per-instance
+        # cluster rows carry object/material — see bridge.pack_geometry).
+        from .scene.components import Renderable as _R
+        mesh_uses = {}
+        for _e, (r,) in scene.world.query(_R):
+            mesh_uses[r.mesh_id] = mesh_uses.get(r.mesh_id, 0) + 1
+        if any(m.tri_cluster is not None for m in self.meshes.meshes) or \
+                any(v > 1 for v in mesh_uses.values()):
+            self.settings.set("enableClod", True)
 
     def set_environment(self, env) -> None:
         """Set the IBL environment (reference: Renderer::SetEnvironment,
@@ -97,6 +108,8 @@ class Renderer:
             enable_auto_exposure=s.get("enableAutoExposure"),
             enable_vsm=s.get("enableVSM"),
             enable_culling=s.get("enableFrustumCulling", True),
+            enable_clod=s.get("enableClod"),
+            max_visible_clusters=s.get("maxVisibleClusters"),
             enable_occlusion=s.get("enableOcclusionCulling"),
             debug_view=s.get("debugView"),
             use_pallas_raster=on_tpu,
@@ -183,5 +196,6 @@ class Renderer:
             taa_blend=jnp.float32(s.get("taaBlend")),
             gtao_radius=jnp.float32(s.get("gtaoRadius")),
             gtao_intensity=jnp.float32(s.get("gtaoIntensity")),
+            clod_error_px=jnp.float32(s.get("clodErrorPx")),
             frame_index=jnp.int32(self._frame_index),
         )

@@ -36,6 +36,7 @@ class BridgeCapacities:
     max_objects: int = 1 << 12
     max_materials: int = 1 << 10
     max_lights: int = 256
+    max_clusters: int = 1 << 14
 
 
 @dataclasses.dataclass
@@ -53,6 +54,10 @@ class PackedGeometry:
     num_tris: int
     entity_to_object: Dict[int, int]
     local_bounds: np.ndarray  # (O, 4) object-space bounding sphere xyz + r
+    tri_cluster: np.ndarray   # (T,) i32 global cluster id (-1 none)
+    cluster_table: np.ndarray # (C, 8) f32
+    cluster_object: np.ndarray  # (C,) i32
+    num_clusters: int = 0
 
 
 class SceneRenderBridge:
@@ -80,33 +85,77 @@ class SceneRenderBridge:
         t_off = 0
         ent2obj: Dict[int, int] = {}
         local_bounds = np.zeros((c.max_objects, 4), np.float32)
+        tcl = np.full((c.max_triangles,), -1, np.int32)
+        from ..models.clusters import CLUSTER_STRIDE as _CS, MESHLET_TRIS
+        cluster_table = np.zeros((c.max_clusters, _CS), np.float32)
+        cluster_object = np.zeros((c.max_clusters,), np.int32)
+        cl_off = 0
         obj = 0
+        # Geometry is packed ONCE PER MESH; instances only add cluster rows
+        # pointing at the shared triangle ranges (object + material live in
+        # the cluster row). Reference analogue: per-object cluster instances
+        # over shared streamed geometry (MeshInstance / cluster instancing).
+        mesh_pack: Dict[int, tuple] = {}  # mesh_id -> (t_off, rows_template)
         for eid, (r,) in self.scene.world.query(Renderable):
             mesh = self.meshes.get(r.mesh_id)
             nv, nt = mesh.num_vertices, mesh.num_triangles
-            if v_off + nv > c.max_vertices or t_off + nt > c.max_triangles:
-                raise ValueError(
-                    f"geometry capacity exceeded: verts {v_off + nv}/{c.max_vertices}, "
-                    f"tris {t_off + nt}/{c.max_triangles}")
             if obj >= c.max_objects:
                 raise ValueError("object capacity exceeded")
-            pos[v_off:v_off + nv] = mesh.positions
-            nrm[v_off:v_off + nv] = mesh.normals
-            tan[v_off:v_off + nv] = mesh.tangents
-            uv[v_off:v_off + nv] = mesh.uvs
-            vobj[v_off:v_off + nv] = obj
-            idx[t_off:t_off + nt] = mesh.indices + v_off
-            tmat[t_off:t_off + nt] = r.material_id
-            tobj[t_off:t_off + nt] = obj
+            if r.mesh_id not in mesh_pack:
+                if v_off + nv > c.max_vertices or t_off + nt > c.max_triangles:
+                    raise ValueError(
+                        f"geometry capacity exceeded: verts {v_off + nv}/"
+                        f"{c.max_vertices}, tris {t_off + nt}/{c.max_triangles}")
+                pos[v_off:v_off + nv] = mesh.positions
+                nrm[v_off:v_off + nv] = mesh.normals
+                tan[v_off:v_off + nv] = mesh.tangents
+                uv[v_off:v_off + nv] = mesh.uvs
+                vobj[v_off:v_off + nv] = obj  # first instance (compat path)
+                idx[t_off:t_off + nt] = mesh.indices + v_off
+                tmat[t_off:t_off + nt] = r.material_id
+                tobj[t_off:t_off + nt] = obj
+                if mesh.tri_cluster is not None and mesh.clusters is not None:
+                    template = mesh.clusters.copy()
+                else:
+                    # Synthesize single-LOD clusters (sequential 128-tri
+                    # chunks) so ALL geometry flows through the cluster
+                    # pipeline — the reference clusters everything at import.
+                    ncl0 = (nt + MESHLET_TRIS - 1) // MESHLET_TRIS
+                    template = np.zeros((ncl0, _CS), np.float32)
+                    mesh.tri_cluster = np.arange(nt, dtype=np.int32) // MESHLET_TRIS
+                    for ci in range(ncl0):
+                        lo = ci * MESHLET_TRIS
+                        hi = min(nt, lo + MESHLET_TRIS)
+                        vs = mesh.positions[np.unique(mesh.indices[lo:hi])]
+                        cen = (vs.min(0) + vs.max(0)) * 0.5
+                        template[ci, :3] = cen
+                        template[ci, 3] = np.linalg.norm(vs - cen, axis=1).max()
+                        template[ci, 5] = np.inf
+                        template[ci, 7] = lo
+                        template[ci, 8] = hi - lo
+                template = template.copy()
+                template[:, 7] += t_off  # mesh-local -> global tri offsets
+                tcl[t_off:t_off + nt] = mesh.tri_cluster + cl_off  # first inst
+                mesh_pack[r.mesh_id] = (t_off, template)
+                v_off += nv
+                t_off += nt
+            _toff, template = mesh_pack[r.mesh_id]
+            ncl = len(template)
+            if cl_off + ncl > c.max_clusters:
+                raise ValueError("cluster capacity exceeded")
+            rows = template.copy()
+            rows[:, 9] = r.material_id
+            cluster_table[cl_off:cl_off + ncl] = rows
+            cluster_object[cl_off:cl_off + ncl] = obj
+            cl_off += ncl
             bc, br = mesh.bounding_sphere()
             local_bounds[obj, :3] = bc
             local_bounds[obj, 3] = br
             ent2obj[eid] = obj
-            v_off += nv
-            t_off += nt
             obj += 1
         self.packed = PackedGeometry(pos, nrm, tan, uv, vobj, idx, tmat, tobj,
-                                     v_off, t_off, ent2obj, local_bounds)
+                                     v_off, t_off, ent2obj, local_bounds,
+                                     tcl, cluster_table, cluster_object, cl_off)
         return self.packed
 
     # -- hot path ----------------------------------------------------------
@@ -194,6 +243,13 @@ class SceneRenderBridge:
             indices=jnp.asarray(p.indices),
             tri_material=jnp.asarray(p.tri_material),
             tri_object=jnp.asarray(p.tri_object),
+            vertex_table=f32(np.concatenate(
+                [p.positions, p.normals, p.uvs,
+                 p.vert_object[:, None].astype(np.float32)], axis=1)),
+            tri_cluster=jnp.asarray(p.tri_cluster),
+            cluster_table=f32(p.cluster_table),
+            cluster_object=jnp.asarray(p.cluster_object),
+            num_clusters=jnp.int32(p.num_clusters),
             num_tris=jnp.int32(p.num_tris), num_verts=jnp.int32(p.num_verts),
             object_mats=f32(mats), object_normal_mats=f32(nmats),
             object_bounds=f32(bounds), object_valid=jnp.asarray(ovalid),

@@ -140,7 +140,9 @@ def make_default_settings() -> SettingsManager:
     s.register("enableMeshletCulling", True, structural=True)
     s.register("wireframe", False, structural=True)
     s.register("debugView", "none", structural=True)
-    s.register("maxVisibleClusters", 1 << 16, structural=True,
+    s.register("enableClod", False, structural=True,
+               description="cluster-LOD (virtualized geometry) cut selection")
+    s.register("maxVisibleClusters", 2048, structural=True,
                description="visible-cluster list capacity (reference budget 30M, Renderer.cpp:2494)")
     s.register("maxTrianglePairs", 1 << 20, structural=True,
                description="tile-binning (tile,tri) pair capacity")
@@ -155,4 +157,5 @@ def make_default_settings() -> SettingsManager:
     s.register("iblIntensity", 1.0)
     s.register("taaBlend", 0.1)
     s.register("skyIntensity", 1.0)
+    s.register("clodErrorPx", 1.0, description="LOD cut screen-space error (px)")
     return s
