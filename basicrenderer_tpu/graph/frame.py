@@ -65,6 +65,10 @@ def clod_compact(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     tau = params.clod_error_px if params is not None else jnp.float32(1.0)
     cut, _n = clod_ops.select_cluster_cut(scene, view, config, tau, None,
                                           frustum=frustum)
+    if config.enable_oit:
+        # Transparent clusters render through the OIT peeling passes
+        # (ops/oit.py); keep only opaque ones here.
+        cut = cut & (scene.cluster_table[:, 10] < 0.5)
     return clod_ops.compact_visible_tris(cut=cut, scene=scene,
                                          max_visible=config.max_visible_clusters)
 
@@ -133,6 +137,14 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
     def frame(scene: SceneBuffers, view: ViewData, params: FrameParams,
               prev_depth: jnp.ndarray = None,
               taa_history: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
+        if config.enable_skinning:
+            # Linear-blend skinning prepass rewrites positions/normals so
+            # every downstream path consumes deformed geometry
+            # (reference: skinningCommon.hlsli + SkeletonManager).
+            from ..ops import skinning as skin_ops
+            scene = skin_ops.apply_skinning(
+                scene, scene.joint_palette, scene.vert_joints,
+                scene.vert_weights)
         centers = scene.object_bounds[:, :3]
         radii = scene.object_bounds[:, 3]
         if config.enable_occlusion and not config.enable_clod \
@@ -258,6 +270,13 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
             hdr = hdr + jnp.where(gb.valid[..., None], ambient, 0.0)
         elif ao is not None:
             hdr = hdr * (0.5 + 0.5 * ao[..., None])
+
+        if config.enable_oit and config.enable_clod:
+            # K-layer depth-peeled OIT (reference: deep-visibility /
+            # AVBOIT transparency; ops/oit.py for the TPU variant).
+            from ..ops import oit as oit_ops
+            hdr = oit_ops.composite_oit(scene, view, config, params,
+                                        depth_p, hdr)
 
         from ..ops import post as post_ops
         if config.enable_taa and taa_history is not None:

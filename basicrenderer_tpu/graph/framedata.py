@@ -49,6 +49,10 @@ class SceneBuffers:
     lights: jnp.ndarray          # (L, LIGHT_STRIDE) f32, directional first
     num_lights: jnp.ndarray      # () i32
     num_dir_lights: jnp.ndarray  # () i32 directional count (table prefix)
+    # Skinning (ops/skinning.py): zero weights = unskinned vertex.
+    vert_joints: jnp.ndarray     # (V, 4) i32 global palette indices
+    vert_weights: jnp.ndarray    # (V, 4) f32
+    joint_palette: jnp.ndarray   # (Jcap, 16) f32 object-space skin matrices
     # Static per-vertex table for the compacted (virtualized-geometry)
     # setup path: [pos3, normal3, uv2, objid] — gathered per visible corner.
     vertex_table: jnp.ndarray    # (V, 10) f32
@@ -113,6 +117,7 @@ class FrameConfig:
     enable_oit: bool = False
     oit_layers: int = 4
     enable_auto_exposure: bool = False
+    enable_skinning: bool = False
     enable_vsm: bool = False
     enable_culling: bool = True
     enable_clod: bool = False        # cluster-LOD cut selection (ops/clod.py)

@@ -1,0 +1,72 @@
+"""Order-independent transparency via K-layer depth peeling.
+
+Reference analogue: the CLod transparency modes (reference: CLodCommon.h:
+82-86 — linked-list deep visibility and AVBOIT adaptive voxelized OIT;
+DeepVisibilityOutput/Resolve shaders). Per SURVEY.md §7, the TPU-friendly
+variant is the capacity-bounded K-buffer: per-pixel linked lists need
+dynamic memory and per-lane pointer chasing, while K depth-peeling passes
+reuse the existing Pallas raster unchanged (one extra compare per fragment)
+and produce exactly the K nearest transparent layers, composited
+back-to-front.
+
+Transparent geometry rides the same cluster pipeline: clusters whose
+material has alpha_blend set carry a transparency flag (cluster-table lane
+10), are excluded from the opaque pass, and are compacted separately here.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.framedata import FrameConfig, FrameParams, SceneBuffers, ViewData
+from . import clod as clod_ops, raster_setup, shade as shade_ops
+from .raster_pallas import raster_tiles_pallas
+from .raster_ref import raster_tiles_ref
+from .resolve_pallas import resolve_attributes_ref
+
+
+def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
+                  params: FrameParams, opaque_depth_p: jnp.ndarray,
+                  hdr: jnp.ndarray) -> jnp.ndarray:
+    """Renders K transparent layers behind-to-front onto `hdr` (H, W, 3)."""
+    tau = params.clod_error_px
+    cut, _ = clod_ops.select_cluster_cut(scene, view, config, tau)
+    transparent = scene.cluster_table[:, 10] > 0.5
+    cut = cut & transparent
+    budget = max(config.max_visible_clusters // 4, 64)
+    idx, mat, tobj, tvalid, _ovf = clod_ops.compact_visible_tris(
+        cut=cut, scene=scene, max_visible=budget)
+    lanes, bbox, valid = raster_setup.triangle_setup_compacted(
+        scene.vertex_table, scene.object_mats, scene.object_normal_mats,
+        view.viewproj, idx, tvalid, config, mat, tobj)
+    pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
+
+    H, W = config.height, config.width
+    Hp, Wp = config.padded_height, config.padded_width
+    peel_bound = jnp.full((Hp, Wp), jnp.inf, jnp.float32)
+    layers = []
+    for _k in range(config.oit_layers):
+        if config.use_pallas_raster:
+            d, v, ch = raster_tiles_pallas(pairs, config,
+                                           peel=(opaque_depth_p, peel_bound))
+        else:
+            d, v = raster_tiles_ref(pairs, config,
+                                    peel=(opaque_depth_p, peel_bound))
+            ch = resolve_attributes_ref(pairs, v, config)
+        layers.append((d, v, ch))
+        peel_bound = jnp.where(v > 0, d, 0.0)  # next layer strictly farther
+
+    # Composite back-to-front (farthest layer first).
+    out = hdr
+    for d, v, ch in reversed(layers):
+        gb = shade_ops.gbuffer_from_channels(
+            ch[:, :H, :W], d[:H, :W], v[:H, :W], view, scene.material_table,
+            W, H)
+        col = shade_ops.shade_deferred(gb, scene, view)
+        a = jnp.clip(gb.alpha, 0.0, 1.0)[..., None]
+        covered = (v[:H, :W] > 0)[..., None]
+        out = jnp.where(covered, col * a + out * (1.0 - a), out)
+    return out

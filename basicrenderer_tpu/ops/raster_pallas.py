@@ -38,8 +38,13 @@ NUM_CHANNELS = 8  # [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
 
 
 def _raster_kernel(tile_off_ref, *refs, tile_h: int, tile_w: int,
-                   tiles_x: int, seeded: bool):
-    if seeded:
+                   tiles_x: int, seeded: bool, peeled: bool = False):
+    if peeled:
+        # Depth-peeling pass (OIT): fragments must be nearer than the seed
+        # depth AND strictly farther than the previous peel layer.
+        (flat_ref, seed_ref, peel_ref,
+         depth_ref, vis_ref, chan_ref, buf_ref, sem_ref) = refs
+    elif seeded:
         (flat_ref, depth0_ref, vis0_ref, chan0_ref,
          depth_ref, vis_ref, chan_ref, buf_ref, sem_ref) = refs
     else:
@@ -55,7 +60,12 @@ def _raster_kernel(tile_off_ref, *refs, tile_h: int, tile_w: int,
     end = tile_off_ref[tile + 1]
     n = end - start
 
-    if seeded:
+    if peeled:
+        depth_ref[:] = seed_ref[:]
+        vis_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
+        chan_ref[:] = jnp.zeros((NUM_CHANNELS, tile_h, tile_w), jnp.float32)
+        peel_z = peel_ref[:]
+    elif seeded:
         # Phase-2 raster continues into phase-1's buffers (reference:
         # occlusion replay re-raster, CLodExtension.cpp:1474-1514).
         depth_ref[:] = depth0_ref[:]
@@ -110,6 +120,8 @@ def _raster_kernel(tile_off_ref, *refs, tile_h: int, tile_w: int,
             tri_id_f = buf_ref[base + 12]
             inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
             passd = inside & (z > depth_ref[:])
+            if peeled:
+                passd = passd & (z < peel_z)
             depth_ref[:] = jnp.where(passd, z, depth_ref[:])
             vis_ref[:] = jnp.where(passd, tri_id_f.astype(jnp.int32), vis_ref[:])
             # Fused attribute resolve: write the perspective-correct channel
@@ -131,29 +143,36 @@ def _raster_kernel(tile_off_ref, *refs, tile_h: int, tile_w: int,
 
 
 def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
-                        interpret: bool = False, init=None
+                        interpret: bool = False, init=None, peel=None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused raster + attribute resolve on the padded tile grid.
 
     Returns (depth (H', W') f32, vis (H', W') i32,
              channels (NUM_CHANNELS, H', W') f32). `init` seeds the buffers
-    with a previous raster's output (two-phase occlusion replay)."""
+    with a previous raster's output (two-phase occlusion replay). `peel` =
+    (seed_depth, peel_depth) runs a depth-peeling pass (OIT): keeps the
+    nearest fragment that is farther than peel_depth and nearer than
+    seed_depth's occlusion floor."""
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
     # Pad by one slab so ceil-rounded chunk reads stay in bounds; padded
     # rows carry tri id 0 and never rasterize.
     flat = jnp.pad(pairs.pair_data, ((0, CHUNK), (0, 0))).reshape(-1)
     seeded = init is not None
+    peeled = peel is not None
 
     kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw,
-                               tiles_x=tiles_x, seeded=seeded)
+                               tiles_x=tiles_x, seeded=seeded, peeled=peeled)
     img_spec = pl.BlockSpec((th, tw), lambda i, j, *_: (i, j),
                             memory_space=pltpu.VMEM)
     chan_spec = pl.BlockSpec((NUM_CHANNELS, th, tw), lambda i, j, *_: (0, i, j),
                              memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     inputs = [flat]
-    if seeded:
+    if peeled:
+        in_specs += [img_spec, img_spec]
+        inputs += [peel[0], peel[1]]
+    elif seeded:
         in_specs += [img_spec, img_spec, chan_spec]
         inputs += [init[0], init[1], init[2]]
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -23,7 +23,7 @@ from .raster_setup import BinnedPairs, SETUP_LANES
 
 
 def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
-                     max_iters: int = None, tile_row0=0, init=None
+                     max_iters: int = None, tile_row0=0, init=None, peel=None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (depth (H', W') f32, vis (H', W') i32) on the padded grid.
 
@@ -48,6 +48,14 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
         end = pairs.tile_offsets[tile_idx + 1]
         n = end - start if max_iters is None else jnp.minimum(end - start, max_iters)
 
+        if peel is not None:
+            ty_l = tile_idx // tiles_x
+            tx_l = tile_idx % tiles_x
+            peel_z = jax.lax.dynamic_slice(peel[1], (ty_l * th, tx_l * tw),
+                                           (th, tw))
+        else:
+            peel_z = None
+
         def body(j, carry):
             zbuf, vis = carry
             idx = start + j
@@ -59,10 +67,18 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
             z = d[9] * px + d[10] * py + d[11]
             inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
             passd = inside & (z > zbuf)
+            if peel_z is not None:
+                passd = passd & (z < peel_z)
             zbuf = jnp.where(passd, z, zbuf)
             vis = jnp.where(passd, tri_id_f.astype(jnp.int32), vis)
             return zbuf, vis
 
+        if peel is not None:
+            z0 = jax.lax.dynamic_slice(peel[0], ((tile_idx // tiles_x) * th,
+                                                 (tile_idx % tiles_x) * tw),
+                                       (th, tw))
+            v0 = jnp.zeros((th, tw), jnp.int32)
+            return jax.lax.fori_loop(0, n, body, (z0, v0))
         if init is not None:
             ty_l = tile_idx // tiles_x
             tx_l = tile_idx % tiles_x

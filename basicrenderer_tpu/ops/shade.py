@@ -43,6 +43,7 @@ class GBuffer(NamedTuple):
     depth: jnp.ndarray       # (H, W) f32 (reverse-Z NDC)
     material_id: jnp.ndarray # (H, W) i32
     uv: jnp.ndarray          # (H, W, 2) f32
+    alpha: jnp.ndarray = None  # (H, W) f32 material base alpha (OIT)
 
 
 def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
@@ -144,6 +145,7 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
     flat_ids = jnp.clip(mat_id.reshape(-1), 0, material_table.shape[0] - 1)
     mat = gather_rows_onehot(material_table, flat_ids)    # (HW, MAT_STRIDE)
     albedo = mat[:, 0:3].reshape(H, W, 3)
+    alpha = mat[:, 3].reshape(H, W)
     metallic = mat[:, 4].reshape(H, W)
     roughness = mat[:, 5].reshape(H, W)
     emissive = mat[:, 6:9].reshape(H, W, 3)
@@ -161,6 +163,7 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
         depth=depth,
         material_id=jnp.where(covered, mat_id, -1),
         uv=jnp.where(c3[..., :2], uv, 0.0),
+        alpha=jnp.where(covered, alpha, 0.0),
     )
 
 

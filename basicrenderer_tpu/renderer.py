@@ -37,6 +37,9 @@ class Renderer:
         self.settings = settings or make_default_settings()
         self.meshes = MeshRegistry()
         self.materials = MaterialRegistry()
+        from .models.animation import SkeletonRegistry
+        self.skeletons = SkeletonRegistry()
+        self._time = 0.0
         self.caps = caps or BridgeCapacities()
         self._programs = FrameProgramCache()
         self._scene: Optional[Scene] = None
@@ -49,7 +52,8 @@ class Renderer:
     # -- scene management --------------------------------------------------
     def set_current_scene(self, scene: Scene) -> None:
         self._scene = scene
-        self._bridge = SceneRenderBridge(scene, self.meshes, self.materials, self.caps)
+        self._bridge = SceneRenderBridge(scene, self.meshes, self.materials,
+                                         self.caps, skeletons=self.skeletons)
         self._buffers = None  # force geometry re-upload
         # Virtualized geometry: the cluster path MUST run when any mesh
         # carries a LOD DAG (all levels are resident in the soup) or any
@@ -103,6 +107,7 @@ class Renderer:
             enable_gtao=s.get("enableGTAO"),
             enable_ssr=s.get("enableSSR"),
             enable_taa=s.get("enableTAA"),
+            enable_skinning=s.get("enableSkinning"),
             enable_oit=s.get("enableOIT"),
             oit_layers=s.get("oitLayers"),
             enable_auto_exposure=s.get("enableAutoExposure"),
@@ -125,10 +130,11 @@ class Renderer:
         self.settings.set("renderResolution", (width, height))
 
     # -- frame loop --------------------------------------------------------
-    def update(self) -> None:
+    def update(self, dt: float = 1.0 / 60.0) -> None:
         """Host-side per-frame work (reference Renderer::Update,
-        Renderer.cpp:1724): transforms + dynamic buffer snapshot."""
+        Renderer.cpp:1724): transforms, animation tick, buffer snapshot."""
         assert self._bridge is not None
+        self._time += dt
         self.scene.world.flush_deferred()
         self.scene.propagate_transforms()
         if self._buffers is None:
@@ -139,7 +145,10 @@ class Renderer:
             else:
                 self._buffers = self._bridge.build_scene_buffers()
         else:
-            self._buffers = self._bridge.update_dynamic(self._buffers)
+            self._buffers = self._bridge.update_dynamic(self._buffers, self._time)
+        # Auto-enable skinning when any packed instance is skinned.
+        if self._bridge.packed and self._bridge.packed.skin_instances:
+            self.settings.set("enableSkinning", True)
 
     def render(self) -> Dict[str, Any]:
         """Dispatch the frame program (reference Renderer::Render,

@@ -37,6 +37,7 @@ class BridgeCapacities:
     max_materials: int = 1 << 10
     max_lights: int = 256
     max_clusters: int = 1 << 14
+    max_joints: int = 256
 
 
 @dataclasses.dataclass
@@ -55,19 +56,35 @@ class PackedGeometry:
     entity_to_object: Dict[int, int]
     local_bounds: np.ndarray  # (O, 4) object-space bounding sphere xyz + r
     tri_cluster: np.ndarray   # (T,) i32 global cluster id (-1 none)
-    cluster_table: np.ndarray # (C, 8) f32
+    cluster_table: np.ndarray # (C, CLUSTER_STRIDE) f32
     cluster_object: np.ndarray  # (C,) i32
     num_clusters: int = 0
+    vert_joints: np.ndarray = None   # (V, 4) i32 global palette slots
+    vert_weights: np.ndarray = None  # (V, 4) f32
+    skin_instances: list = None      # [(skeleton_id, palette_offset, J)]
 
 
 class SceneRenderBridge:
     def __init__(self, scene: Scene, meshes: MeshRegistry, materials: MaterialRegistry,
-                 caps: Optional[BridgeCapacities] = None):
+                 caps: Optional[BridgeCapacities] = None, skeletons=None):
         self.scene = scene
         self.meshes = meshes
         self.materials = materials
         self.caps = caps or BridgeCapacities()
         self.packed: Optional[PackedGeometry] = None
+        self.skeletons = skeletons  # models.animation.SkeletonRegistry
+
+    def snapshot_joint_palette(self, t: float = 0.0) -> np.ndarray:
+        """(max_joints, 16) object-space skinning palette for all skinned
+        instances (SkeletonManager upload analogue)."""
+        c = self.caps
+        pal = np.tile(np.eye(4, dtype=np.float32).reshape(1, 16),
+                      (c.max_joints, 1))
+        if self.packed and self.packed.skin_instances and self.skeletons:
+            for sk_id, off, nj in self.packed.skin_instances:
+                p = self.skeletons.palette(sk_id, t)
+                pal[off:off + nj] = p.reshape(nj, 16)
+        return pal
 
     # -- cold path ---------------------------------------------------------
     def pack_geometry(self) -> PackedGeometry:
@@ -95,13 +112,20 @@ class SceneRenderBridge:
         # pointing at the shared triangle ranges (object + material live in
         # the cluster row). Reference analogue: per-object cluster instances
         # over shared streamed geometry (MeshInstance / cluster instancing).
+        vjoints = np.zeros((c.max_vertices, 4), np.int32)
+        vweights = np.zeros((c.max_vertices, 4), np.float32)
+        skin_instances = []
+        joint_off = 0
         mesh_pack: Dict[int, tuple] = {}  # mesh_id -> (t_off, rows_template)
         for eid, (r,) in self.scene.world.query(Renderable):
             mesh = self.meshes.get(r.mesh_id)
             nv, nt = mesh.num_vertices, mesh.num_triangles
             if obj >= c.max_objects:
                 raise ValueError("object capacity exceeded")
-            if r.mesh_id not in mesh_pack:
+            skinned = r.skeleton_id >= 0 and mesh.joints is not None
+            # Skinned instances deform uniquely -> never share vertex data.
+            pack_key = ("skin", eid) if skinned else r.mesh_id
+            if pack_key not in mesh_pack:
                 if v_off + nv > c.max_vertices or t_off + nt > c.max_triangles:
                     raise ValueError(
                         f"geometry capacity exceeded: verts {v_off + nv}/"
@@ -136,15 +160,27 @@ class SceneRenderBridge:
                 template = template.copy()
                 template[:, 7] += t_off  # mesh-local -> global tri offsets
                 tcl[t_off:t_off + nt] = mesh.tri_cluster + cl_off  # first inst
-                mesh_pack[r.mesh_id] = (t_off, template)
+                if skinned:
+                    from ..models.animation import SkeletonRegistry  # noqa
+                    nj = len(self.skeletons.skeletons[r.skeleton_id].parents) \
+                        if self.skeletons else int(mesh.joints.max()) + 1
+                    if joint_off + nj > c.max_joints:
+                        raise ValueError("joint palette capacity exceeded")
+                    vjoints[v_off:v_off + nv] = mesh.joints + joint_off
+                    vweights[v_off:v_off + nv] = mesh.weights
+                    skin_instances.append((r.skeleton_id, joint_off, nj))
+                    joint_off += nj
+                mesh_pack[pack_key] = (t_off, template)
                 v_off += nv
                 t_off += nt
-            _toff, template = mesh_pack[r.mesh_id]
+            _toff, template = mesh_pack[pack_key]
             ncl = len(template)
             if cl_off + ncl > c.max_clusters:
                 raise ValueError("cluster capacity exceeded")
             rows = template.copy()
             rows[:, 9] = r.material_id
+            m = self.materials.get(r.material_id)
+            rows[:, 10] = 1.0 if (m.alpha_blend or m.base_color[3] < 0.999) else 0.0
             cluster_table[cl_off:cl_off + ncl] = rows
             cluster_object[cl_off:cl_off + ncl] = obj
             cl_off += ncl
@@ -155,7 +191,8 @@ class SceneRenderBridge:
             obj += 1
         self.packed = PackedGeometry(pos, nrm, tan, uv, vobj, idx, tmat, tobj,
                                      v_off, t_off, ent2obj, local_bounds,
-                                     tcl, cluster_table, cluster_object, cl_off)
+                                     tcl, cluster_table, cluster_object, cl_off,
+                                     vjoints, vweights, skin_instances)
         return self.packed
 
     # -- hot path ----------------------------------------------------------
@@ -243,6 +280,9 @@ class SceneRenderBridge:
             indices=jnp.asarray(p.indices),
             tri_material=jnp.asarray(p.tri_material),
             tri_object=jnp.asarray(p.tri_object),
+            vert_joints=jnp.asarray(p.vert_joints),
+            vert_weights=f32(p.vert_weights),
+            joint_palette=f32(self.snapshot_joint_palette()),
             vertex_table=f32(np.concatenate(
                 [p.positions, p.normals, p.uvs,
                  p.vert_object[:, None].astype(np.float32)], axis=1)),
@@ -260,11 +300,12 @@ class SceneRenderBridge:
             env_brdf_lut=f32(env_brdf_lut),
         )
 
-    def update_dynamic(self, buffers: SceneBuffers) -> SceneBuffers:
-        """Per-frame refresh of matrices + lights only (geometry untouched)."""
+    def update_dynamic(self, buffers: SceneBuffers, t: float = 0.0) -> SceneBuffers:
+        """Per-frame refresh of matrices/lights/joints (geometry untouched)."""
         mats, nmats, bounds, ovalid = self.snapshot_objects()
         lights, num_lights, num_dir = self.snapshot_lights()
         return buffers.replace(
+            joint_palette=jnp.asarray(self.snapshot_joint_palette(t)),
             object_mats=jnp.asarray(mats),
             object_normal_mats=jnp.asarray(nmats),
             object_bounds=jnp.asarray(bounds),
