@@ -1,0 +1,176 @@
+"""Geometry streaming foundation: page pool + LRU + async worker.
+
+Reference analogues:
+- PagePool (reference: BasicRenderer/include/Resources/Buffers/PagePool.h:
+  1-163 — fixed-size GPU page slab allocator with generation counters).
+- CLodPageLRU + the streaming worker (reference:
+  CLodStreamingSystem.h:100-118 — StreamingWorkerMain thread, priority
+  queue, budgeted loads, LRU eviction).
+
+TPU mapping: the "GPU page slab" is a fixed-shape device array of
+`num_pages x page_size x lane` rows; page uploads are jitted
+dynamic_update_slice calls (host->HBM, the role DirectStorage plays in the
+reference), and residency is a host-side bitset mirrored to the device as a
+(num_pages,) mask. The worker thread consumes a priority queue of page
+requests — in this round requests come from the host (the cluster cut can
+be read back per frame); the GPU-feedback readback loop (SURVEY §3.6)
+integrates in the next round together with cluster-local page blobs from
+the LOD builder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import threading
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class PageSlot:
+    key: int = -1            # content key resident in this slot (-1 free)
+    generation: int = 0      # bumps on every (re)assignment
+    last_used: float = 0.0   # LRU timestamp
+
+
+class PagePool:
+    """Fixed-capacity device page slab with host-side LRU bookkeeping."""
+
+    def __init__(self, num_pages: int, page_rows: int, row_lanes: int,
+                 dtype=jnp.float32):
+        self.num_pages = num_pages
+        self.page_rows = page_rows
+        self.slab = jnp.zeros((num_pages * page_rows, row_lanes), dtype)
+        self.slots: List[PageSlot] = [PageSlot() for _ in range(num_pages)]
+        self.key_to_slot: Dict[int, int] = {}
+        self._update = jax.jit(
+            lambda slab, rows, start: jax.lax.dynamic_update_slice(
+                slab, rows, (start, 0)))
+
+    # -- queries -------------------------------------------------------------
+    def is_resident(self, key: int) -> bool:
+        return key in self.key_to_slot
+
+    def slot_of(self, key: int) -> int:
+        return self.key_to_slot.get(key, -1)
+
+    def touch(self, key: int) -> None:
+        s = self.key_to_slot.get(key)
+        if s is not None:
+            self.slots[s].last_used = time.monotonic()
+
+    def residency_mask(self, num_keys: int) -> np.ndarray:
+        m = np.zeros(num_keys, bool)
+        for k in self.key_to_slot:
+            if 0 <= k < num_keys:
+                m[k] = True
+        return m
+
+    def slot_table(self, num_keys: int) -> np.ndarray:
+        """(num_keys,) i32 key -> slot (-1 non-resident) — uploaded as the
+        page-map the kernels translate through (reference: page map entries,
+        MeshManager.h:50-63)."""
+        t = np.full(num_keys, -1, np.int32)
+        for k, s in self.key_to_slot.items():
+            if 0 <= k < num_keys:
+                t[k] = s
+        return t
+
+    # -- mutation --------------------------------------------------------------
+    def upload(self, key: int, rows: np.ndarray) -> int:
+        """Load page content into a slot (evicting LRU if full). Returns slot."""
+        if key in self.key_to_slot:
+            slot = self.key_to_slot[key]
+        else:
+            slot = self._alloc()
+            old = self.slots[slot].key
+            if old >= 0:
+                del self.key_to_slot[old]
+            self.key_to_slot[key] = slot
+            self.slots[slot].key = key
+            self.slots[slot].generation += 1
+        self.slots[slot].last_used = time.monotonic()
+        if len(rows) < self.page_rows:
+            pad = np.zeros((self.page_rows - len(rows), rows.shape[1]),
+                           rows.dtype)
+            rows = np.concatenate([rows, pad])
+        self.slab = self._update(self.slab, jnp.asarray(rows[:self.page_rows]),
+                                 slot * self.page_rows)
+        return slot
+
+    def evict(self, key: int) -> None:
+        slot = self.key_to_slot.pop(key, None)
+        if slot is not None:
+            self.slots[slot].key = -1
+
+    def _alloc(self) -> int:
+        for i, s in enumerate(self.slots):
+            if s.key < 0:
+                return i
+        # LRU eviction.
+        return min(range(self.num_pages), key=lambda i: self.slots[i].last_used)
+
+
+class StreamingWorker:
+    """Background loader thread with a priority queue (StreamingWorkerMain
+    analogue). `loader(key) -> np.ndarray rows` pulls page content (disk /
+    cache / builder); results are uploaded into the pool on the worker."""
+
+    def __init__(self, pool: PagePool, loader: Callable[[int], np.ndarray],
+                 budget_per_tick: int = 8):
+        self.pool = pool
+        self.loader = loader
+        self.budget = budget_per_tick
+        self._queue: List[Tuple[float, int]] = []
+        self._queued: set = set()
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._completed: List[int] = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def request(self, key: int, priority: float = 0.0) -> None:
+        """Lower priority value = more urgent (reference: CLodPriorityMode)."""
+        with self._lock:
+            if key in self._queued or self.pool.is_resident(key):
+                return
+            heapq.heappush(self._queue, (priority, key))
+            self._queued.add(key)
+        self._wake.set()
+
+    def drain_completed(self) -> List[int]:
+        """Keys that finished loading since the last call (reference:
+        DrainCompletedCLodDiskStreamingGroups, MeshManager.h:133)."""
+        with self._lock:
+            out, self._completed = self._completed, []
+        return out
+
+    def pending(self) -> int:
+        with self._lock:
+            return len(self._queue)
+
+    def stop(self) -> None:
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    def _run(self) -> None:
+        while not self._stop:
+            self._wake.wait(timeout=0.05)
+            self._wake.clear()
+            for _ in range(self.budget):
+                with self._lock:
+                    if not self._queue:
+                        break
+                    _prio, key = heapq.heappop(self._queue)
+                    self._queued.discard(key)
+                rows = self.loader(key)
+                self.pool.upload(key, rows)
+                with self._lock:
+                    self._completed.append(key)

@@ -151,15 +151,18 @@ def _box3(img: jnp.ndarray) -> jnp.ndarray:
 # TAA (jitter accumulation)
 # ---------------------------------------------------------------------------
 
-HALTON_23 = jnp.array([
+# Plain numpy: a module-level jnp constant would be captured as a tracer if
+# this module is first imported inside an active jit trace.
+import numpy as _np
+HALTON_23 = _np.array([
     [0.5, 0.333333], [0.25, 0.666667], [0.75, 0.111111], [0.125, 0.444444],
     [0.625, 0.777778], [0.375, 0.222222], [0.875, 0.555556], [0.0625, 0.888889],
-], jnp.float32) - 0.5
+], _np.float32) - 0.5
 
 
-def taa_jitter(frame_index) -> jnp.ndarray:
+def taa_jitter(frame_index: int):
     """Sub-pixel NDC jitter for the projection matrix (reference m_jitter)."""
-    return HALTON_23[frame_index % 8]
+    return HALTON_23[int(frame_index) % 8]
 
 
 def taa_resolve(current: jnp.ndarray, history: Optional[jnp.ndarray],

@@ -38,7 +38,9 @@ class Renderer:
         self.meshes = MeshRegistry()
         self.materials = MaterialRegistry()
         from .models.animation import SkeletonRegistry
+        from .utils.telemetry import FrameTelemetry
         self.skeletons = SkeletonRegistry()
+        self.telemetry = FrameTelemetry()
         self._time = 0.0
         self.caps = caps or BridgeCapacities()
         self._programs = FrameProgramCache()
@@ -134,9 +136,11 @@ class Renderer:
         """Host-side per-frame work (reference Renderer::Update,
         Renderer.cpp:1724): transforms, animation tick, buffer snapshot."""
         assert self._bridge is not None
+        self.telemetry.begin_frame()
         self._time += dt
-        self.scene.world.flush_deferred()
-        self.scene.propagate_transforms()
+        with self.telemetry.stage("scene_update"):
+            self.scene.world.flush_deferred()
+            self.scene.propagate_transforms()
         if self._buffers is None:
             env = getattr(self, "_environment", None)
             if env is not None:
@@ -161,7 +165,7 @@ class Renderer:
         if config.enable_taa:
             # Sub-pixel projection jitter (reference: m_jitter Renderer.h:223).
             from .ops import post as post_ops
-            jx, jy = np.asarray(post_ops.HALTON_23)[self._frame_index % 8]
+            jx, jy = post_ops.taa_jitter(self._frame_index)
             proj_np = proj_np.copy()
             proj_np[0] += (2.0 * jx / config.width) * proj_np[3]
             proj_np[1] += (2.0 * jy / config.height) * proj_np[3]
@@ -180,7 +184,10 @@ class Renderer:
             if hist is None or hist.shape != (config.height, config.width, 3):
                 hist = None
             args.append(hist)
-        out = frame_fn(*args)
+        with self.telemetry.stage("dispatch"):
+            out = frame_fn(*args)
+        self.telemetry.record_frame_outputs(out)
+        self.telemetry.end_frame()
         if config.enable_occlusion or config.enable_taa:
             self._prev_depth = out["depth_padded"]
         if config.enable_taa:

@@ -97,3 +97,18 @@ def test_append_scene_clones_subtree():
     rends = list(dst.world.query(Renderable))
     assert len(rends) == 1
     dst.propagate_transforms()
+
+
+def test_frame_telemetry():
+    from basicrenderer_tpu.utils.telemetry import FrameTelemetry
+    t = FrameTelemetry(history=4)
+    for i in range(6):
+        t.begin_frame()
+        with t.stage("update"):
+            pass
+        t.counter("pairs", 10 + i)
+        t.end_frame()
+    assert len(t.history) == 4          # ring buffer
+    assert t.last()["counters"]["pairs"] == 15
+    avg = t.averages()
+    assert "frame_ms" in avg and "stage.update" in avg
