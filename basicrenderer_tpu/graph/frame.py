@@ -179,6 +179,15 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
         gb = shade_ops.gbuffer_from_channels(
             channels[:, :H, :W], depth, vis, view, scene.material_table, W, H)
 
+        if config.enable_textures:
+            # Base-color texture modulation (reference: material texture
+            # fetches in VisUtilEvaluate/gbuffer.hlsl; ops/textures.py for
+            # the reduced-rate TPU sampling strategy).
+            from ..ops import textures as tex_ops
+            tex = tex_ops.sample_layered_atlas(
+                scene.tex_atlas, gb.base_tex, gb.uv, config.texture_downscale)
+            gb = gb._replace(albedo=gb.albedo * tex[..., :3])
+
         shadow_fn = None
         if config.enable_shadows:
             # Cascaded shadow maps for the primary directional light

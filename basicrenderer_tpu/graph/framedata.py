@@ -63,6 +63,8 @@ class SceneBuffers:
     #                              parent_err, level, pad] (object space)
     cluster_object: jnp.ndarray  # (C,) i32 owning object
     num_clusters: jnp.ndarray    # () i32
+    # Texture atlas (models/textures.py; mip-1 layers, sampled reduced-rate)
+    tex_atlas: jnp.ndarray       # (N, R/2, R/2, 4) f32
     # Environment (IBL) — optional, zeros when disabled
     env_sh: jnp.ndarray          # (9, 3) f32 irradiance SH
     env_specular: jnp.ndarray    # (mips, 6, R, R, 3) f32 prefiltered cubemap
@@ -110,6 +112,8 @@ class FrameConfig:
     max_lights_per_cluster: int = 64
     enable_ibl: bool = False
     ibl_specular_downscale: int = 2
+    enable_textures: bool = False
+    texture_downscale: int = 2
     enable_bloom: bool = False
     enable_gtao: bool = False
     enable_ssr: bool = False

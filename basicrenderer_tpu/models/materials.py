@@ -28,9 +28,11 @@ MAT_STRIDE = 32
 # lane  10:    occlusion strength
 # lane  11:    alpha cutoff (<0 = opaque, else masked)
 # lane  12:    ior
-# lanes 13-15: texture ids as bitcast int (base, normal, metalrough) (-1 none)
-# lane  16:    emissive texture id (bitcast)
-# lane  17:    flags (bitcast int): 1=doubleSided 2=alphaBlend 4=unlit
+# lanes 13-15: texture ids AS PLAIN FLOATS (base, normal, metalrough; -1 none)
+#              — bitcast ints become denormals/NaNs through the one-hot
+#              matmul lookup path, so ids are stored as float values
+# lane  16:    emissive texture id (float)
+# lane  17:    flags as a float bitfield: 1=doubleSided 2=alphaBlend 4=unlit
 # lanes 18-21: coat (weight, roughness, ior, pad)     [OpenPBR]
 # lanes 22-24: fuzz (weight, roughness, pad)          [OpenPBR]
 # lanes 25-27: sheen color                             [OpenPBR]
@@ -76,16 +78,15 @@ class Material:
         row[10] = self.occlusion_strength
         row[11] = self.alpha_cutoff
         row[12] = self.ior
-        ints = np.array(
+        row[13:17] = np.array(
             [self.base_color_texture, self.normal_texture,
              self.metallic_roughness_texture, self.emissive_texture],
-            np.int32,
+            np.float32,
         )
-        row[13:17] = ints.view(np.float32)
         flags = (FLAG_DOUBLE_SIDED * self.double_sided
                  | FLAG_ALPHA_BLEND * self.alpha_blend
                  | FLAG_UNLIT * self.unlit)
-        row[17] = np.array([flags], np.int32).view(np.float32)[0]
+        row[17] = float(flags)
         row[18:21] = (self.coat_weight, self.coat_roughness, self.coat_ior)
         row[22:24] = (self.fuzz_weight, self.fuzz_roughness)
         row[25:28] = np.asarray(self.sheen_color, np.float32)

@@ -44,6 +44,7 @@ class GBuffer(NamedTuple):
     material_id: jnp.ndarray # (H, W) i32
     uv: jnp.ndarray          # (H, W, 2) f32
     alpha: jnp.ndarray = None  # (H, W) f32 material base alpha (OIT)
+    base_tex: jnp.ndarray = None  # (H, W) i32 base-color texture id (-1 none)
 
 
 def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
@@ -164,6 +165,8 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
         material_id=jnp.where(covered, mat_id, -1),
         uv=jnp.where(c3[..., :2], uv, 0.0),
         alpha=jnp.where(covered, alpha, 0.0),
+        base_tex=jnp.where(covered, jnp.round(mat[:, 13]).astype(jnp.int32)
+                           .reshape(H, W), -1),
     )
 
 

@@ -38,8 +38,10 @@ class Renderer:
         self.meshes = MeshRegistry()
         self.materials = MaterialRegistry()
         from .models.animation import SkeletonRegistry
+        from .models.textures import TextureRegistry
         from .utils.telemetry import FrameTelemetry
         self.skeletons = SkeletonRegistry()
+        self.textures = TextureRegistry()
         self.telemetry = FrameTelemetry()
         self._time = 0.0
         self.caps = caps or BridgeCapacities()
@@ -55,7 +57,10 @@ class Renderer:
     def set_current_scene(self, scene: Scene) -> None:
         self._scene = scene
         self._bridge = SceneRenderBridge(scene, self.meshes, self.materials,
-                                         self.caps, skeletons=self.skeletons)
+                                         self.caps, skeletons=self.skeletons,
+                                         textures=self.textures)
+        if len(self.textures):
+            self.settings.set("enableTextures", True)
         self._buffers = None  # force geometry re-upload
         # Virtualized geometry: the cluster path MUST run when any mesh
         # carries a LOD DAG (all levels are resident in the soup) or any
@@ -105,6 +110,7 @@ class Renderer:
             cluster_grid=tuple(s.get("lightClusterGrid")),
             max_lights_per_cluster=s.get("maxLightsPerCluster"),
             enable_ibl=s.get("enableIBL"),
+            enable_textures=s.get("enableTextures", False),
             enable_bloom=s.get("enableBloom"),
             enable_gtao=s.get("enableGTAO"),
             enable_ssr=s.get("enableSSR"),

@@ -66,13 +66,15 @@ class PackedGeometry:
 
 class SceneRenderBridge:
     def __init__(self, scene: Scene, meshes: MeshRegistry, materials: MaterialRegistry,
-                 caps: Optional[BridgeCapacities] = None, skeletons=None):
+                 caps: Optional[BridgeCapacities] = None, skeletons=None,
+                 textures=None):
         self.scene = scene
         self.meshes = meshes
         self.materials = materials
         self.caps = caps or BridgeCapacities()
         self.packed: Optional[PackedGeometry] = None
         self.skeletons = skeletons  # models.animation.SkeletonRegistry
+        self.textures = textures    # models.textures.TextureRegistry
 
     def snapshot_joint_palette(self, t: float = 0.0) -> np.ndarray:
         """(max_joints, 16) object-space skinning palette for all skinned
@@ -280,6 +282,8 @@ class SceneRenderBridge:
             indices=jnp.asarray(p.indices),
             tri_material=jnp.asarray(p.tri_material),
             tri_object=jnp.asarray(p.tri_object),
+            tex_atlas=f32(self.textures.atlas()[1] if self.textures and
+                          len(self.textures) else np.ones((1, 4, 4, 4), np.float32)),
             vert_joints=jnp.asarray(p.vert_joints),
             vert_weights=f32(p.vert_weights),
             joint_palette=f32(self.snapshot_joint_palette()),

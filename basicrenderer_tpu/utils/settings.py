@@ -126,6 +126,7 @@ def make_default_settings() -> SettingsManager:
                description="froxel grid; reference default Renderer.h:157")
     s.register("maxLightsPerCluster", 64, structural=True)
     s.register("enableIBL", True, structural=True)
+    s.register("enableTextures", False, structural=True)
     s.register("enableGTAO", False, structural=True)
     s.register("enableSSR", False, structural=True)
     s.register("enableBloom", True, structural=True)
