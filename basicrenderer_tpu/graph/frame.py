@@ -113,7 +113,8 @@ def visibility_pass(pairs, config: FrameConfig, init=None):
     loop; the portable path runs the two reference kernels back to back.
     `init` seeds the buffers (two-phase occlusion replay)."""
     if config.use_pallas_raster:
-        return raster_tiles_pallas(pairs, config, init=init)
+        return raster_tiles_pallas(pairs, config, init=init,
+                                   interpret=config.pallas_interpret)
     depth_p, vis_p = raster_tiles_ref(
         pairs, config, init=None if init is None else (init[0], init[1]))
     channels = resolve_attributes_ref(pairs, vis_p, config)
@@ -234,7 +235,8 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
             shade_in = jax.lax.optimization_barrier(shade_in)
             if config.use_pallas_raster:
                 local = lighting.tiled_shade_pallas(
-                    shade_in, payload, counts, view.cam_pos, config)
+                    shade_in, payload, counts, view.cam_pos, config,
+                    interpret=config.pallas_interpret)
             else:
                 local = lighting.tiled_shade_ref(
                     shade_in, payload, counts, view.cam_pos, config)

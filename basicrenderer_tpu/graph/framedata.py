@@ -130,6 +130,7 @@ class FrameConfig:
     hzb_levels: int = 8
     debug_view: str = "none"
     use_pallas_raster: bool = True
+    pallas_interpret: bool = False   # interpret-mode Pallas (CPU tests)
 
     @property
     def tiles_x(self) -> int:

@@ -51,7 +51,8 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     for _k in range(config.oit_layers):
         if config.use_pallas_raster:
             d, v, ch = raster_tiles_pallas(pairs, config,
-                                           peel=(opaque_depth_p, peel_bound))
+                                           peel=(opaque_depth_p, peel_bound),
+                                           interpret=config.pallas_interpret)
         else:
             d, v = raster_tiles_ref(pairs, config,
                                     peel=(opaque_depth_p, peel_bound))

@@ -119,7 +119,8 @@ def render_cascade(scene: SceneBuffers, cascade_vp: jnp.ndarray,
             clip, scene.indices, scene.tri_object >= 0, scfg, None, None, None)
     pairs = raster_setup.bin_pairs(lanes, bbox, valid, scfg)
     if config.use_pallas_raster:
-        depth, _, _ = raster_tiles_pallas(pairs, scfg)
+        depth, _, _ = raster_tiles_pallas(pairs, scfg,
+                                          interpret=config.pallas_interpret)
     else:
         depth, _ = raster_tiles_ref(pairs, scfg)
     return depth
