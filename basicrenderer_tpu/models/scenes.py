@@ -29,17 +29,26 @@ class BuiltScene:
 
 def build_courtyard(grid: int = 10, seed: int = 42,
                     meshes: Optional[MeshRegistry] = None,
-                    materials: Optional[MaterialRegistry] = None) -> BuiltScene:
+                    materials: Optional[MaterialRegistry] = None,
+                    lod: bool = False) -> BuiltScene:
     """A Sponza-courtyard-style scene: terrain floor + a grid^2 field of
-    mixed sphere/cube/torus instances with varied PBR materials + lights."""
+    mixed sphere/cube/torus instances with varied PBR materials + lights.
+    With `lod=True` the curved shapes carry cluster-LOD DAGs (the
+    virtualized-geometry bench path)."""
     rng = np.random.default_rng(seed)
     meshes = meshes or MeshRegistry()
     materials = materials or MaterialRegistry()
 
     terrain = meshes.add(procedural.make_fractal_terrain(size=60.0, segments=96, height=2.0))
-    sphere = meshes.add(procedural.make_uv_sphere(0.5, rings=16, sectors=32))
+    sphere_mesh = procedural.make_uv_sphere(0.5, rings=16, sectors=32)
+    torus_mesh = procedural.make_torus(0.5, 0.2, rings=24, sides=12)
+    if lod:
+        from . import clusters
+        sphere_mesh = clusters.to_mesh_data(clusters.build_cluster_lod(sphere_mesh))
+        torus_mesh = clusters.to_mesh_data(clusters.build_cluster_lod(torus_mesh))
+    sphere = meshes.add(sphere_mesh)
     cube = meshes.add(procedural.make_cube(0.8))
-    torus = meshes.add(procedural.make_torus(0.5, 0.2, rings=24, sides=12))
+    torus = meshes.add(torus_mesh)
     shapes = [sphere, cube, torus]
 
     mat_ids = []

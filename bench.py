@@ -31,9 +31,10 @@ def main() -> None:
     from basicrenderer_tpu.scene.bridge import BridgeCapacities, SceneRenderBridge
 
     width, height = 1920, 1080
-    built = build_courtyard(grid=12)
+    built = build_courtyard(grid=12, lod=True)
     caps = BridgeCapacities(max_vertices=1 << 17, max_triangles=1 << 17,
-                            max_objects=256, max_materials=64, max_lights=16)
+                            max_objects=256, max_materials=64, max_lights=16,
+                            max_clusters=1 << 13)
     bridge = SceneRenderBridge(built.scene, built.meshes, built.materials, caps)
     buffers = bridge.build_scene_buffers()
     view_np, proj_np, cam = built.scene.camera_matrices(aspect=width / height)
@@ -42,6 +43,7 @@ def main() -> None:
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     config = FrameConfig(width=width, height=height, tile_h=32, tile_w=128,
                          max_pairs=1 << 17, max_tiles_per_tri=8,
+                         enable_clod=True, max_visible_clusters=512,
                          use_pallas_raster=on_tpu)
     from basicrenderer_tpu.graph.framedata import FrameParams
     params = FrameParams.default()
@@ -68,7 +70,7 @@ def main() -> None:
     ms = (t2 - t1) / iters * 1000.0
 
     print(json.dumps({
-        "metric": "ms/frame 1080p courtyard (vis-buffer deferred, "
+        "metric": "ms/frame 1080p courtyard (vis-buffer virtualized geometry, "
                   f"{built.num_triangles} tris, overflow={overflow})",
         "value": round(ms, 3),
         "unit": "ms",
