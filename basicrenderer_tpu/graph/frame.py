@@ -300,6 +300,42 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
         if config.enable_auto_exposure:
             exposure = exposure * post_ops.auto_exposure(hdr)
 
+        if config.debug_view != "none":
+            # Debug visualizations (reference: Menu debug-view selector +
+            # debug resolve pass, Menu.h:163-170 / RenderGraphBuildHelper).
+            if config.debug_view == "normals":
+                hdr = gb.normal * 0.5 + 0.5
+            elif config.debug_view == "depth":
+                d = jnp.clip(gb.depth / jnp.maximum(gb.depth.max(), 1e-6), 0, 1)
+                hdr = jnp.stack([d, d, d], -1)
+            elif config.debug_view == "albedo":
+                hdr = gb.albedo
+            elif config.debug_view == "material":
+                mid = gb.material_id.astype(jnp.float32)
+                hdr = jnp.stack([jnp.sin(mid * 3.1) * 0.5 + 0.5,
+                                 jnp.sin(mid * 7.7) * 0.5 + 0.5,
+                                 jnp.sin(mid * 13.3) * 0.5 + 0.5], -1)
+            elif config.debug_view == "clusters":
+                cid = vis.astype(jnp.float32) / 128.0
+                hdr = jnp.stack([jnp.sin(cid * 12.9898) * 0.5 + 0.5,
+                                 jnp.sin(cid * 78.233) * 0.5 + 0.5,
+                                 jnp.sin(cid * 37.719) * 0.5 + 0.5], -1)
+            elif config.debug_view == "ao" and ao is not None:
+                hdr = jnp.stack([ao, ao, ao], -1)
+            elif config.debug_view == "uv":
+                hdr = jnp.concatenate(
+                    [gb.uv, jnp.zeros_like(gb.uv[..., :1])], -1)
+            hdr = jnp.where(gb.valid[..., None], hdr, 0.0)
+            exposure = jnp.float32(1.0)
+            srgb_img = jnp.clip(hdr, 0.0, 1.0)
+            image = (srgb_img * 255.0 + 0.5).astype(jnp.uint8)
+            return {
+                "image": image, "hdr": hdr, "depth": depth,
+                "depth_padded": depth_p, "vis": vis,
+                "bin_overflow": pairs.overflow, "num_pairs": pairs.num_pairs,
+                "light_overflow": light_overflow, "taa_out": hdr,
+            }
+
         ldr = shade_ops.aces_tonemap(hdr * exposure)
         srgb = shade_ops.linear_to_srgb(ldr)
         image = (srgb * 255.0 + 0.5).astype(jnp.uint8)

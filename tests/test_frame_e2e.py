@@ -112,3 +112,18 @@ def test_frame_deterministic():
     a = np.asarray(frame(buffers, vd, FrameParams.default())["image"])
     b = np.asarray(frame(buffers, vd, FrameParams.default())["image"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_debug_views():
+    import dataclasses
+    sc, bridge = build_test_scene()
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    vd = make_view(view, proj, pos)
+    for mode in ("normals", "depth", "albedo", "clusters"):
+        cfg = dataclasses.replace(CFG, debug_view=mode)
+        out = jax.jit(build_frame_fn(cfg))(buffers, vd, FrameParams.default())
+        img = np.asarray(out["image"])
+        assert img.shape == (128, 128, 3)
+        vis = np.asarray(out["vis"])
+        assert img[vis > 0].std() > 1  # non-degenerate visualization
