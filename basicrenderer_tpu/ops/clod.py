@@ -119,25 +119,3 @@ def compact_visible_tris(scene: SceneBuffers, cut: jnp.ndarray,
     tri_mat = jnp.broadcast_to(mat_of_slot[:, None], (Kc, K)).reshape(-1)
     tri_obj = jnp.broadcast_to(obj_of_slot[:, None], (Kc, K)).reshape(-1)
     return (g, tri_mat, tri_obj, tri_ok.reshape(-1), overflow)
-
-
-def cluster_mask_to_tris(selected: jnp.ndarray, tri_cluster: jnp.ndarray
-                         ) -> jnp.ndarray:
-    """(C,) cluster cut -> (T,) triangle mask. tri_cluster == -1 (non-LOD
-    geometry) is always selected. One-hot MXU expansion, chunked over C to
-    bound the one-hot width."""
-    T = tri_cluster.shape[0]
-    C = selected.shape[0]
-    is_plain = tri_cluster < 0
-    table = selected.astype(jnp.float32)[:, None]
-    CHUNK_C = 2048
-    ok = jnp.zeros((T,), jnp.float32)
-    idx = jnp.maximum(tri_cluster, 0)
-    for c0 in range(0, C, CHUNK_C):
-        sub = table[c0:c0 + CHUNK_C]
-        local = idx - c0
-        inside = (local >= 0) & (local < sub.shape[0])
-        oh = jax.nn.one_hot(jnp.where(inside, local, 0), sub.shape[0],
-                            dtype=jnp.float32)
-        ok = ok + jnp.where(inside, (oh @ sub)[:, 0], 0.0)
-    return is_plain | (ok > 0.5)
