@@ -187,7 +187,10 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
             from ..ops import textures as tex_ops
             tex = tex_ops.sample_layered_atlas(
                 scene.tex_atlas, gb.base_tex, gb.uv, config.texture_downscale)
-            gb = gb._replace(albedo=gb.albedo * tex[..., :3])
+            nrm2 = tex_ops.apply_normal_map(
+                gb.normal, gb.world_pos, gb.uv, scene.tex_atlas,
+                gb.normal_tex, downscale=config.texture_downscale)
+            gb = gb._replace(albedo=gb.albedo * tex[..., :3], normal=nrm2)
 
         shadow_fn = None
         if config.enable_shadows:

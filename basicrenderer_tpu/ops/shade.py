@@ -45,6 +45,7 @@ class GBuffer(NamedTuple):
     uv: jnp.ndarray          # (H, W, 2) f32
     alpha: jnp.ndarray = None  # (H, W) f32 material base alpha (OIT)
     base_tex: jnp.ndarray = None  # (H, W) i32 base-color texture id (-1 none)
+    normal_tex: jnp.ndarray = None  # (H, W) i32 normal texture id (-1 none)
 
 
 def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
@@ -167,6 +168,8 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
         alpha=jnp.where(covered, alpha, 0.0),
         base_tex=jnp.where(covered, jnp.round(mat[:, 13]).astype(jnp.int32)
                            .reshape(H, W), -1),
+        normal_tex=jnp.where(covered, jnp.round(mat[:, 14]).astype(jnp.int32)
+                             .reshape(H, W), -1),
     )
 
 

@@ -77,3 +77,39 @@ def test_textured_frame():
     bright = (lum > lum.mean()).mean()
     assert 0.2 < bright < 0.8
     assert lum.std() > 25
+
+
+def test_normal_mapping_perturbs_shading():
+    """A bumpy normal map on a flat plane must modulate lighting where a
+    flat normal would shade uniformly."""
+    import jax.numpy as jnp
+    from basicrenderer_tpu.ops.textures import apply_normal_map
+
+    reg = TextureRegistry(resolution=64)
+    # Normal map: stripes tilting left/right in tangent space.
+    r = 64
+    xs = np.arange(r)
+    tilt = np.where((xs // 8) % 2 == 0, 0.35, -0.35)
+    nm = np.zeros((r, r, 3), np.float32)
+    nm[..., 0] = tilt[None, :]
+    nm[..., 2] = np.sqrt(1 - tilt[None, :] ** 2)
+    tid = reg.add(nm * 0.5 + 0.5, srgb=False)
+    _, a1 = reg.atlas()
+
+    H = W = 32
+    normal = jnp.zeros((H, W, 3), jnp.float32).at[..., 1].set(1.0)  # flat up
+    u = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5) / W
+    v = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5) / H
+    uv = jnp.stack([u, v], -1)
+    # World pos: XZ plane spanning [0,8]^2, y=0 — consistent with uv.
+    wp = jnp.stack([u * 8.0, jnp.zeros((H, W)), v * 8.0], -1)
+    ntex = jnp.full((H, W), tid, jnp.int32)
+    out = np.asarray(apply_normal_map(normal, wp, uv, jnp.asarray(a1),
+                                      ntex, downscale=1))
+    # Normals tilt in +-X alternating; y stays dominant.
+    assert out[16, 2:30, 0].std() > 0.1
+    assert (out[..., 1] > 0.8).mean() > 0.9
+    # id -1 leaves normals unchanged.
+    out2 = np.asarray(apply_normal_map(normal, wp, uv, jnp.asarray(a1),
+                                       jnp.full((H, W), -1, jnp.int32), 1))
+    np.testing.assert_allclose(out2, np.asarray(normal), atol=1e-6)
