@@ -11,6 +11,14 @@ jit specialization keyed on FrameConfig.
 Pass order mirrors Renderer::CreateRenderGraph (Renderer.cpp:2433-2754):
 geometry -> visibility buffer -> GBuffer resolve -> deferred shade + sky ->
 post (bloom/tonemap) -> sRGB output.
+
+Multi-chip: the SAME frame body runs under shard_map with screen tile-rows
+sharded over the mesh axis (parallel/tile_sharding.py). `_render_body` takes
+(lcfg, row0_tiles, axis): geometry/binning/shadow-render are replicated
+(cheap relative to per-pixel work), raster + shading run on the shard's own
+rows, and the only cross-device traffic is an all_gather for the cross-row
+image passes (HZB, GTAO, bloom, auto-exposure) — the tile-sharded CP/SP
+analogue from SURVEY.md §2.4.
 """
 
 from __future__ import annotations
@@ -38,23 +46,6 @@ def object_mask_to_tris(object_visible: jnp.ndarray, tri_object: jnp.ndarray
     return ok[:, 0] > 0.5
 
 
-def geometry_setup(scene: SceneBuffers, view: ViewData, config: FrameConfig):
-    """Vertex transform + triangle setup (phase-independent)."""
-    clip, world_pos, world_normals = raster_setup.transform_geometry(
-        scene.positions, scene.normals, scene.vert_object, scene.object_mats,
-        scene.object_normal_mats, view.viewproj)
-    # Stage barrier (2D arrays only — rank-3 intermediates pad to (8,128)
-    # tiles in HBM and must never be materialized): stops XLA re-running the
-    # vertex one-hot matmul inside downstream fusions.
-    clip, world_pos, world_normals = jax.lax.optimization_barrier(
-        (clip, world_pos, world_normals))
-    tri_valid = scene.tri_object >= 0
-    lanes, bbox, valid = raster_setup.triangle_setup_packed(
-        clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
-        scene.tri_material)
-    return clip, world_pos, world_normals, lanes, bbox, valid
-
-
 def clod_compact(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                  params: FrameParams, frustum: bool = True):
     """Virtualized-geometry LOD cut + visible-triangle compaction
@@ -77,7 +68,8 @@ def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                   params: FrameParams = None):
     """Setup + culled binning. With enable_clod the pipeline goes through
     the visible-cluster compaction (cost scales with the visible budget);
-    otherwise the full soup is set up with object-level frustum culling."""
+    otherwise the full soup is set up with object-level frustum culling.
+    Returns (clip, world_pos, world_normals, cluster_overflow, pairs)."""
     if config.enable_clod:
         # Virtualized-geometry fast path: nothing here touches the full
         # soup except the cluster table and the compaction gather.
@@ -87,37 +79,57 @@ def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig,
             scene.vertex_table, scene.object_mats, scene.object_normal_mats,
             view.viewproj, idx, tvalid, config, mat, tobj)
         pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
-        return None, None, None, None, pairs
+        return None, None, None, cl_overflow, pairs
     clip, world_pos, world_normals = raster_setup.transform_geometry(
         scene.positions, scene.normals, scene.vert_object, scene.object_mats,
         scene.object_normal_mats, view.viewproj)
     clip, world_pos, world_normals = jax.lax.optimization_barrier(
         (clip, world_pos, world_normals))
-    if True:
-        tri_valid = scene.tri_object >= 0
-        lanes, bbox, valid = raster_setup.triangle_setup_packed(
-            clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
-            scene.tri_material)
-        if config.enable_culling:
-            obj_vis = culling.frustum_cull_spheres(
-                view.viewproj, scene.object_bounds[:, :3],
-                scene.object_bounds[:, 3], scene.object_valid)
-            valid = valid & object_mask_to_tris(obj_vis, scene.tri_object)
+    tri_valid = scene.tri_object >= 0
+    lanes, bbox, valid = raster_setup.triangle_setup_packed(
+        clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
+        scene.tri_material)
+    if config.enable_culling:
+        obj_vis = culling.frustum_cull_spheres(
+            view.viewproj, scene.object_bounds[:, :3],
+            scene.object_bounds[:, 3], scene.object_valid)
+        valid = valid & object_mask_to_tris(obj_vis, scene.tri_object)
     pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
-    return clip, world_pos, world_normals, None, pairs
+    return clip, world_pos, world_normals, jnp.int32(0), pairs
 
 
-def visibility_pass(pairs, config: FrameConfig, init=None):
-    """Rasterize binned triangles -> (depth, vis, channels) on the PADDED
-    tile grid. The Pallas path fuses the attribute resolve into the raster
-    loop; the portable path runs the two reference kernels back to back.
-    `init` seeds the buffers (two-phase occlusion replay)."""
-    if config.use_pallas_raster:
-        return raster_tiles_pallas(pairs, config, init=init,
-                                   interpret=config.pallas_interpret)
+def geometry_setup(scene: SceneBuffers, view: ViewData, config: FrameConfig):
+    """Vertex transform + triangle setup (phase-independent; the two-phase
+    occlusion path re-bins the same setup per phase)."""
+    clip, world_pos, world_normals = raster_setup.transform_geometry(
+        scene.positions, scene.normals, scene.vert_object, scene.object_mats,
+        scene.object_normal_mats, view.viewproj)
+    # Stage barrier (2D arrays only — rank-3 intermediates pad to (8,128)
+    # tiles in HBM and must never be materialized): stops XLA re-running the
+    # vertex one-hot matmul inside downstream fusions.
+    clip, world_pos, world_normals = jax.lax.optimization_barrier(
+        (clip, world_pos, world_normals))
+    tri_valid = scene.tri_object >= 0
+    lanes, bbox, valid = raster_setup.triangle_setup_packed(
+        clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
+        scene.tri_material)
+    return clip, world_pos, world_normals, lanes, bbox, valid
+
+
+def visibility_pass(pairs, lcfg: FrameConfig, init=None, tile_row0=0):
+    """Rasterize binned triangles -> (depth, vis, channels) on the (local)
+    PADDED tile grid. The Pallas path fuses the attribute resolve into the
+    raster loop; the portable path runs the two reference kernels back to
+    back. `init` seeds the buffers (two-phase occlusion replay). `pairs`
+    must already carry the local tile_offsets slice when tile_row0 != 0."""
+    if lcfg.use_pallas_raster:
+        return raster_tiles_pallas(pairs, lcfg, init=init,
+                                   interpret=lcfg.pallas_interpret,
+                                   tile_row0=tile_row0)
     depth_p, vis_p = raster_tiles_ref(
-        pairs, config, init=None if init is None else (init[0], init[1]))
-    channels = resolve_attributes_ref(pairs, vis_p, config)
+        pairs, lcfg, tile_row0=tile_row0,
+        init=None if init is None else (init[0], init[1]))
+    channels = resolve_attributes_ref(pairs, vis_p, lcfg, tile_row0=tile_row0)
     if init is not None:
         # Merge: keep phase-1 channels where phase 2 didn't overwrite.
         fresh = vis_p != init[1]
@@ -125,8 +137,283 @@ def visibility_pass(pairs, config: FrameConfig, init=None):
     return depth_p, vis_p, channels
 
 
+def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
+                 prev_depth: Optional[jnp.ndarray],
+                 taa_history: Optional[jnp.ndarray],
+                 *, config: FrameConfig, lcfg: FrameConfig,
+                 row0_tiles, axis: Optional[str]) -> Dict[str, jnp.ndarray]:
+    """The frame program — ONE implementation for single-chip and sharded
+    execution. `config` is the full-frame config; `lcfg` the local (shard)
+    config differing only in height; `row0_tiles` the shard's global tile-row
+    offset (0 single-chip); `axis` the shard_map mesh axis (None single-chip).
+
+    Sharded inputs: scene/view/params replicated; prev_depth/taa_history
+    row-sharded. Output image/depth/vis are the shard's rows.
+    """
+    H, W = lcfg.height, config.width
+    full_h = config.height
+    row0_px = row0_tiles * config.tile_h
+
+    def gather_rows(x):
+        """Shard rows -> full frame (identity single-chip). The cross-device
+        collective behind every cross-row pass (HZB, GTAO, bloom, exposure)."""
+        if axis is None:
+            return x
+        return jax.lax.all_gather(x, axis, axis=0, tiled=True)
+
+    def local_rows(x):
+        """Full frame -> this shard's rows (identity single-chip)."""
+        if axis is None:
+            return x
+        return jax.lax.dynamic_slice_in_dim(x, row0_px, H, 0)
+
+    def localize(pairs):
+        """Full-screen tile_offsets -> this shard's slice."""
+        if axis is None:
+            return pairs
+        start = row0_tiles * config.tiles_x
+        off = jax.lax.dynamic_slice_in_dim(pairs.tile_offsets, start,
+                                           lcfg.num_tiles + 1, 0)
+        return pairs._replace(tile_offsets=off)
+
+    if config.enable_skinning:
+        # Linear-blend skinning prepass rewrites positions/normals so
+        # every downstream path consumes deformed geometry
+        # (reference: skinningCommon.hlsli + SkeletonManager).
+        from ..ops import skinning as skin_ops
+        scene = skin_ops.apply_skinning(
+            scene, scene.joint_palette, scene.vert_joints,
+            scene.vert_weights)
+    centers = scene.object_bounds[:, :3]
+    radii = scene.object_bounds[:, 3]
+    cluster_overflow = jnp.int32(0)
+    if config.enable_occlusion and not config.enable_clod \
+            and prev_depth is not None:
+        clip, world_pos, world_normals, lanes, bbox, valid = geometry_setup(
+            scene, view, config)
+        prev_hzb = culling.build_hzb(gather_rows(prev_depth),
+                                     config.hzb_levels)
+        vis1, cand = culling.two_phase_object_cull(
+            view.viewproj, centers, radii, scene.object_valid, prev_hzb,
+            config.width, config.height)
+        valid1 = valid & object_mask_to_tris(vis1, scene.tri_object)
+        pairs = raster_setup.bin_pairs(lanes, bbox, valid1, config)
+        depth_p, vis_p, channels = visibility_pass(
+            localize(pairs), lcfg, tile_row0=row0_tiles)
+        # Phase 2: re-test candidates against the fresh HZB.
+        hzb_now = culling.build_hzb(gather_rows(depth_p), config.hzb_levels)
+        bb2, zn2, behind2 = culling.project_sphere_bounds(
+            view.viewproj, centers, radii, config.width, config.height)
+        vis2 = cand & culling.occlusion_test_hzb(
+            hzb_now, bb2, zn2, behind2, config.width, config.height)
+        valid2 = valid & object_mask_to_tris(vis2, scene.tri_object)
+        pairs2 = raster_setup.bin_pairs(lanes, bbox, valid2, config)
+        depth_p, vis_p, channels = visibility_pass(
+            localize(pairs2), lcfg, init=(depth_p, vis_p, channels),
+            tile_row0=row0_tiles)
+        pairs = pairs._replace(
+            overflow=pairs.overflow + pairs2.overflow,
+            num_pairs=pairs.num_pairs + pairs2.num_pairs)
+    else:
+        _clip, _wp, _wn, cluster_overflow, pairs = geometry_pass(
+            scene, view, config, params)
+        depth_p, vis_p, channels = visibility_pass(
+            localize(pairs), lcfg, tile_row0=row0_tiles)
+
+    depth = depth_p[:H, :W]
+    vis = vis_p[:H, :W]
+    gb = shade_ops.gbuffer_from_channels(
+        channels[:, :H, :W], depth, vis, view, scene.material_table,
+        config.width, config.height, row0=row0_px)
+
+    if config.enable_textures:
+        # Base-color texture modulation (reference: material texture
+        # fetches in VisUtilEvaluate/gbuffer.hlsl; ops/textures.py for
+        # the reduced-rate TPU sampling strategy).
+        from ..ops import textures as tex_ops
+        tex = tex_ops.sample_layered_atlas(
+            scene.tex_atlas, gb.base_tex, gb.uv, config.texture_downscale)
+        nrm2 = tex_ops.apply_normal_map(
+            gb.normal, gb.world_pos, gb.uv, scene.tex_atlas,
+            gb.normal_tex, downscale=config.texture_downscale)
+        gb = gb._replace(albedo=gb.albedo * tex[..., :3], normal=nrm2)
+
+    shadow_fn = None
+    if config.enable_shadows:
+        # Cascaded shadow maps for the primary directional light
+        # (reference: LightManager directional cascades; ops/shadows.py).
+        # The bridge packs directional lights first, so row 0 is the
+        # primary directional light whenever num_dir_lights > 0; the
+        # shadow term is neutralized otherwise.
+        from ..ops import shadows as shadow_ops
+        ldir = scene.lights[0, 4:7]
+        cascade_vps, _splits = shadow_ops.cascade_matrices(
+            view, ldir, config.num_cascades)
+        if config.enable_clod:
+            shadow_tris = clod_compact(scene, view, config, params,
+                                       frustum=False)
+        else:
+            shadow_tris = None
+        smaps = jnp.stack([
+            shadow_ops.render_cascade(scene, cascade_vps[k], config,
+                                      compacted=shadow_tris)
+            for k in range(config.num_cascades)])
+        shadow_term = shadow_ops.sample_shadow_cascades(
+            gb.world_pos, gb.normal, ldir, cascade_vps, smaps,
+            params.shadow_bias)
+        shadow_term = jnp.where(scene.num_dir_lights > 0, shadow_term, 1.0)
+
+        def shadow_fn(i, wp, n):
+            return jnp.where(i == 0, shadow_term, jnp.ones_like(shadow_term))
+
+    if config.enable_clustered:
+        # Tiled many-light pass (reference: clustered lighting,
+        # clustering.hlsl + lightCulling.hlsl — see ops/lighting.py for
+        # the TPU-shaped redesign).
+        payload, counts, light_overflow = lighting.cull_lights_tiles(
+            depth_p, scene.lights, scene.num_lights, view, config,
+            row0_tiles=row0_tiles)
+        Hp, Wp = lcfg.padded_height, lcfg.padded_width
+
+        def pad(x):
+            return jnp.pad(x, ((0, Hp - H), (0, Wp - W)))
+
+        shade_in = jnp.stack([
+            pad(gb.normal[..., 0]), pad(gb.normal[..., 1]), pad(gb.normal[..., 2]),
+            pad(gb.albedo[..., 0]), pad(gb.albedo[..., 1]), pad(gb.albedo[..., 2]),
+            pad(gb.metallic), pad(gb.roughness),
+            pad(gb.world_pos[..., 0]), pad(gb.world_pos[..., 1]),
+            pad(gb.world_pos[..., 2]),
+            pad(gb.valid.astype(jnp.float32)),
+        ])
+        shade_in = jax.lax.optimization_barrier(shade_in)
+        if lcfg.use_pallas_raster:
+            local = lighting.tiled_shade_pallas(
+                shade_in, payload, counts, view.cam_pos, lcfg,
+                interpret=lcfg.pallas_interpret)
+        else:
+            local = lighting.tiled_shade_ref(
+                shade_in, payload, counts, view.cam_pos, lcfg)
+        hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn,
+                                       directional_only=True)
+        hdr = hdr + local[:, :H, :W].transpose(1, 2, 0)
+    else:
+        light_overflow = jnp.int32(0)
+        hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn)
+    sky = shade_ops.procedural_sky(view, H, W, params.sky_intensity,
+                                   row0=row0_px, full_h=full_h)
+    hdr = jnp.where(gb.valid[..., None], hdr, sky)
+
+    ao = None
+    if config.enable_gtao:
+        # XeGTAO analogue (shift-tap variant, ops/post.py). Cross-row taps
+        # => computed on the gathered frame when sharded.
+        from ..ops import post as post_ops
+        ao = local_rows(post_ops.gtao(
+            gather_rows(depth), gather_rows(gb.normal), view, view.near,
+            params.gtao_radius, params.gtao_intensity, params.frame_index))
+        ao = jnp.where(gb.valid, ao, 1.0)
+
+    if config.enable_ibl:
+        # Ambient IBL (reference: IBL.hlsli — SH diffuse + split-sum
+        # specular with the Karis analytic env-BRDF, see ops/ibl.py).
+        from ..ops import ibl as ibl_ops
+        v = view.cam_pos[None, None, :] - gb.world_pos
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        ndv = jnp.maximum(jnp.sum(gb.normal * v, -1), 1e-4)
+        irr = ibl_ops.eval_sh_irradiance(scene.env_sh, gb.normal)
+        f0 = 0.04 * (1 - gb.metallic[..., None]) + gb.albedo * gb.metallic[..., None]
+        kd = (1.0 - f0) * (1.0 - gb.metallic[..., None])
+        diffuse_ibl = kd * gb.albedo * irr
+        scale, bias = ibl_ops.env_brdf_karis(ndv, gb.roughness)
+        prefiltered = ibl_ops.runtime_specular_ibl(
+            gb.normal, v, gb.roughness, scene.env_specular,
+            downscale=config.ibl_specular_downscale)
+        spec_ibl = prefiltered * (f0 * scale[..., None] + bias[..., None])
+        ambient = (diffuse_ibl + spec_ibl) * params.ibl_intensity
+        if ao is not None:
+            ambient = ambient * ao[..., None]
+        hdr = hdr + jnp.where(gb.valid[..., None], ambient, 0.0)
+    elif ao is not None:
+        hdr = hdr * (0.5 + 0.5 * ao[..., None])
+
+    if config.enable_oit and config.enable_clod:
+        # K-layer depth-peeled OIT (reference: deep-visibility /
+        # AVBOIT transparency; ops/oit.py for the TPU variant).
+        from ..ops import oit as oit_ops
+        hdr = oit_ops.composite_oit(scene, view, config, params,
+                                    depth_p, hdr, lcfg=lcfg,
+                                    row0_tiles=row0_tiles,
+                                    localize=localize)
+
+    from ..ops import post as post_ops
+    if config.enable_taa and taa_history is not None:
+        hdr = post_ops.taa_resolve(hdr, taa_history, params.taa_blend)
+    taa_out = hdr
+    if config.enable_bloom:
+        hdr = local_rows(post_ops.bloom(gather_rows(hdr),
+                                        params.bloom_threshold,
+                                        params.bloom_intensity))
+    exposure = params.exposure
+    if config.enable_auto_exposure:
+        exposure = exposure * post_ops.auto_exposure(gather_rows(hdr))
+
+    if config.debug_view != "none":
+        # Debug visualizations (reference: Menu debug-view selector +
+        # debug resolve pass, Menu.h:163-170 / RenderGraphBuildHelper).
+        if config.debug_view == "normals":
+            hdr = gb.normal * 0.5 + 0.5
+        elif config.debug_view == "depth":
+            d = jnp.clip(gb.depth / jnp.maximum(gb.depth.max(), 1e-6), 0, 1)
+            hdr = jnp.stack([d, d, d], -1)
+        elif config.debug_view == "albedo":
+            hdr = gb.albedo
+        elif config.debug_view == "material":
+            mid = gb.material_id.astype(jnp.float32)
+            hdr = jnp.stack([jnp.sin(mid * 3.1) * 0.5 + 0.5,
+                             jnp.sin(mid * 7.7) * 0.5 + 0.5,
+                             jnp.sin(mid * 13.3) * 0.5 + 0.5], -1)
+        elif config.debug_view == "clusters":
+            cid = vis.astype(jnp.float32) / 128.0
+            hdr = jnp.stack([jnp.sin(cid * 12.9898) * 0.5 + 0.5,
+                             jnp.sin(cid * 78.233) * 0.5 + 0.5,
+                             jnp.sin(cid * 37.719) * 0.5 + 0.5], -1)
+        elif config.debug_view == "ao" and ao is not None:
+            hdr = jnp.stack([ao, ao, ao], -1)
+        elif config.debug_view == "uv":
+            hdr = jnp.concatenate(
+                [gb.uv, jnp.zeros_like(gb.uv[..., :1])], -1)
+        hdr = jnp.where(gb.valid[..., None], hdr, 0.0)
+        srgb_img = jnp.clip(hdr, 0.0, 1.0)
+        image = (srgb_img * 255.0 + 0.5).astype(jnp.uint8)
+        return {
+            "image": image, "hdr": hdr, "depth": depth,
+            "depth_padded": depth_p, "vis": vis,
+            "bin_overflow": pairs.overflow, "num_pairs": pairs.num_pairs,
+            "cluster_overflow": cluster_overflow,
+            "light_overflow": light_overflow, "taa_out": hdr,
+        }
+
+    ldr = shade_ops.aces_tonemap(hdr * exposure)
+    srgb = shade_ops.linear_to_srgb(ldr)
+    image = (srgb * 255.0 + 0.5).astype(jnp.uint8)
+
+    return {
+        "image": image,
+        "hdr": hdr,
+        "depth": depth,
+        "depth_padded": depth_p,   # next frame's occlusion HZB source
+        "vis": vis,
+        "bin_overflow": pairs.overflow,
+        "num_pairs": pairs.num_pairs,
+        "cluster_overflow": cluster_overflow,
+        "light_overflow": light_overflow,
+        "taa_out": taa_out,
+    }
+
+
 def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]:
-    """Returns the traced frame function (not yet jitted).
+    """Returns the traced single-chip frame function (not yet jitted).
 
     With `enable_occlusion`, the frame takes the previous frame's (padded)
     depth buffer and performs two-phase occlusion culling at object
@@ -138,222 +425,9 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
     def frame(scene: SceneBuffers, view: ViewData, params: FrameParams,
               prev_depth: jnp.ndarray = None,
               taa_history: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
-        if config.enable_skinning:
-            # Linear-blend skinning prepass rewrites positions/normals so
-            # every downstream path consumes deformed geometry
-            # (reference: skinningCommon.hlsli + SkeletonManager).
-            from ..ops import skinning as skin_ops
-            scene = skin_ops.apply_skinning(
-                scene, scene.joint_palette, scene.vert_joints,
-                scene.vert_weights)
-        centers = scene.object_bounds[:, :3]
-        radii = scene.object_bounds[:, 3]
-        if config.enable_occlusion and not config.enable_clod \
-                and prev_depth is not None:
-            clip, world_pos, world_normals, lanes, bbox, valid = geometry_setup(
-                scene, view, config)
-            prev_hzb = culling.build_hzb(prev_depth, config.hzb_levels)
-            vis1, cand = culling.two_phase_object_cull(
-                view.viewproj, centers, radii, scene.object_valid, prev_hzb,
-                config.width, config.height)
-            valid1 = valid & object_mask_to_tris(vis1, scene.tri_object)
-            pairs = raster_setup.bin_pairs(lanes, bbox, valid1, config)
-            depth_p, vis_p, channels = visibility_pass(pairs, config)
-            # Phase 2: re-test candidates against the fresh HZB.
-            hzb_now = culling.build_hzb(depth_p, config.hzb_levels)
-            bb2, zn2, behind2 = culling.project_sphere_bounds(
-                view.viewproj, centers, radii, config.width, config.height)
-            vis2 = cand & culling.occlusion_test_hzb(
-                hzb_now, bb2, zn2, behind2, config.width, config.height)
-            valid2 = valid & object_mask_to_tris(vis2, scene.tri_object)
-            pairs2 = raster_setup.bin_pairs(lanes, bbox, valid2, config)
-            depth_p, vis_p, channels = visibility_pass(
-                pairs2, config, init=(depth_p, vis_p, channels))
-        else:
-            clip, world_pos, world_normals, setup, pairs = geometry_pass(
-                scene, view, config, params)
-            depth_p, vis_p, channels = visibility_pass(pairs, config)
-
-        H, W = config.height, config.width
-        depth = depth_p[:H, :W]
-        vis = vis_p[:H, :W]
-        gb = shade_ops.gbuffer_from_channels(
-            channels[:, :H, :W], depth, vis, view, scene.material_table, W, H)
-
-        if config.enable_textures:
-            # Base-color texture modulation (reference: material texture
-            # fetches in VisUtilEvaluate/gbuffer.hlsl; ops/textures.py for
-            # the reduced-rate TPU sampling strategy).
-            from ..ops import textures as tex_ops
-            tex = tex_ops.sample_layered_atlas(
-                scene.tex_atlas, gb.base_tex, gb.uv, config.texture_downscale)
-            nrm2 = tex_ops.apply_normal_map(
-                gb.normal, gb.world_pos, gb.uv, scene.tex_atlas,
-                gb.normal_tex, downscale=config.texture_downscale)
-            gb = gb._replace(albedo=gb.albedo * tex[..., :3], normal=nrm2)
-
-        shadow_fn = None
-        if config.enable_shadows:
-            # Cascaded shadow maps for the primary directional light
-            # (reference: LightManager directional cascades; ops/shadows.py).
-            from ..ops import shadows as shadow_ops
-            ldir = scene.lights[0, 4:7]
-            cascade_vps, _splits = shadow_ops.cascade_matrices(
-                view, ldir, config.num_cascades)
-            if config.enable_clod:
-                shadow_tris = clod_compact(scene, view, config, params,
-                                           frustum=False)
-            else:
-                shadow_tris = None
-            smaps = jnp.stack([
-                shadow_ops.render_cascade(scene, cascade_vps[k], config,
-                                          compacted=shadow_tris)
-                for k in range(config.num_cascades)])
-            shadow_term = shadow_ops.sample_shadow_cascades(
-                gb.world_pos, gb.normal, ldir, cascade_vps, smaps,
-                params.shadow_bias)
-
-            def shadow_fn(i, wp, n):
-                return jnp.where(i == 0, shadow_term, jnp.ones_like(shadow_term))
-
-        if config.enable_clustered:
-            # Tiled many-light pass (reference: clustered lighting,
-            # clustering.hlsl + lightCulling.hlsl — see ops/lighting.py for
-            # the TPU-shaped redesign).
-            payload, counts, light_overflow = lighting.cull_lights_tiles(
-                depth_p, scene.lights, scene.num_lights, view, config)
-            Hp, Wp = config.padded_height, config.padded_width
-
-            def pad(x):
-                return jnp.pad(x, ((0, Hp - H), (0, Wp - W)))
-
-            shade_in = jnp.stack([
-                pad(gb.normal[..., 0]), pad(gb.normal[..., 1]), pad(gb.normal[..., 2]),
-                pad(gb.albedo[..., 0]), pad(gb.albedo[..., 1]), pad(gb.albedo[..., 2]),
-                pad(gb.metallic), pad(gb.roughness),
-                pad(gb.world_pos[..., 0]), pad(gb.world_pos[..., 1]),
-                pad(gb.world_pos[..., 2]),
-                pad(gb.valid.astype(jnp.float32)),
-            ])
-            shade_in = jax.lax.optimization_barrier(shade_in)
-            if config.use_pallas_raster:
-                local = lighting.tiled_shade_pallas(
-                    shade_in, payload, counts, view.cam_pos, config,
-                    interpret=config.pallas_interpret)
-            else:
-                local = lighting.tiled_shade_ref(
-                    shade_in, payload, counts, view.cam_pos, config)
-            hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn,
-                                           directional_only=True)
-            hdr = hdr + local[:, :H, :W].transpose(1, 2, 0)
-        else:
-            light_overflow = jnp.int32(0)
-            hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn)
-        sky = shade_ops.procedural_sky(view, config.height, config.width,
-                                       params.sky_intensity)
-        hdr = jnp.where(gb.valid[..., None], hdr, sky)
-
-        ao = None
-        if config.enable_gtao:
-            # XeGTAO analogue (shift-tap variant, ops/post.py).
-            from ..ops import post as post_ops
-            ao = post_ops.gtao(depth, gb.normal, view, view.near,
-                               params.gtao_radius, params.gtao_intensity,
-                               params.frame_index)
-            ao = jnp.where(gb.valid, ao, 1.0)
-
-        if config.enable_ibl:
-            # Ambient IBL (reference: IBL.hlsli — SH diffuse + split-sum
-            # specular with the Karis analytic env-BRDF, see ops/ibl.py).
-            from ..ops import ibl as ibl_ops
-            v = view.cam_pos[None, None, :] - gb.world_pos
-            v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
-            ndv = jnp.maximum(jnp.sum(gb.normal * v, -1), 1e-4)
-            irr = ibl_ops.eval_sh_irradiance(scene.env_sh, gb.normal)
-            f0 = 0.04 * (1 - gb.metallic[..., None]) + gb.albedo * gb.metallic[..., None]
-            kd = (1.0 - f0) * (1.0 - gb.metallic[..., None])
-            diffuse_ibl = kd * gb.albedo * irr
-            scale, bias = ibl_ops.env_brdf_karis(ndv, gb.roughness)
-            prefiltered = ibl_ops.runtime_specular_ibl(
-                gb.normal, v, gb.roughness, scene.env_specular,
-                downscale=config.ibl_specular_downscale)
-            spec_ibl = prefiltered * (f0 * scale[..., None] + bias[..., None])
-            ambient = (diffuse_ibl + spec_ibl) * params.ibl_intensity
-            if ao is not None:
-                ambient = ambient * ao[..., None]
-            hdr = hdr + jnp.where(gb.valid[..., None], ambient, 0.0)
-        elif ao is not None:
-            hdr = hdr * (0.5 + 0.5 * ao[..., None])
-
-        if config.enable_oit and config.enable_clod:
-            # K-layer depth-peeled OIT (reference: deep-visibility /
-            # AVBOIT transparency; ops/oit.py for the TPU variant).
-            from ..ops import oit as oit_ops
-            hdr = oit_ops.composite_oit(scene, view, config, params,
-                                        depth_p, hdr)
-
-        from ..ops import post as post_ops
-        if config.enable_taa and taa_history is not None:
-            hdr = post_ops.taa_resolve(hdr, taa_history, params.taa_blend)
-        taa_out = hdr
-        if config.enable_bloom:
-            hdr = post_ops.bloom(hdr, params.bloom_threshold,
-                                 params.bloom_intensity)
-        exposure = params.exposure
-        if config.enable_auto_exposure:
-            exposure = exposure * post_ops.auto_exposure(hdr)
-
-        if config.debug_view != "none":
-            # Debug visualizations (reference: Menu debug-view selector +
-            # debug resolve pass, Menu.h:163-170 / RenderGraphBuildHelper).
-            if config.debug_view == "normals":
-                hdr = gb.normal * 0.5 + 0.5
-            elif config.debug_view == "depth":
-                d = jnp.clip(gb.depth / jnp.maximum(gb.depth.max(), 1e-6), 0, 1)
-                hdr = jnp.stack([d, d, d], -1)
-            elif config.debug_view == "albedo":
-                hdr = gb.albedo
-            elif config.debug_view == "material":
-                mid = gb.material_id.astype(jnp.float32)
-                hdr = jnp.stack([jnp.sin(mid * 3.1) * 0.5 + 0.5,
-                                 jnp.sin(mid * 7.7) * 0.5 + 0.5,
-                                 jnp.sin(mid * 13.3) * 0.5 + 0.5], -1)
-            elif config.debug_view == "clusters":
-                cid = vis.astype(jnp.float32) / 128.0
-                hdr = jnp.stack([jnp.sin(cid * 12.9898) * 0.5 + 0.5,
-                                 jnp.sin(cid * 78.233) * 0.5 + 0.5,
-                                 jnp.sin(cid * 37.719) * 0.5 + 0.5], -1)
-            elif config.debug_view == "ao" and ao is not None:
-                hdr = jnp.stack([ao, ao, ao], -1)
-            elif config.debug_view == "uv":
-                hdr = jnp.concatenate(
-                    [gb.uv, jnp.zeros_like(gb.uv[..., :1])], -1)
-            hdr = jnp.where(gb.valid[..., None], hdr, 0.0)
-            exposure = jnp.float32(1.0)
-            srgb_img = jnp.clip(hdr, 0.0, 1.0)
-            image = (srgb_img * 255.0 + 0.5).astype(jnp.uint8)
-            return {
-                "image": image, "hdr": hdr, "depth": depth,
-                "depth_padded": depth_p, "vis": vis,
-                "bin_overflow": pairs.overflow, "num_pairs": pairs.num_pairs,
-                "light_overflow": light_overflow, "taa_out": hdr,
-            }
-
-        ldr = shade_ops.aces_tonemap(hdr * exposure)
-        srgb = shade_ops.linear_to_srgb(ldr)
-        image = (srgb * 255.0 + 0.5).astype(jnp.uint8)
-
-        return {
-            "image": image,
-            "hdr": hdr,
-            "depth": depth,
-            "depth_padded": depth_p,   # next frame's occlusion HZB source
-            "vis": vis,
-            "bin_overflow": pairs.overflow,
-            "num_pairs": pairs.num_pairs,
-            "light_overflow": light_overflow,
-            "taa_out": taa_out,
-        }
+        return _render_body(scene, view, params, prev_depth, taa_history,
+                            config=config, lcfg=config, row0_tiles=0,
+                            axis=None)
 
     return frame
 

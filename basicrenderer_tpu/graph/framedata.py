@@ -59,8 +59,11 @@ class SceneBuffers:
     # Cluster-LOD (virtualized geometry; ops/clod.py). tri_cluster = -1 for
     # non-clustered triangles (always selected).
     tri_cluster: jnp.ndarray     # (T,) i32 global cluster id or -1
-    cluster_table: jnp.ndarray   # (C, 8) f32 [center xyz, r, self_err,
-    #                              parent_err, level, pad] (object space)
+    cluster_table: jnp.ndarray   # (C, CLUSTER_STRIDE=12) f32 — see
+    #                              models/clusters.py: [center xyz, radius,
+    #                              self_err, parent_err, level, tri_offset,
+    #                              tri_count, material, transparent, pad]
+    #                              (bounds/errors in object space)
     cluster_object: jnp.ndarray  # (C,) i32 owning object
     num_clusters: jnp.ndarray    # () i32
     # Texture atlas (models/textures.py; mip-1 layers, sampled reduced-rate)
@@ -108,7 +111,6 @@ class FrameConfig:
     num_cascades: int = 4
     shadow_resolution: int = 1024
     enable_clustered: bool = False
-    cluster_grid: Tuple[int, int, int] = (12, 12, 24)
     max_lights_per_cluster: int = 64
     enable_ibl: bool = False
     ibl_specular_downscale: int = 2

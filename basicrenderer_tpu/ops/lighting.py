@@ -32,16 +32,19 @@ from ..graph.framedata import FrameConfig, LIGHT_STRIDE, ViewData
 SHADE_IN_CHANNELS = 12  # [n xyz, albedo rgb, metallic, roughness, wpos xyz, valid]
 
 
-def tile_world_bounds(depth_p: jnp.ndarray, view: ViewData, config: FrameConfig
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def tile_world_bounds(depth_p: jnp.ndarray, view: ViewData, config: FrameConfig,
+                      row0_tiles=0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-tile world-space AABB from the depth buffer.
 
     Returns (mins (num_tiles, 3), maxs (num_tiles, 3)). Tiles with no
     geometry get degenerate far-plane boxes (lights still shade the sky
-    pixels as no-ops since valid=0 there).
+    pixels as no-ops since valid=0 there). The tile-row count comes from
+    depth_p's shape; `row0_tiles` is the grid's global tile-row offset when
+    depth_p is a screen-row shard (parallel/tile_sharding.py).
     """
     th, tw = config.tile_h, config.tile_w
-    ty, tx = config.tiles_y, config.tiles_x
+    tx = config.tiles_x
+    ty = depth_p.shape[0] // th
     d = depth_p.reshape(ty, th, tx, tw)
     zmax = d.max(axis=(1, 3)).reshape(-1)           # nearest (reverse-Z)
     zmin_raw = d.min(axis=(1, 3)).reshape(-1)
@@ -50,10 +53,10 @@ def tile_world_bounds(depth_p: jnp.ndarray, view: ViewData, config: FrameConfig
     zmin = jnp.maximum(zmin_raw, 1e-4)
     zmax = jnp.maximum(zmax, zmin)
 
-    # Tile corner NDC coordinates.
+    # Tile corner NDC coordinates (global screen space).
     tile_i = jnp.arange(ty * tx)
     cx0 = (tile_i % tx) * tw
-    cy0 = (tile_i // tx) * th
+    cy0 = (tile_i // tx + row0_tiles) * th
     x0 = cx0 / config.width * 2.0 - 1.0
     x1 = (cx0 + tw) / config.width * 2.0 - 1.0
     y0 = 1.0 - cy0 / config.height * 2.0
@@ -74,16 +77,17 @@ def tile_world_bounds(depth_p: jnp.ndarray, view: ViewData, config: FrameConfig
 
 def cull_lights_tiles(depth_p: jnp.ndarray, lights: jnp.ndarray,
                       num_lights: jnp.ndarray, view: ViewData,
-                      config: FrameConfig
+                      config: FrameConfig, row0_tiles=0
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Light-vs-tile culling. Returns (payload (num_tiles, MAX, LIGHT_STRIDE)
-    f32, counts (num_tiles,) i32, overflow () i32).
+    f32, counts (num_tiles,) i32, overflow () i32). num_tiles is the tile
+    count of depth_p (a screen-row shard when row0_tiles != 0).
 
     Only positional lights (type != 0) participate; sphere-vs-AABB test with
     the light's range (reference: lightCulling.hlsl sphere tests)."""
     L = lights.shape[0]
     MAX = config.max_lights_per_cluster
-    mins, maxs = tile_world_bounds(depth_p, view, config)   # (NT, 3)
+    mins, maxs = tile_world_bounds(depth_p, view, config, row0_tiles)  # (NT, 3)
     lpos = lights[:, 0:3]
     ltype = lights[:, 3]
     lrange = lights[:, 11]

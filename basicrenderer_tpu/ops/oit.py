@@ -30,8 +30,17 @@ from .resolve_pallas import resolve_attributes_ref
 
 def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                   params: FrameParams, opaque_depth_p: jnp.ndarray,
-                  hdr: jnp.ndarray) -> jnp.ndarray:
-    """Renders K transparent layers behind-to-front onto `hdr` (H, W, 3)."""
+                  hdr: jnp.ndarray, lcfg: FrameConfig = None,
+                  row0_tiles=0, localize=None) -> jnp.ndarray:
+    """Renders K transparent layers behind-to-front onto `hdr` (H, W, 3).
+
+    `lcfg`/`row0_tiles`/`localize` place a screen-row shard inside the full
+    frame (graph/frame._render_body): binning is full-screen (replicated),
+    peeling rasters only the shard's tile rows."""
+    if lcfg is None:
+        lcfg = config
+    if localize is None:
+        localize = lambda p: p
     tau = params.clod_error_px
     cut, _ = clod_ops.select_cluster_cut(scene, view, config, tau)
     transparent = scene.cluster_table[:, 10] > 0.5
@@ -42,21 +51,23 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     lanes, bbox, valid = raster_setup.triangle_setup_compacted(
         scene.vertex_table, scene.object_mats, scene.object_normal_mats,
         view.viewproj, idx, tvalid, config, mat, tobj)
-    pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
+    pairs = localize(raster_setup.bin_pairs(lanes, bbox, valid, config))
 
-    H, W = config.height, config.width
-    Hp, Wp = config.padded_height, config.padded_width
+    H, W = lcfg.height, config.width
+    Hp, Wp = lcfg.padded_height, lcfg.padded_width
+    row0_px = row0_tiles * config.tile_h
     peel_bound = jnp.full((Hp, Wp), jnp.inf, jnp.float32)
     layers = []
     for _k in range(config.oit_layers):
-        if config.use_pallas_raster:
-            d, v, ch = raster_tiles_pallas(pairs, config,
+        if lcfg.use_pallas_raster:
+            d, v, ch = raster_tiles_pallas(pairs, lcfg,
                                            peel=(opaque_depth_p, peel_bound),
-                                           interpret=config.pallas_interpret)
+                                           interpret=lcfg.pallas_interpret,
+                                           tile_row0=row0_tiles)
         else:
-            d, v = raster_tiles_ref(pairs, config,
+            d, v = raster_tiles_ref(pairs, lcfg, tile_row0=row0_tiles,
                                     peel=(opaque_depth_p, peel_bound))
-            ch = resolve_attributes_ref(pairs, v, config)
+            ch = resolve_attributes_ref(pairs, v, lcfg, tile_row0=row0_tiles)
         layers.append((d, v, ch))
         peel_bound = jnp.where(v > 0, d, 0.0)  # next layer strictly farther
 
@@ -65,7 +76,7 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     for d, v, ch in reversed(layers):
         gb = shade_ops.gbuffer_from_channels(
             ch[:, :H, :W], d[:H, :W], v[:H, :W], view, scene.material_table,
-            W, H)
+            config.width, config.height, row0=row0_px)
         col = shade_ops.shade_deferred(gb, scene, view)
         a = jnp.clip(gb.alpha, 0.0, 1.0)[..., None]
         covered = (v[:H, :W] > 0)[..., None]

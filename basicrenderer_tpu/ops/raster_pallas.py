@@ -37,7 +37,7 @@ CHUNK = 128  # pairs per DMA slab
 NUM_CHANNELS = 8  # [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
 
 
-def _raster_kernel(tile_off_ref, *refs, tile_h: int, tile_w: int,
+def _raster_kernel(tile_off_ref, row0_ref, *refs, tile_h: int, tile_w: int,
                    tiles_x: int, seeded: bool, peeled: bool = False):
     if peeled:
         # Depth-peeling pass (OIT): fragments must be nearer than the seed
@@ -77,10 +77,12 @@ def _raster_kernel(tile_off_ref, *refs, tile_h: int, tile_w: int,
         chan_ref[:] = jnp.zeros((NUM_CHANNELS, tile_h, tile_w), jnp.float32)
 
     # Pixel-center coordinates for this tile (computed once, reused per tri).
+    # row0_ref holds the tile-row offset of this shard's grid in GLOBAL screen
+    # space (0 on a single chip): edge planes are always in global pixels.
     px = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
           + (tx * tile_w).astype(jnp.float32) + 0.5)
     py = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-          + (ty * tile_h).astype(jnp.float32) + 0.5)
+          + ((ty + row0_ref[0]) * tile_h).astype(jnp.float32) + 0.5)
 
     nchunks = pl.cdiv(n, CHUNK)
     SLAB = CHUNK * SETUP_LANES
@@ -143,7 +145,8 @@ def _raster_kernel(tile_off_ref, *refs, tile_h: int, tile_w: int,
 
 
 def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
-                        interpret: bool = False, init=None, peel=None
+                        interpret: bool = False, init=None, peel=None,
+                        tile_row0=0
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused raster + attribute resolve on the padded tile grid.
 
@@ -152,7 +155,10 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
     with a previous raster's output (two-phase occlusion replay). `peel` =
     (seed_depth, peel_depth) runs a depth-peeling pass (OIT): keeps the
     nearest fragment that is farther than peel_depth and nearer than
-    seed_depth's occlusion floor."""
+    seed_depth's occlusion floor. `tile_row0` offsets the tile grid
+    vertically in global screen space (screen-row sharding,
+    parallel/tile_sharding.py); pairs.tile_offsets must already be the
+    local slice."""
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
     # Pad by one slab so ceil-rounded chunk reads stay in bounds; padded
@@ -176,7 +182,7 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
         in_specs += [img_spec, img_spec, chan_spec]
         inputs += [init[0], init[1], init[2]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x),
         in_specs=in_specs,
         out_specs=[img_spec, img_spec, chan_spec],
@@ -198,5 +204,6 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(pairs.tile_offsets, *inputs)
+    )(pairs.tile_offsets,
+      jnp.asarray(tile_row0, jnp.int32).reshape(1), *inputs)
     return depth, vis, channels

@@ -296,12 +296,18 @@ def linear_to_srgb(x: jnp.ndarray) -> jnp.ndarray:
                      1.055 * jnp.power(jnp.maximum(x, 1e-8), 1.0 / 2.4) - 0.055)
 
 
-def procedural_sky(view: ViewData, H: int, W: int, intensity=1.0) -> jnp.ndarray:
+def procedural_sky(view: ViewData, H: int, W: int, intensity=1.0,
+                   row0=0, full_h: int = None) -> jnp.ndarray:
     """Simple gradient sky for pixels with no geometry (placeholder until the
-    IBL skybox pass; reference: skybox.hlsl samples the environment cubemap)."""
+    IBL skybox pass; reference: skybox.hlsl samples the environment cubemap).
+    `row0`/`full_h` place an (H, W) screen-row shard inside the full frame
+    (parallel/tile_sharding.py)."""
+    if full_h is None:
+        full_h = H
     # Reconstruct per-pixel view ray from the inverse viewproj.
     x = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5) / W * 2.0 - 1.0
-    y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5) / H * 2.0
+    y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5 + row0) \
+        / full_h * 2.0
     inv_vp = jnp.linalg.inv(view.viewproj)
     ndc = jnp.stack([x, y, jnp.full((H, W), 0.5, jnp.float32),
                      jnp.ones((H, W), jnp.float32)], axis=-1)

@@ -107,7 +107,6 @@ class Renderer:
             num_cascades=s.get("numShadowCascades"),
             shadow_resolution=s.get("shadowResolution"),
             enable_clustered=s.get("enableClusteredLighting"),
-            cluster_grid=tuple(s.get("lightClusterGrid")),
             max_lights_per_cluster=s.get("maxLightsPerCluster"),
             enable_ibl=s.get("enableIBL"),
             enable_textures=s.get("enableTextures", False),

@@ -1,6 +1,8 @@
-"""Multi-chip tile sharding: the sharded frame must match the single-device
-frame (up to the auto-exposure difference, so we compare vis/depth exactly
-and image structurally) on a virtual 8-device CPU mesh."""
+"""Multi-chip tile sharding: the sharded path wraps the SAME frame body as
+the single-device path (graph/frame._render_body), so outputs must match the
+single-device frame on a virtual 8-device CPU mesh — including the
+full-featured flagship config (clod + shadows + clustered + IBL + GTAO +
+bloom + TAA + auto-exposure)."""
 
 import numpy as np
 import jax
@@ -23,6 +25,18 @@ def _frame_inputs(width=128, height=128):
     return buffers, vd, FrameParams.default()
 
 
+def _assert_match(out_s, out_1):
+    np.testing.assert_array_equal(np.asarray(out_s["vis"]), np.asarray(out_1["vis"]))
+    np.testing.assert_allclose(np.asarray(out_s["depth"]), np.asarray(out_1["depth"]),
+                               rtol=1e-5, atol=1e-6)
+    img_s = np.asarray(out_s["image"]).astype(np.int32)
+    img_1 = np.asarray(out_1["image"]).astype(np.int32)
+    # Same passes, same math; allow 1 ulp of uint8 rounding from fusion
+    # differences across the shard boundary collectives.
+    assert np.abs(img_s - img_1).max() <= 1
+    assert (img_s != img_1).mean() < 0.01
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_frame_matches_single_device():
     n = 8
@@ -37,15 +51,44 @@ def test_sharded_frame_matches_single_device():
 
     single = jax.jit(build_frame_fn(config))
     out_1 = single(buffers, vd, params)
+    _assert_match(out_s, out_1)
 
-    np.testing.assert_array_equal(np.asarray(out_s["vis"]), np.asarray(out_1["vis"]))
-    np.testing.assert_allclose(np.asarray(out_s["depth"]), np.asarray(out_1["depth"]),
-                               rtol=1e-5, atol=1e-6)
-    # Image differs by design (sharded path applies psum auto-exposure);
-    # check structure: geometry coverage identical, nonempty, uint8.
-    img = np.asarray(out_s["image"])
-    assert img.dtype == np.uint8 and img.shape == (128, 128, 3)
-    assert img.std() > 10
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_full_feature_frame_matches_single_device():
+    """The flagship config: virtualized geometry + CSM + clustered lights +
+    IBL + GTAO + bloom + auto-exposure, sharded vs single-chip."""
+    n = 8
+    config = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                         max_pairs=1 << 12, use_pallas_raster=False,
+                         enable_clod=True, max_visible_clusters=128,
+                         enable_shadows=True, num_cascades=2,
+                         shadow_resolution=128,
+                         enable_clustered=True, max_lights_per_cluster=8,
+                         enable_ibl=True, enable_gtao=True,
+                         enable_bloom=True, enable_auto_exposure=True)
+    buffers, vd, params = _frame_inputs()
+
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    out_s = jax.jit(build_sharded_frame_fn(config, mesh))(buffers, vd, params)
+    out_1 = jax.jit(build_frame_fn(config))(buffers, vd, params)
+    _assert_match(out_s, out_1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_taa_history_feedback():
+    """Row-sharded TAA history feeds back across frames (frames-in-flight)."""
+    n = 8
+    config = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                         max_pairs=1 << 12, use_pallas_raster=False,
+                         enable_taa=True)
+    buffers, vd, params = _frame_inputs()
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    frame = jax.jit(build_sharded_frame_fn(config, mesh))
+    out1 = frame(buffers, vd, params)
+    out2 = frame(buffers, vd, params, None, out1["taa_out"])
+    img = np.asarray(out2["image"])
+    assert img.shape == (128, 128, 3) and img.std() > 10
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
