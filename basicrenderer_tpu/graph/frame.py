@@ -258,9 +258,11 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             shadow_ops.render_cascade(scene, cascade_vps[k], config,
                                       compacted=shadow_tris)
             for k in range(config.num_cascades)])
-        shadow_term = shadow_ops.sample_shadow_cascades(
-            gb.world_pos, gb.normal, ldir, cascade_vps, smaps,
-            params.shadow_bias)
+        # The term's half-res sampling + upsample + 3x3 smooth cross tile
+        # rows -> computed on the gathered frame when sharded (like GTAO).
+        shadow_term = local_rows(shadow_ops.sample_shadow_cascades(
+            gather_rows(gb.world_pos), gather_rows(gb.normal), ldir,
+            cascade_vps, smaps, params.shadow_bias))
         shadow_term = jnp.where(scene.num_dir_lights > 0, shadow_term, 1.0)
 
         def shadow_fn(i, wp, n):

@@ -107,6 +107,9 @@ class FrameConfig:
     tile_w: int = 128
     max_pairs: int = 1 << 20          # (tile, triangle) bin capacity
     max_tiles_per_tri: int = 32       # small-tri fast path bin span cap
+    max_big_tris: int = 256           # global large-triangle list capacity
+    #                                   (span > max_tiles_per_tri tiles;
+    #                                   multiple of 128 — raster DMA slabs)
     enable_shadows: bool = False
     num_cascades: int = 4
     shadow_resolution: int = 1024

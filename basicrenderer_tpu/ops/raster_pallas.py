@@ -37,7 +37,7 @@ CHUNK = 128  # pairs per DMA slab
 NUM_CHANNELS = 8  # [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
 
 
-def _raster_kernel(tile_off_ref, row0_ref, *refs, tile_h: int, tile_w: int,
+def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
                    tiles_x: int, seeded: bool, peeled: bool = False):
     if peeled:
         # Depth-peeling pass (OIT): fragments must be nearer than the seed
@@ -77,18 +77,18 @@ def _raster_kernel(tile_off_ref, row0_ref, *refs, tile_h: int, tile_w: int,
         chan_ref[:] = jnp.zeros((NUM_CHANNELS, tile_h, tile_w), jnp.float32)
 
     # Pixel-center coordinates for this tile (computed once, reused per tri).
-    # row0_ref holds the tile-row offset of this shard's grid in GLOBAL screen
-    # space (0 on a single chip): edge planes are always in global pixels.
+    # misc_ref = [tile_row0, big_count]: the shard's tile-row offset in
+    # GLOBAL screen space (edge planes are always in global pixels) and the
+    # live length of the global large-triangle list.
     px = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
           + (tx * tile_w).astype(jnp.float32) + 0.5)
     py = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-          + ((ty + row0_ref[0]) * tile_h).astype(jnp.float32) + 0.5)
+          + ((ty + misc_ref[0]) * tile_h).astype(jnp.float32) + 0.5)
 
-    nchunks = pl.cdiv(n, CHUNK)
     SLAB = CHUNK * SETUP_LANES
 
-    def get_dma(slot, c):
-        off = pl.multiple_of((start + c * CHUNK) * SETUP_LANES, SLAB)
+    def get_dma(slot, row0_chunks, c):
+        off = pl.multiple_of((row0_chunks + c) * SLAB, SLAB)
         dst = pl.multiple_of(slot * SLAB, SLAB)
         return pltpu.make_async_copy(
             flat_ref.at[pl.ds(off, SLAB)],
@@ -96,52 +96,60 @@ def _raster_kernel(tile_off_ref, row0_ref, *refs, tile_h: int, tile_w: int,
             sem_ref.at[slot],
         )
 
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
+    def tri_body(j, slot_base):
+        base = slot_base + j * SETUP_LANES
+        e0 = (buf_ref[base + 0] * px + buf_ref[base + 1] * py
+              + buf_ref[base + 2])
+        e1 = (buf_ref[base + 3] * px + buf_ref[base + 4] * py
+              + buf_ref[base + 5])
+        e2 = (buf_ref[base + 6] * px + buf_ref[base + 7] * py
+              + buf_ref[base + 8])
+        z = (buf_ref[base + 9] * px + buf_ref[base + 10] * py
+             + buf_ref[base + 11])
+        tri_id_f = buf_ref[base + 12]
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
+        passd = inside & (z > depth_ref[:])
+        if peeled:
+            passd = passd & (z < peel_z)
+        depth_ref[:] = jnp.where(passd, z, depth_ref[:])
+        vis_ref[:] = jnp.where(passd, tri_id_f.astype(jnp.int32), vis_ref[:])
+        # Fused attribute resolve: write the perspective-correct channel
+        # planes under the same pass mask (reference VisUtilEvaluate
+        # equivalent, done during raster — overdrawn writes are later
+        # overwritten by closer triangles, exactly like a GBuffer raster).
+        for ch in range(6):
+            val = (buf_ref[base + 14 + ch * 3] * px
+                   + buf_ref[base + 15 + ch * 3] * py
+                   + buf_ref[base + 16 + ch * 3])
+            chan_ref[ch] = jnp.where(passd, val, chan_ref[ch])
+        chan_ref[6] = jnp.where(passd, buf_ref[base + 13], chan_ref[6])
+        return slot_base
 
-    def chunk_body(c, _):
-        slot = c % 2
-
-        @pl.when(c + 1 < nchunks)
+    def walk(row0_chunks, nchunks):
+        """Double-buffer DMA + raster a chunk range of pair rows."""
+        @pl.when(nchunks > 0)
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            get_dma(0, row0_chunks, 0).start()
 
-        get_dma(slot, c).wait()
+        def chunk_body(c, _):
+            slot = c % 2
 
-        def tri_body(j, _):
-            base = slot * SLAB + j * SETUP_LANES
-            e0 = (buf_ref[base + 0] * px + buf_ref[base + 1] * py
-                  + buf_ref[base + 2])
-            e1 = (buf_ref[base + 3] * px + buf_ref[base + 4] * py
-                  + buf_ref[base + 5])
-            e2 = (buf_ref[base + 6] * px + buf_ref[base + 7] * py
-                  + buf_ref[base + 8])
-            z = (buf_ref[base + 9] * px + buf_ref[base + 10] * py
-                 + buf_ref[base + 11])
-            tri_id_f = buf_ref[base + 12]
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
-            passd = inside & (z > depth_ref[:])
-            if peeled:
-                passd = passd & (z < peel_z)
-            depth_ref[:] = jnp.where(passd, z, depth_ref[:])
-            vis_ref[:] = jnp.where(passd, tri_id_f.astype(jnp.int32), vis_ref[:])
-            # Fused attribute resolve: write the perspective-correct channel
-            # planes under the same pass mask (reference VisUtilEvaluate
-            # equivalent, done during raster — overdrawn writes are later
-            # overwritten by closer triangles, exactly like a GBuffer raster).
-            for ch in range(6):
-                val = (buf_ref[base + 14 + ch * 3] * px
-                       + buf_ref[base + 15 + ch * 3] * py
-                       + buf_ref[base + 16 + ch * 3])
-                chan_ref[ch] = jnp.where(passd, val, chan_ref[ch])
-            chan_ref[6] = jnp.where(passd, buf_ref[base + 13], chan_ref[6])
+            @pl.when(c + 1 < nchunks)
+            def _():
+                get_dma((c + 1) % 2, row0_chunks, c + 1).start()
+
+            get_dma(slot, row0_chunks, c).wait()
+            jax.lax.fori_loop(0, CHUNK, tri_body, slot * SLAB)
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, tri_body, 0)
-        return 0
+        jax.lax.fori_loop(0, nchunks, chunk_body, 0)
 
-    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+    # This tile's own binned range, rounded to whole slabs.
+    walk(start // CHUNK, pl.cdiv(n, CHUNK))
+    # The global large-triangle list at rows [0, max_big_tris): triangles
+    # spanning more tiles than the bin slot cap are not binned per-tile;
+    # every tile walks them (reference: HW-raster bucket role).
+    walk(0, pl.cdiv(misc_ref[1], CHUNK))
 
 
 def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
@@ -166,6 +174,8 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
     flat = jnp.pad(pairs.pair_data, ((0, CHUNK), (0, 0))).reshape(-1)
     seeded = init is not None
     peeled = peel is not None
+    assert config.max_big_tris % CHUNK == 0, \
+        "max_big_tris must be a multiple of the raster DMA slab"
 
     kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw,
                                tiles_x=tiles_x, seeded=seeded, peeled=peeled)
@@ -205,5 +215,6 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
         ),
         interpret=interpret,
     )(pairs.tile_offsets,
-      jnp.asarray(tile_row0, jnp.int32).reshape(1), *inputs)
+      jnp.stack([jnp.asarray(tile_row0, jnp.int32).reshape(()),
+                 pairs.big_count.astype(jnp.int32)]), *inputs)
     return depth, vis, channels

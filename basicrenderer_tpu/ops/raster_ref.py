@@ -56,9 +56,8 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
         else:
             peel_z = None
 
-        def body(j, carry):
+        def raster_row(idx, carry):
             zbuf, vis = carry
-            idx = start + j
             d = pair_data[idx]
             tri_id_f = d[12]
             e0 = d[0] * px + d[1] * py + d[2]
@@ -73,12 +72,20 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
             vis = jnp.where(passd, tri_id_f.astype(jnp.int32), vis)
             return zbuf, vis
 
+        def walk(carry):
+            carry = jax.lax.fori_loop(
+                0, n, lambda j, c: raster_row(start + j, c), carry)
+            # Global large-triangle list (rows [0, max_big_tris)): every
+            # tile walks it — see ops/raster_setup.bin_pairs.
+            return jax.lax.fori_loop(
+                0, pairs.big_count, lambda j, c: raster_row(j, c), carry)
+
         if peel is not None:
             z0 = jax.lax.dynamic_slice(peel[0], ((tile_idx // tiles_x) * th,
                                                  (tile_idx % tiles_x) * tw),
                                        (th, tw))
             v0 = jnp.zeros((th, tw), jnp.int32)
-            return jax.lax.fori_loop(0, n, body, (z0, v0))
+            return walk((z0, v0))
         if init is not None:
             ty_l = tile_idx // tiles_x
             tx_l = tile_idx % tiles_x
@@ -87,7 +94,7 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
         else:
             z0 = jnp.zeros((th, tw), jnp.float32)
             v0 = jnp.zeros((th, tw), jnp.int32)
-        return jax.lax.fori_loop(0, n, body, (z0, v0))
+        return walk((z0, v0))
 
     zt, vt = jax.vmap(raster_one_tile)(jnp.arange(tiles_x * tiles_y))
     # (tiles, th, tw) -> (H', W')

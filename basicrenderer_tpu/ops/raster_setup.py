@@ -347,11 +347,16 @@ def triangle_setup_packed(clip: jnp.ndarray, indices: jnp.ndarray,
 
 
 class BinnedPairs(NamedTuple):
-    pair_data: jnp.ndarray     # (P, SETUP_LANES) f32 pair-ordered payload;
-    #                            rows past a tile's range have tri id 0
+    pair_data: jnp.ndarray     # (Bcap + smalls, SETUP_LANES) f32: rows
+    #                            [0, Bcap=max_big_tris) are the global
+    #                            large-triangle list (walked by EVERY tile);
+    #                            the per-tile binned rows follow. Rows past
+    #                            a live range carry tri id 0.
     tile_offsets: jnp.ndarray  # (num_tiles + 1,) i32 row ranges per tile
-    num_pairs: jnp.ndarray     # () i32 live pairs
-    overflow: jnp.ndarray      # () i32 pairs dropped due to capacity
+    #                            (already offset by Bcap)
+    num_pairs: jnp.ndarray     # () i32 live binned pairs
+    overflow: jnp.ndarray      # () i32 pairs/big-tris dropped (capacity)
+    big_count: jnp.ndarray     # () i32 live rows in the big-triangle list
 
 
 def bin_pairs(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
@@ -360,13 +365,17 @@ def bin_pairs(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
 
     Every triangle owns K = max_tiles_per_tri implicit slots; slot k holds
     the k-th tile of its bbox span in row-major order, or a sentinel. One
-    2-key sort groups live pairs by tile; triangles spanning more than K
-    tiles contribute their first K and count toward `overflow`. (Big
-    triangles belong to the HW-raster bucket in the reference — our
-    analogue, a dedicated large-triangle path, rides the cluster pipeline.)
+    2-key sort groups live pairs by tile. Triangles spanning MORE than K
+    tiles go to a separate global list of capacity max_big_tris that every
+    tile's raster loop also walks — the analogue of the reference's
+    HW-raster bucket for large clusters (RasterBucket* passes,
+    CLodExtension.cpp:1580-1650); ortho shadow views make even ground quads
+    span the whole grid, so this path is load-bearing, not a corner case.
+    Capacity misses on either list count toward `overflow`.
     """
     P = config.max_pairs
     K = config.max_tiles_per_tri
+    Bcap = config.max_big_tris
     T = valid.shape[0]
     num_tiles = config.num_tiles
 
@@ -374,12 +383,14 @@ def bin_pairs(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
     spanx = tx1 - tx0 + 1
     spany = ty1 - ty0 + 1
     ntiles = jnp.where(valid, spanx * spany, 0)
+    big = ntiles > K                                     # large-triangle path
+    ntiles_small = jnp.where(big, 0, ntiles)
 
     ks = jnp.arange(K, dtype=jnp.int32)[None, :]         # (1, K)
     kx = ks % jnp.maximum(spanx, 1)[:, None]
     ky = ks // jnp.maximum(spanx, 1)[:, None]
     tile_kt = (ty0[:, None] + ky) * config.tiles_x + (tx0[:, None] + kx)
-    live_kt = ks < jnp.minimum(ntiles, K)[:, None]
+    live_kt = ks < ntiles_small[:, None]
     tile_kt = jnp.where(live_kt, tile_kt, num_tiles)     # sentinel sorts last
     tri_kt = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None], (T, K))
 
@@ -399,22 +410,37 @@ def bin_pairs(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
         flat_tile, flat_tri = jax.lax.sort((flat_tile, flat_tri), num_keys=2)
     flat_tile, flat_tri = jax.lax.optimization_barrier((flat_tile, flat_tri))
 
-    total = jnp.sum(jnp.minimum(ntiles, K))
-    overflow = jnp.sum(ntiles - jnp.minimum(ntiles, K)) + jnp.maximum(total - P, 0)
+    total = jnp.sum(ntiles_small)
+    big_total = jnp.sum(big)
+    overflow = jnp.maximum(total - P, 0) + jnp.maximum(big_total - Bcap, 0)
 
     # Keep the first P sorted pairs (all live pairs sort before sentinels).
     flat_tile = flat_tile[:P]
     flat_tri = flat_tri[:P]
     tile_offsets = jnp.searchsorted(flat_tile,
                                     jnp.arange(num_tiles + 1, dtype=jnp.int32))
-    tile_offsets = jnp.minimum(tile_offsets, P).astype(jnp.int32)
+    # The big-triangle list occupies rows [0, Bcap); binned rows follow.
+    tile_offsets = (jnp.minimum(tile_offsets, P) + Bcap).astype(jnp.int32)
     num_pairs = jnp.minimum(total, P)
 
-    pair_data = lanes[flat_tri]                          # (P, SETUP_LANES)
+    pair_data = lanes[flat_tri]                          # (<=P, SETUP_LANES)
     # Sentinel rows must never rasterize: zero their tri-id lane.
     live = flat_tile < num_tiles
     pair_data = pair_data.at[:, 12].set(jnp.where(live, pair_data[:, 12], 0.0))
-    return BinnedPairs(pair_data, tile_offsets, num_pairs, overflow)
+
+    # Global big-triangle list: sort big-tri indices to the front, keep Bcap.
+    big_key = jnp.where(big, jnp.arange(T, dtype=jnp.int32), T)
+    big_key = jax.lax.sort(big_key)[:Bcap]
+    if Bcap > T:
+        big_key = jnp.pad(big_key, (0, Bcap - T), constant_values=T)
+    big_rows = lanes[jnp.minimum(big_key, T - 1)]        # (Bcap, SETUP_LANES)
+    big_live = big_key < T
+    big_rows = big_rows.at[:, 12].set(
+        jnp.where(big_live, big_rows[:, 12], 0.0))
+    big_count = jnp.minimum(big_total, Bcap).astype(jnp.int32)
+
+    pair_data = jnp.concatenate([big_rows, pair_data], axis=0)
+    return BinnedPairs(pair_data, tile_offsets, num_pairs, overflow, big_count)
 
 
 def bin_triangles(setup: TriangleSetup, config: FrameConfig,

@@ -35,8 +35,9 @@ CHUNK = 128
 NUM_CHANNELS = 8
 
 
-def _resolve_kernel(tile_off_ref, flat_ref, vis_ref, out_ref, buf_ref, sem_ref,
-                    *, tile_h: int, tile_w: int, tiles_x: int):
+def _resolve_kernel(tile_off_ref, misc_ref, flat_ref, vis_ref, out_ref,
+                    buf_ref, sem_ref, *, tile_h: int, tile_w: int,
+                    tiles_x: int):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * tiles_x + tx
@@ -50,13 +51,12 @@ def _resolve_kernel(tile_off_ref, flat_ref, vis_ref, out_ref, buf_ref, sem_ref,
     px = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
           + (tx * tile_w).astype(jnp.float32) + 0.5)
     py = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-          + (ty * tile_h).astype(jnp.float32) + 0.5)
+          + ((ty + misc_ref[0]) * tile_h).astype(jnp.float32) + 0.5)
 
-    nchunks = pl.cdiv(n, CHUNK)
     SLAB = CHUNK * SETUP_LANES
 
-    def get_dma(slot, c):
-        off = pl.multiple_of((start + c * CHUNK) * SETUP_LANES, SLAB)
+    def get_dma(slot, row0_chunks, c):
+        off = pl.multiple_of((row0_chunks + c) * SLAB, SLAB)
         dst = pl.multiple_of(slot * SLAB, SLAB)
         return pltpu.make_async_copy(
             flat_ref.at[pl.ds(off, SLAB)],
@@ -64,54 +64,60 @@ def _resolve_kernel(tile_off_ref, flat_ref, vis_ref, out_ref, buf_ref, sem_ref,
             sem_ref.at[slot],
         )
 
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
+    def tri_body(j, slot_base):
+        base = slot_base + j * SETUP_LANES
+        tri_id = buf_ref[base + 12].astype(jnp.int32)
+        mask = (vis == tri_id) & (tri_id > 0)
+        hit = jnp.any(mask)
 
-    def chunk_body(c, _):
-        slot = c % 2
-
-        @pl.when(c + 1 < nchunks)
+        @pl.when(hit)
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            # 1/w plane + 5 attr/w planes (lanes 14..31), mat id lane 13.
+            for ch in range(6):
+                A = buf_ref[base + 14 + ch * 3]
+                B = buf_ref[base + 15 + ch * 3]
+                Cc = buf_ref[base + 16 + ch * 3]
+                val = A * px + B * py + Cc
+                out_ref[ch] = jnp.where(mask, val, out_ref[ch])
+            out_ref[6] = jnp.where(mask, buf_ref[base + 13], out_ref[6])
+        return slot_base
 
-        get_dma(slot, c).wait()
+    def walk(row0_chunks, nchunks):
+        @pl.when(nchunks > 0)
+        def _():
+            get_dma(0, row0_chunks, 0).start()
 
-        def tri_body(j, _):
-            base = slot * SLAB + j * SETUP_LANES
-            tri_id = buf_ref[base + 12].astype(jnp.int32)
-            mask = (vis == tri_id) & (tri_id > 0)
-            hit = jnp.any(mask)
+        def chunk_body(c, _):
+            slot = c % 2
 
-            @pl.when(hit)
+            @pl.when(c + 1 < nchunks)
             def _():
-                # 1/w plane + 5 attr/w planes (lanes 14..31), mat id lane 13.
-                for ch in range(6):
-                    A = buf_ref[base + 14 + ch * 3]
-                    B = buf_ref[base + 15 + ch * 3]
-                    Cc = buf_ref[base + 16 + ch * 3]
-                    val = A * px + B * py + Cc
-                    out_ref[ch] = jnp.where(mask, val, out_ref[ch])
-                out_ref[6] = jnp.where(mask, buf_ref[base + 13], out_ref[6])
+                get_dma((c + 1) % 2, row0_chunks, c + 1).start()
+
+            get_dma(slot, row0_chunks, c).wait()
+            jax.lax.fori_loop(0, CHUNK, tri_body, slot * SLAB)
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, tri_body, 0)
-        return 0
+        jax.lax.fori_loop(0, nchunks, chunk_body, 0)
 
-    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+    walk(start // CHUNK, pl.cdiv(n, CHUNK))
+    # Global large-triangle list at rows [0, max_big_tris)
+    # (see ops/raster_setup.bin_pairs).
+    walk(0, pl.cdiv(misc_ref[1], CHUNK))
 
 
 def resolve_attributes_pallas(pairs: BinnedPairs, vis: jnp.ndarray,
-                              config: FrameConfig, interpret: bool = False
-                              ) -> jnp.ndarray:
+                              config: FrameConfig, interpret: bool = False,
+                              tile_row0=0) -> jnp.ndarray:
     """vis: (H', W') i32 padded visibility buffer -> (NUM_CHANNELS, H', W')."""
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
     flat = jnp.pad(pairs.pair_data, ((0, CHUNK), (0, 0))).reshape(-1)
 
-    kernel = functools.partial(_resolve_kernel, tile_h=th, tile_w=tw, tiles_x=tiles_x)
+    kernel = functools.partial(_resolve_kernel, tile_h=th, tile_w=tw,
+                               tiles_x=tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -133,7 +139,9 @@ def resolve_attributes_pallas(pairs: BinnedPairs, vis: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(pairs.tile_offsets, flat, vis)
+    )(pairs.tile_offsets,
+      jnp.stack([jnp.asarray(tile_row0, jnp.int32).reshape(()),
+                 pairs.big_count.astype(jnp.int32)]), flat, vis)
     return out
 
 
@@ -159,8 +167,8 @@ def resolve_attributes_ref(pairs: BinnedPairs, vis: jnp.ndarray,
         end = pairs.tile_offsets[tile_idx + 1]
         n = end - start if max_iters is None else jnp.minimum(end - start, max_iters)
 
-        def body(j, acc):
-            d = pair_data[start + j]
+        def body(idx, acc):
+            d = pair_data[idx]
             tri_id = d[12].astype(jnp.int32)
             mask = (vis_t == tri_id) & (tri_id > 0)
             chans = []
@@ -173,7 +181,11 @@ def resolve_attributes_ref(pairs: BinnedPairs, vis: jnp.ndarray,
             return jnp.where(mask[None], new, acc)
 
         acc0 = jnp.zeros((NUM_CHANNELS, th, tw), jnp.float32)
-        return jax.lax.fori_loop(0, n, body, acc0)
+        acc = jax.lax.fori_loop(0, n, lambda j, a: body(start + j, a), acc0)
+        # Global large-triangle list at rows [0, max_big_tris)
+        # (see ops/raster_setup.bin_pairs).
+        return jax.lax.fori_loop(
+            0, pairs.big_count, lambda j, a: body(j, a), acc)
 
     out = jax.vmap(one_tile)(jnp.arange(tiles_y * tiles_x), vis_tiles)
     # (tiles, 8, th, tw) -> (8, H', W')

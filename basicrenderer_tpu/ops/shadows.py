@@ -79,10 +79,15 @@ def cascade_matrices(view: ViewData, light_dir: jnp.ndarray, num_cascades: int,
         mn = lp.min(0)
         mx = lp.max(0)
         pad = (mx - mn) * 0.05 + 1e-3
-        mn = mn - pad - jnp.array([0, 0, 50.0])            # pull near plane back
-        mx = mx + pad
-        # Ortho: light view z is -depth along d... build directly:
-        # x' in [-1,1], y' in [-1,1], z' reverse-style in [0,1].
+        mn = mn - pad
+        # Light-space z = -d.p grows TOWARD the light (R's third row is -d),
+        # so out-of-slice casters between the slice and the light live at
+        # z > mx[2]: extend the far bound toward the light to capture them.
+        mx = mx + pad + jnp.array([0, 0, 50.0])
+        # Ortho: x' in [-1,1], y' in [-1,1], z' reverse-style in [0,1] with
+        # 1 = nearest to light — matching the raster's reverse-Z max-keep
+        # resolve and the `z + bias >= map` visibility test in
+        # sample_shadow_cascades.
         sx = 2.0 / (mx[0] - mn[0])
         sy = 2.0 / (mx[1] - mn[1])
         sz = 1.0 / (mx[2] - mn[2])
@@ -91,9 +96,7 @@ def cascade_matrices(view: ViewData, light_dir: jnp.ndarray, num_cascades: int,
         ], jnp.float32)
         proj = proj.at[0, 0].set(sx).at[0, 3].set(-(mx[0] + mn[0]) / (mx[0] - mn[0]))
         proj = proj.at[1, 1].set(sy).at[1, 3].set(-(mx[1] + mn[1]) / (mx[1] - mn[1]))
-        # Map light-space z in [mn2, mx2] -> [0, 1] with 1 = nearest to light
-        # (light looks down +d => larger light-space z = farther; reverse it).
-        proj = proj.at[2, 2].set(-sz).at[2, 3].set(mx[2] * sz)
+        proj = proj.at[2, 2].set(sz).at[2, 3].set(-mn[2] * sz)
         Rw = jnp.zeros((4, 4), jnp.float32).at[:3, :3].set(R).at[3, 3].set(1.0)
         vps.append(proj @ Rw)
     return jnp.stack(vps), splits

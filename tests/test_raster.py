@@ -89,16 +89,42 @@ def test_binning_counts_and_offsets():
     setup = setup_from_clip(clip_tris, config)
     pairs = raster_setup.bin_triangles(setup, config)
     offs = np.asarray(pairs.tile_offsets)
-    assert offs[0] == 0
+    # Rows [0, max_big_tris) hold the global large-triangle list; binned
+    # per-tile ranges follow.
+    assert offs[0] == config.max_big_tris
     assert np.all(np.diff(offs) >= 0)
-    ids = np.asarray(pairs.pair_data[:, 12]).astype(np.int32)
+    ids = np.asarray(pairs.pair_data[config.max_big_tris:, 12]).astype(np.int32)
+    big_ids = np.asarray(pairs.pair_data[:config.max_big_tris, 12]).astype(np.int32)
     assert (ids > 0).sum() == int(pairs.num_pairs)
-    assert offs[-1] == int(pairs.num_pairs)
+    assert (big_ids > 0).sum() == int(pairs.big_count)
+    assert offs[-1] - offs[0] == int(pairs.num_pairs)
     assert int(pairs.overflow) == 0
-    # Every valid triangle appears at least once.
-    live = ids[ids > 0] - 1
+    # Every valid triangle appears at least once (small bins or big list).
+    live = np.concatenate([ids[ids > 0], big_ids[big_ids > 0]]) - 1
     valid_tris = np.nonzero(np.asarray(setup.valid))[0]
     assert set(valid_tris).issubset(set(live.tolist()))
+
+
+def test_large_triangle_path_matches_small_path():
+    """Triangles spanning more than max_tiles_per_tri tiles ride the global
+    big-triangle list; the image must be identical to a config where every
+    triangle fits the per-tile bins (regression: these spans used to be
+    silently dropped, which punched holes in ortho shadow maps)."""
+    rng = np.random.default_rng(11)
+    W, H = 256, 128
+    base = dict(width=W, height=H, tile_h=16, tile_w=128, max_pairs=1 << 12)
+    clip_tris = random_clip_triangles(rng, 30)
+    cfg_small = FrameConfig(**base, max_tiles_per_tri=32)   # all fit (16 tiles)
+    cfg_big = FrameConfig(**base, max_tiles_per_tri=2)      # most via big list
+    outs = []
+    for cfg in (cfg_small, cfg_big):
+        setup = setup_from_clip(clip_tris, cfg)
+        pairs = raster_setup.bin_triangles(setup, cfg)
+        depth, vis = raster_tiles_ref(pairs, cfg)
+        outs.append((np.asarray(depth), np.asarray(vis)))
+    assert int(pairs.big_count) > 0, "test scene exercised no big triangles"
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6, atol=1e-7)
 
 
 def test_binning_overflow_reported():

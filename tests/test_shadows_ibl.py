@@ -23,9 +23,10 @@ def build_shadow_scene():
                           roughness=0.8))
     sc = Scene()
     sc.create_renderable(plane, m)
-    # Tall box that casts a long shadow.
-    sc.create_renderable(cube, m, position=(0, 1.5, 0), scale=(1, 2, 1))
-    sc.create_directional_light(direction=(-0.5, -1.0, -0.2), intensity=4.0,
+    # Tall wide wall that casts a large unambiguous shadow.
+    sc.create_renderable(cube, m, position=(0, 1.5, 0), scale=(3, 2, 0.3))
+    # Shadow must land on the camera-visible (+z) side of the wall.
+    sc.create_directional_light(direction=(-0.5, -1.0, 0.6), intensity=4.0,
                                 cast_shadows=True)
     sc.set_camera(position=(6, 6, 8), target=(0, 0.5, 0), aspect=1.0)
     sc.propagate_transforms()
@@ -50,19 +51,33 @@ def _render(cfg, env=None):
 
 
 def test_shadows_darken_ground():
+    """The GROUND beneath the caster must darken; the caster's own lit faces
+    must NOT (regression test for the inverted shadow depth axis — ADVICE r1:
+    the old projection stored the farthest-from-light surface, which
+    self-shadowed the occluder and left the ground lit)."""
     out_ns = _render(FrameConfig(**BASE, enable_shadows=False))
     out_sh = _render(FrameConfig(**BASE, enable_shadows=True,
                                  num_cascades=3, shadow_resolution=256))
     h_ns = np.asarray(out_ns["hdr"])
     h_sh = np.asarray(out_sh["hdr"])
     vis = np.asarray(out_sh["vis"])
-    covered = vis > 0
-    # Shadowed pixels exist: some covered pixels got significantly darker.
-    ratio = h_sh[covered].sum(-1) / np.maximum(h_ns[covered].sum(-1), 1e-6)
-    frac_shadowed = (ratio < 0.5).mean()
-    assert 0.02 < frac_shadowed < 0.9, f"shadowed fraction {frac_shadowed}"
+    # Packed triangle order: plane (8 tris) then cube (12); vis = tri id + 1.
+    ground = (vis >= 1) & (vis <= 8)
+    # Caster check only where the baseline is actually lit (its shadow-side
+    # faces have ~0 radiance in both renders; 0/eps is not "darkening").
+    cube = (vis > 8) & (h_ns.sum(-1) > 0.05)
+    ratio_g = h_sh[ground].sum(-1) / np.maximum(h_ns[ground].sum(-1), 1e-6)
+    ratio_c = h_sh[cube].sum(-1) / np.maximum(h_ns[cube].sum(-1), 1e-6)
+    frac_ground_shadowed = (ratio_g < 0.5).mean()
+    assert 0.02 < frac_ground_shadowed < 0.9, \
+        f"ground shadowed fraction {frac_ground_shadowed}"
+    # Convex caster: its light-facing pixels must stay lit (tiny tolerance
+    # for the 3x3 smoothing at silhouette edges).
+    frac_cube_darkened = (ratio_c < 0.5).mean()
+    assert frac_cube_darkened < 0.05, \
+        f"caster darkened itself: {frac_cube_darkened}"
     # And nothing got brighter.
-    assert (ratio < 1.05).all()
+    assert (np.concatenate([ratio_g, ratio_c]) < 1.05).all()
 
 
 def test_sh_irradiance_roundtrip_constant_env():
