@@ -35,7 +35,7 @@ import numpy as np
 from .mesh import MeshData, compute_normals
 
 CACHE_DIR = os.path.expanduser("~/.cache/basicrenderer_tpu/clod")
-CACHE_SCHEMA = 4
+CACHE_SCHEMA = 5  # v5: per-group coarse meshlets, exact parent/self errors
 MESHLET_TRIS = 128
 GROUP_SIZE = 4          # clusters merged per simplify step
 SIMPLIFY_RATIO = 0.5    # target triangle ratio per LOD level
@@ -129,11 +129,23 @@ def partition(centroids: np.ndarray, max_tris: int = MESHLET_TRIS) -> np.ndarray
 
 
 # Cluster table layout (float lanes), consumed by ops/clod.py
-CLUSTER_STRIDE = 12
-# 0-2 bound center (object space), 3 bound radius,
+CLUSTER_STRIDE = 16
+# 0-2 SELF-GROUP bound center (object space), 3 radius — the sphere of the
+#     simplify group that created this cluster; used for frustum culling AND
+#     for projecting self_error to screen space,
 # 4 self_error (object-space), 5 parent_error, 6 level,
 # 7 tri_offset (mesh-local; the bridge adds the global offset),
-# 8 tri_count, 9 material id (bridge fills per instance), 10-11 pad
+# 8 tri_count, 9 material id (bridge fills per instance),
+# 10 transparent flag (bridge fills per instance), 11 pad,
+# 12-14 PARENT-GROUP bound center, 15 radius — the sphere of the group this
+#     cluster is simplified INTO; used for projecting parent_error.
+#
+# Nanite cut invariant: both sides of a LOD switch must compute the SAME
+# screen-space threshold, so children project parent_error with the parent
+# group's sphere and parents project self_error with that same sphere
+# (child.parent == parent.self in BOTH error and bound). Parent spheres
+# contain child spheres, so projected errors are monotone along every DAG
+# path and the separable per-cluster cut is seam- and hole-free.
 # Triangles are stored grouped by cluster (offset/count ranges) so the
 # runtime can gather a visible cluster's triangles contiguously.
 
@@ -164,20 +176,32 @@ def to_mesh_data(cl: ClusterLODMesh, name: str = "") -> MeshData:
 
 
 def _boundary_vertices(indices: np.ndarray, tri_cluster: np.ndarray,
-                       nv: int) -> np.ndarray:
+                       nv: int, positions: np.ndarray = None) -> np.ndarray:
     """Vertices shared by triangles of different clusters (or open edges) —
     locked during simplification so neighboring groups stay sealed (the
-    reference's group-boundary constraint)."""
-    owner = np.full(nv, -1, np.int64)
-    locked = np.zeros(nv, bool)
+    reference's group-boundary constraint).
+
+    Duplicated vertices (UV/material seams: same position, split attributes)
+    are WELDED by position first — otherwise each copy looks single-group,
+    goes unlocked, drifts under simplification, and the seam cracks open."""
+    if positions is not None:
+        # Canonical id per rounded position (1e-5 of the mesh extent).
+        ext = float(max(positions.max() - positions.min(), 1e-9))
+        q = np.round(positions / ext * 1e5).astype(np.int64)
+        _, canon = np.unique(q, axis=0, return_inverse=True)
+    else:
+        canon = np.arange(nv, dtype=np.int64)
+    nc = int(canon.max()) + 1 if nv else 0
+    owner = np.full(nc, -1, np.int64)
+    locked_c = np.zeros(nc, bool)
     for k in range(3):
-        v = indices[:, k]
+        v = canon[indices[:, k]]
         c = tri_cluster
         seen = owner[v]
         conflict = (seen >= 0) & (seen != c)
-        locked[v[conflict]] = True
+        locked_c[v[conflict]] = True
         owner[v] = np.where(seen < 0, c, seen)
-    return locked
+    return locked_c[canon]
 
 
 def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
@@ -204,7 +228,10 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
     all_uv: List[np.ndarray] = []
     cluster_rows: List[np.ndarray] = []
 
-    def append_level(pos, idx, uv, level, self_errs_per_cluster, cluster_of_tri):
+    def append_level(pos, idx, uv, level, self_errs_per_cluster, cluster_of_tri,
+                     self_spheres=None):
+        """`self_spheres` (ncl, 4): the creating group's sphere per cluster
+        (coarse levels); level 0 computes tight per-meshlet bounds."""
         v_off = sum(len(p) for p in all_pos)
         t_off = sum(len(i) for i in all_idx)
         c_off = sum(len(r) for r in cluster_rows)
@@ -222,15 +249,19 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
         rows = np.zeros((ncl, CLUSTER_STRIDE), np.float32)
         for c in range(ncl):
             sel = slice(starts[c], starts[c + 1])
-            vs = pos[np.unique(idx[sel])]
-            cen = (vs.min(0) + vs.max(0)) * 0.5
-            rows[c, :3] = cen
-            rows[c, 3] = np.linalg.norm(vs - cen, axis=1).max()
+            if self_spheres is not None:
+                rows[c, :4] = self_spheres[c]
+            else:
+                vs = pos[np.unique(idx[sel])]
+                cen = (vs.min(0) + vs.max(0)) * 0.5
+                rows[c, :3] = cen
+                rows[c, 3] = np.linalg.norm(vs - cen, axis=1).max()
             rows[c, 4] = self_errs_per_cluster[c]
             rows[c, 5] = np.inf  # parent error patched when parent appears
             rows[c, 6] = level
             rows[c, 7] = t_off + starts[c]
             rows[c, 8] = starts[c + 1] - starts[c]
+            rows[c, 12:16] = rows[c, 0:4]  # parent sphere patched later
         cluster_rows.append(rows)
         return c_off, ncl
 
@@ -258,7 +289,8 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
             ccen[c] = cur_pos[np.unique(cur_idx[sel])].mean(0)
         group_of_cluster = partition(ccen, GROUP_SIZE)
         group_of_tri = group_of_cluster[cur_cl]
-        locked = _boundary_vertices(cur_idx, group_of_tri, len(cur_pos))
+        locked = _boundary_vertices(cur_idx, group_of_tri, len(cur_pos),
+                                    positions=cur_pos)
 
         new_pos_l, new_idx_l, errs = [], [], []
         ngroups = group_of_cluster.max() + 1
@@ -282,35 +314,59 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
         offs = np.cumsum([0] + [len(p) for p in new_pos_l])
         lvl_idx = np.concatenate([i + offs[k] for k, i in enumerate(new_idx_l)]) \
             if new_idx_l else np.zeros((0, 3), np.int32)
-        group_of_new_tri = np.concatenate(
-            [np.full(len(i), k, np.int32) for k, i in enumerate(new_idx_l)]) \
-            if new_idx_l else np.zeros(0, np.int32)
         if len(lvl_idx) == 0 or len(lvl_idx) >= len(cur_idx):
             break
         # Monotonic error: this level's error must exceed every child's.
         errs = np.asarray(errs, np.float32)
         lvl_err = np.maximum(errs, prev_err * 1.0001 + 1e-7)
 
-        # New meshlets within this level.
-        cen2 = lvl_pos[lvl_idx].mean(1)
-        cl2 = partition(cen2, MESHLET_TRIS)
-        # Keep group->new-cluster association to patch child parent errors:
-        # children (previous level clusters) of group g get parent_error =
-        # lvl_err[g].
-        ncl2 = cl2.max() + 1 if len(cl2) else 0
-        err_of_new_cluster = np.zeros(max(ncl2, 1), np.float32)
-        for c in range(ncl2):
-            gsel = np.unique(group_of_new_tri[cl2 == c])
-            err_of_new_cluster[c] = lvl_err[gsel].max() if len(gsel) else prev_err
+        # Group spheres: each group's sphere contains its children's SELF
+        # spheres (containment makes the projected error monotone along
+        # every DAG path — see the layout note above).
+        prev_rows = cluster_rows[-1]
+        group_spheres = np.zeros((ngroups, 4), np.float32)
+        for g in range(ngroups):
+            ch = np.nonzero(group_of_cluster == g)[0]
+            cen = prev_rows[ch, :3].mean(0)
+            group_spheres[g, :3] = cen
+            group_spheres[g, 3] = (
+                np.linalg.norm(prev_rows[ch, :3] - cen, axis=1)
+                + prev_rows[ch, 3]).max()
+
+        # New meshlets are partitioned WITHIN each simplify group — never
+        # across groups — and every new cluster projects self_error with
+        # EXACTLY its group's (error, sphere), so child.parent ==
+        # parent.self on both sides of the switch and the runtime cut
+        # (self <= tau < parent) is seam- and hole-free for every tau
+        # (ADVICE r1: cross-group meshlets made the max-of-groups error
+        # disagree with the children's patched parent_error, dropping
+        # geometry between two groups' error values).
+        cl2_parts = []
+        err_parts = []
+        sphere_parts = []
+        cl_base = 0
+        for g, i_g in enumerate(new_idx_l):
+            if len(i_g) == 0:
+                continue
+            cen_g = new_pos_l[g][i_g].mean(1)
+            cl_g = partition(cen_g, MESHLET_TRIS)
+            ncl_g = cl_g.max() + 1
+            cl2_parts.append(cl_g + cl_base)
+            err_parts.append(np.full(ncl_g, lvl_err[g], np.float32))
+            sphere_parts.append(np.tile(group_spheres[g], (ncl_g, 1)))
+            cl_base += ncl_g
+        cl2 = np.concatenate(cl2_parts).astype(np.int32)
+        err_of_new_cluster = np.concatenate(err_parts)
+        sphere_of_new_cluster = np.concatenate(sphere_parts)
 
         c_off2, ncl_new = append_level(lvl_pos, lvl_idx, np.zeros((len(lvl_pos), 2), np.float32),
-                                       level, err_of_new_cluster, cl2)
-        # Patch children's parent_error.
-        prev_off = prev_range[0]
+                                       level, err_of_new_cluster, cl2,
+                                       self_spheres=sphere_of_new_cluster)
+        # Patch children: parent error AND parent sphere = their group's.
         for c in range(ncl_cur):
             g = group_of_cluster[c]
-            cluster_rows_level = cluster_rows[-2]
-            cluster_rows_level[c, 5] = lvl_err[g]
+            prev_rows[c, 5] = lvl_err[g]
+            prev_rows[c, 12:16] = group_spheres[g]
         prev_err = float(lvl_err.max())
         prev_range = (c_off2, ncl_new)
         cur_pos, cur_idx, cur_uv, cur_cl = lvl_pos, lvl_idx, \

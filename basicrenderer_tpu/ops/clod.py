@@ -46,25 +46,30 @@ def select_cluster_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     Cluster bounds/errors are object-space; each cluster is transformed by
     its owning object's matrix (one-hot MXU lookup) and tested against the
     camera. Clusters of culled objects are dropped here too."""
-    tbl = scene.cluster_table                    # (C, 8)
+    tbl = scene.cluster_table                    # (C, CLUSTER_STRIDE)
     C = tbl.shape[0]
     O = scene.object_mats.shape[0]
     rows = raster_setup.gather_rows_onehot(
         scene.object_mats.reshape(O, 16), scene.cluster_object)  # (C, 16)
     mats = rows.reshape(C, 4, 4)
-    center_l = tbl[:, 0:3]
-    center_w = jnp.einsum("cij,cj->ci", mats[:, :3, :3], center_l) + mats[:, :3, 3]
     # Conservative object scale: max column norm.
     scale = jnp.linalg.norm(mats[:, :3, :3], axis=1).max(axis=-1)
-    radius_w = tbl[:, 3] * scale
-    self_err_w = tbl[:, 4] * scale
-    parent_err_w = tbl[:, 5] * scale             # inf stays inf
-
-    dist = jnp.linalg.norm(center_w - view.cam_pos[None, :], axis=-1)
-    dist = jnp.maximum(dist - radius_w, view.near)
     f = _screen_error_factor(view, config.height)
-    self_px = self_err_w * f / dist
-    parent_px = parent_err_w * f / dist
+
+    def project_px(center_l, radius_l, err_l):
+        """Screen-space error of a (sphere, world error) pair. Self and
+        parent use their OWN spheres (the creating group's / the parent
+        group's) so both sides of a LOD switch compute identical
+        thresholds — see models/clusters.py layout note."""
+        cw = jnp.einsum("cij,cj->ci", mats[:, :3, :3], center_l) \
+            + mats[:, :3, 3]
+        rw = radius_l * scale
+        dist = jnp.linalg.norm(cw - view.cam_pos[None, :], axis=-1)
+        dist = jnp.maximum(dist - rw, view.near)
+        return err_l * scale * f / dist, cw, rw
+
+    self_px, center_w, radius_w = project_px(tbl[:, 0:3], tbl[:, 3], tbl[:, 4])
+    parent_px, _, _ = project_px(tbl[:, 12:15], tbl[:, 15], tbl[:, 5])
 
     live = jnp.arange(C) < scene.num_clusters
     cut = live & (self_px <= tau_px) & (parent_px > tau_px)

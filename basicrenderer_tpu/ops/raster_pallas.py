@@ -125,8 +125,13 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
         chan_ref[6] = jnp.where(passd, buf_ref[base + 13], chan_ref[6])
         return slot_base
 
-    def walk(row0_chunks, nchunks):
-        """Double-buffer DMA + raster a chunk range of pair rows."""
+    def walk(row0_chunks, nrows):
+        """Double-buffer DMA + raster `nrows` pair rows from a chunk-aligned
+        base. The LAST chunk's inner loop stops at the live row count
+        instead of the full slab (up to 127 wasted evals per range
+        otherwise — measurable when every tile walks a short big list)."""
+        nchunks = pl.cdiv(nrows, CHUNK)
+
         @pl.when(nchunks > 0)
         def _():
             get_dma(0, row0_chunks, 0).start()
@@ -139,17 +144,18 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
                 get_dma((c + 1) % 2, row0_chunks, c + 1).start()
 
             get_dma(slot, row0_chunks, c).wait()
-            jax.lax.fori_loop(0, CHUNK, tri_body, slot * SLAB)
+            n_this = jnp.minimum(nrows - c * CHUNK, CHUNK)
+            jax.lax.fori_loop(0, n_this, tri_body, slot * SLAB)
             return 0
 
         jax.lax.fori_loop(0, nchunks, chunk_body, 0)
 
     # This tile's own binned range, rounded to whole slabs.
-    walk(start // CHUNK, pl.cdiv(n, CHUNK))
+    walk(start // CHUNK, n)
     # The global large-triangle list at rows [0, max_big_tris): triangles
     # spanning more tiles than the bin slot cap are not binned per-tile;
     # every tile walks them (reference: HW-raster bucket role).
-    walk(0, pl.cdiv(misc_ref[1], CHUNK))
+    walk(0, misc_ref[1])
 
 
 def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,

@@ -82,7 +82,9 @@ def _resolve_kernel(tile_off_ref, misc_ref, flat_ref, vis_ref, out_ref,
             out_ref[6] = jnp.where(mask, buf_ref[base + 13], out_ref[6])
         return slot_base
 
-    def walk(row0_chunks, nchunks):
+    def walk(row0_chunks, nrows):
+        nchunks = pl.cdiv(nrows, CHUNK)
+
         @pl.when(nchunks > 0)
         def _():
             get_dma(0, row0_chunks, 0).start()
@@ -95,15 +97,16 @@ def _resolve_kernel(tile_off_ref, misc_ref, flat_ref, vis_ref, out_ref,
                 get_dma((c + 1) % 2, row0_chunks, c + 1).start()
 
             get_dma(slot, row0_chunks, c).wait()
-            jax.lax.fori_loop(0, CHUNK, tri_body, slot * SLAB)
+            n_this = jnp.minimum(nrows - c * CHUNK, CHUNK)
+            jax.lax.fori_loop(0, n_this, tri_body, slot * SLAB)
             return 0
 
         jax.lax.fori_loop(0, nchunks, chunk_body, 0)
 
-    walk(start // CHUNK, pl.cdiv(n, CHUNK))
+    walk(start // CHUNK, n)
     # Global large-triangle list at rows [0, max_big_tris)
     # (see ops/raster_setup.bin_pairs).
-    walk(0, pl.cdiv(misc_ref[1], CHUNK))
+    walk(0, misc_ref[1])
 
 
 def resolve_attributes_pallas(pairs: BinnedPairs, vis: jnp.ndarray,

@@ -159,6 +159,7 @@ class SceneRenderBridge:
                         template[ci, 5] = np.inf
                         template[ci, 7] = lo
                         template[ci, 8] = hi - lo
+                        template[ci, 12:16] = template[ci, 0:4]
                 template = template.copy()
                 template[:, 7] += t_off  # mesh-local -> global tri offsets
                 tcl[t_off:t_off + nt] = mesh.tri_cluster + cl_off  # first inst

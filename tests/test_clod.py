@@ -123,3 +123,35 @@ def test_clod_frame_renders_and_saves_triangles(lod_mesh):
     out2 = jax.jit(build_frame_fn(CFG))(buffers2, vd2, FrameParams.default())
     assert int(out2["num_pairs"]) > int(out["num_pairs"])
     assert (np.asarray(out2["vis"]) > 0).mean() > 0.05
+
+
+def test_cut_interior_coverage_hole_free_across_tau(lod_mesh):
+    """Sweep the LOD threshold: the sphere's interior must stay fully
+    covered at EVERY tau (regression: coarse meshlets used to mix simplify
+    groups, so for tau between two groups' errors neither the children nor
+    the coarse cluster was selected and geometry vanished — ADVICE r1)."""
+    buffers, vd = _cut_scene(lod_mesh, 3.0)
+    frame = jax.jit(build_frame_fn(CFG), static_argnums=())
+    # Interior disk: project the unit sphere at the known camera distance.
+    H = W = 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    params0 = FrameParams.default()
+    out0 = frame(buffers, vd, params0)
+    vis0 = np.asarray(out0["vis"]) > 0
+    cy, cx = np.argwhere(vis0).mean(0)
+    r = np.sqrt(vis0.sum() / np.pi)
+    for tau in (0.1, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0):
+        # The LOD error budget permits geometric deviation up to tau px
+        # (plus raster rounding); holes deeper than that violate the cut
+        # invariant. Pre-fix, tau=1.0 lost >1000 interior pixels.
+        rad = 0.7 * r - tau - 2.0
+        if rad < 5.0:
+            continue
+        interior = (yy - cy) ** 2 + (xx - cx) ** 2 < rad ** 2
+        assert interior.sum() > 200
+        params = params0.replace(clod_error_px=jnp.float32(tau))
+        out = frame(buffers, vd, params)
+        vis = np.asarray(out["vis"]) > 0
+        holes = interior & ~vis
+        assert holes.sum() == 0, \
+            f"tau={tau}: {holes.sum()} interior pixels lost coverage"
