@@ -34,6 +34,8 @@ from .utils.settings import SettingsManager, make_default_settings
 class Renderer:
     def __init__(self, settings: Optional[SettingsManager] = None,
                  caps: Optional[BridgeCapacities] = None):
+        from .utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()  # ShaderArtifactCache analogue (#8)
         self.settings = settings or make_default_settings()
         self.meshes = MeshRegistry()
         self.materials = MaterialRegistry()
