@@ -46,20 +46,31 @@ def object_mask_to_tris(object_visible: jnp.ndarray, tri_object: jnp.ndarray
     return ok[:, 0] > 0.5
 
 
-def clod_compact(scene: SceneBuffers, view: ViewData, config: FrameConfig,
-                 params: FrameParams, frustum: bool = True):
-    """Virtualized-geometry LOD cut + visible-triangle compaction
-    (reference: cluster cull + LOD select, computeCulling.hlsl; ops/clod.py
-    for the vectorized reformulation). Returns (indices, material, object,
-    valid, overflow) sized max_visible_clusters * 128."""
+def clod_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
+             params: FrameParams, frustum: bool = True,
+             return_bounds: bool = False):
+    """Opaque-pass LOD cut mask (reference: cluster cull + LOD select,
+    computeCulling.hlsl; ops/clod.py for the vectorized reformulation)."""
     from ..ops import clod as clod_ops
     tau = params.clod_error_px if params is not None else jnp.float32(1.0)
-    cut, _n = clod_ops.select_cluster_cut(scene, view, config, tau, None,
-                                          frustum=frustum)
+    out = clod_ops.select_cluster_cut(scene, view, config, tau, None,
+                                      frustum=frustum,
+                                      return_bounds=return_bounds)
+    cut = out[0]
     if config.enable_oit:
         # Transparent clusters render through the OIT peeling passes
         # (ops/oit.py); keep only opaque ones here.
         cut = cut & (scene.cluster_table[:, 10] < 0.5)
+    return (cut,) + out[2:] if return_bounds else cut
+
+
+def clod_compact(scene: SceneBuffers, view: ViewData, config: FrameConfig,
+                 params: FrameParams, frustum: bool = True):
+    """Virtualized-geometry LOD cut + visible-triangle compaction. Returns
+    (indices, material, object, valid, overflow) sized
+    max_visible_clusters * 128."""
+    from ..ops import clod as clod_ops
+    cut = clod_cut(scene, view, config, params, frustum=frustum)
     return clod_ops.compact_visible_tris(cut=cut, scene=scene,
                                          max_visible=config.max_visible_clusters)
 
@@ -187,7 +198,49 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
     centers = scene.object_bounds[:, :3]
     radii = scene.object_bounds[:, 3]
     cluster_overflow = jnp.int32(0)
-    if config.enable_occlusion and not config.enable_clod \
+    if config.enable_occlusion and config.enable_clod \
+            and prev_depth is not None:
+        # Cluster-granular two-phase occlusion (reference: phase-1/phase-2
+        # cluster culling with replay buffers, computeCulling.hlsl +
+        # CLodExtension.cpp:1474-1514). Phase 1 rasters cut clusters that
+        # pass the previous frame's HZB; phase 2 re-tests the rejected
+        # candidates against the fresh HZB and rasters the newly-visible
+        # ones into the seeded buffers.
+        from ..ops import clod as clod_ops
+        cut, cw, rw = clod_cut(scene, view, config, params,
+                               return_bounds=True)
+        prev_hzb = culling.build_hzb(gather_rows(prev_depth),
+                                     config.hzb_levels)
+        bb, zn, behind = culling.project_sphere_bounds(
+            view.viewproj, cw, rw, config.width, full_h)
+        unocc = culling.occlusion_test_hzb(prev_hzb, bb, zn, behind,
+                                           config.width, full_h)
+
+        def raster_cut(c, budget, init=None):
+            idx, mat, tobj, tvalid, ovf = clod_ops.compact_visible_tris(
+                cut=c, scene=scene, max_visible=budget)
+            lanes, bboxt, valid = raster_setup.triangle_setup_compacted(
+                scene.vertex_table, scene.object_mats,
+                scene.object_normal_mats, view.viewproj, idx, tvalid,
+                config, mat, tobj)
+            prs = raster_setup.bin_pairs(lanes, bboxt, valid, config)
+            d, v, ch = visibility_pass(localize(prs), lcfg, init=init,
+                                       tile_row0=row0_tiles)
+            return d, v, ch, prs, ovf
+
+        depth_p, vis_p, channels, pairs, ovf1 = raster_cut(
+            cut & unocc, config.max_visible_clusters)
+        hzb_now = culling.build_hzb(gather_rows(depth_p), config.hzb_levels)
+        retest = (cut & ~unocc) & culling.occlusion_test_hzb(
+            hzb_now, bb, zn, behind, config.width, full_h)
+        depth_p, vis_p, channels, pairs2, ovf2 = raster_cut(
+            retest, config.max_phase2_clusters,
+            init=(depth_p, vis_p, channels))
+        pairs = pairs._replace(
+            overflow=pairs.overflow + pairs2.overflow,
+            num_pairs=pairs.num_pairs + pairs2.num_pairs)
+        cluster_overflow = ovf1 + ovf2
+    elif config.enable_occlusion and not config.enable_clod \
             and prev_depth is not None:
         clip, world_pos, world_normals, lanes, bbox, valid = geometry_setup(
             scene, view, config)
@@ -227,16 +280,29 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         config.width, config.height, row0=row0_px)
 
     if config.enable_textures:
-        # Base-color texture modulation (reference: material texture
-        # fetches in VisUtilEvaluate/gbuffer.hlsl; ops/textures.py for
-        # the reduced-rate TPU sampling strategy).
+        # Material texture fetches (reference: VisUtilEvaluate/gbuffer.hlsl
+        # through the descriptor heap). All channels ride the packed-u32
+        # mip-pyramid sampler (ops/textures.py): base color + alpha (sRGB),
+        # tangent-space normal, metallic-roughness (glTF: G=rough B=metal),
+        # emissive (sRGB). Texture factors multiply per glTF semantics.
         from ..ops import textures as tex_ops
-        tex = tex_ops.sample_layered_atlas(
-            scene.tex_atlas, gb.base_tex, gb.uv, config.texture_downscale)
+        ds, filt = config.texture_downscale, config.texture_filter
+        base = tex_ops.sample_pyramid(scene.tex_pyramid, scene.tex_flags,
+                                      gb.base_tex, gb.uv, ds, filt)
         nrm2 = tex_ops.apply_normal_map(
-            gb.normal, gb.world_pos, gb.uv, scene.tex_atlas,
-            gb.normal_tex, downscale=config.texture_downscale)
-        gb = gb._replace(albedo=gb.albedo * tex[..., :3], normal=nrm2)
+            gb.normal, gb.world_pos, gb.uv, scene.tex_pyramid,
+            scene.tex_flags, gb.normal_tex, downscale=ds, filter=filt)
+        mr = tex_ops.sample_pyramid(scene.tex_pyramid, scene.tex_flags,
+                                    gb.mr_tex, gb.uv, ds, filt)
+        emis = tex_ops.sample_pyramid(scene.tex_pyramid, scene.tex_flags,
+                                      gb.emissive_tex, gb.uv, ds, filt)
+        gb = gb._replace(
+            albedo=gb.albedo * base[..., :3],
+            alpha=gb.alpha * base[..., 3] if gb.alpha is not None else None,
+            normal=nrm2,
+            roughness=gb.roughness * mr[..., 1],
+            metallic=gb.metallic * mr[..., 2],
+            emissive=gb.emissive * emis[..., :3])
 
     shadow_fn = None
     if config.enable_shadows:

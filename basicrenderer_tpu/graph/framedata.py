@@ -66,8 +66,10 @@ class SceneBuffers:
     #                              (bounds/errors in object space)
     cluster_object: jnp.ndarray  # (C,) i32 owning object
     num_clusters: jnp.ndarray    # () i32
-    # Texture atlas (models/textures.py; mip-1 layers, sampled reduced-rate)
-    tex_atlas: jnp.ndarray       # (N, R/2, R/2, 4) f32
+    # Texture atlas (models/textures.py): per-layer flat mip chains of
+    # RGBA8-packed uint32 words; flags bit 0 = sRGB-stored (ops/textures.py)
+    tex_pyramid: jnp.ndarray     # (N, S) uint32
+    tex_flags: jnp.ndarray       # (N,) int32
     # Environment (IBL) — optional, zeros when disabled
     env_sh: jnp.ndarray          # (9, 3) f32 irradiance SH
     env_specular: jnp.ndarray    # (mips, 6, R, R, 3) f32 prefiltered cubemap
@@ -119,6 +121,7 @@ class FrameConfig:
     ibl_specular_downscale: int = 2
     enable_textures: bool = False
     texture_downscale: int = 2
+    texture_filter: str = "bilinear"   # "nearest" | "bilinear"
     enable_bloom: bool = False
     enable_gtao: bool = False
     enable_ssr: bool = False
@@ -131,6 +134,7 @@ class FrameConfig:
     enable_culling: bool = True
     enable_clod: bool = False        # cluster-LOD cut selection (ops/clod.py)
     max_visible_clusters: int = 2048  # visible-cluster budget (x128 tris)
+    max_phase2_clusters: int = 512    # occlusion phase-2 replay budget
     enable_occlusion: bool = False   # two-phase HZB occlusion culling
     hzb_levels: int = 8
     debug_view: str = "none"

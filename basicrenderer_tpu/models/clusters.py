@@ -35,7 +35,7 @@ import numpy as np
 from .mesh import MeshData, compute_normals
 
 CACHE_DIR = os.path.expanduser("~/.cache/basicrenderer_tpu/clod")
-CACHE_SCHEMA = 5  # v5: per-group coarse meshlets, exact parent/self errors
+CACHE_SCHEMA = 6  # v6: UV-preserving simplify (seam weld + provenance)
 MESHLET_TRIS = 128
 GROUP_SIZE = 4          # clusters merged per simplify step
 SIMPLIFY_RATIO = 0.5    # target triangle ratio per LOD level
@@ -64,7 +64,7 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int)]
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.partition_meshlets.restype = ctypes.c_int
         lib.partition_meshlets.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -76,9 +76,11 @@ def _load_native():
 
 
 def simplify(positions: np.ndarray, indices: np.ndarray, locked: np.ndarray,
-             target_tris: int) -> Tuple[np.ndarray, np.ndarray, float]:
+             target_tris: int
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     """Quadric edge-collapse to ~target_tris; locked vertices stay fixed.
-    Returns (positions, indices, max_error)."""
+    Returns (positions, indices, src, max_error) where src[i] is the INPUT
+    vertex each output vertex descended from (attribute provenance)."""
     lib = _load_native()
     nv, nt = len(positions), len(indices)
     if lib:
@@ -87,6 +89,7 @@ def simplify(positions: np.ndarray, indices: np.ndarray, locked: np.ndarray,
         lk = np.ascontiguousarray(locked, np.uint8)
         out_pos = np.zeros_like(pos)
         out_idx = np.zeros_like(idx)
+        out_src = np.zeros(nv, np.int32)
         counts = np.zeros(2, np.int32)
         err = lib.simplify_qem(
             pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nv,
@@ -95,9 +98,10 @@ def simplify(positions: np.ndarray, indices: np.ndarray, locked: np.ndarray,
             int(target_tris),
             out_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_src.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         return (out_pos[:counts[0]].copy(), out_idx[:counts[1]].copy(),
-                float(err))
+                out_src[:counts[0]].copy(), float(err))
     # Numpy fallback: decimate by dropping every other triangle (low quality,
     # tests only — the native path is the real implementation).
     keep = indices[::2][:max(target_tris, 1)]
@@ -105,7 +109,8 @@ def simplify(positions: np.ndarray, indices: np.ndarray, locked: np.ndarray,
     remap = np.zeros(nv, np.int32)
     remap[used] = np.arange(len(used), dtype=np.int32)
     ext = positions[used].max(0) - positions[used].min(0) if len(used) else 0
-    return positions[used].copy(), remap[keep], float(np.max(ext) * 0.05) if len(used) else 0.0
+    return (positions[used].copy(), remap[keep], used.astype(np.int32),
+            float(np.max(ext) * 0.05) if len(used) else 0.0)
 
 
 def partition(centroids: np.ndarray, max_tris: int = MESHLET_TRIS) -> np.ndarray:
@@ -292,7 +297,7 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
         locked = _boundary_vertices(cur_idx, group_of_tri, len(cur_pos),
                                     positions=cur_pos)
 
-        new_pos_l, new_idx_l, errs = [], [], []
+        new_pos_l, new_idx_l, new_uv_l, errs = [], [], [], []
         ngroups = group_of_cluster.max() + 1
         for g in range(ngroups):
             sel = group_of_tri == g
@@ -301,16 +306,33 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
             remap = np.zeros(len(cur_pos), np.int32)
             remap[used] = np.arange(len(used), dtype=np.int32)
             p_g = cur_pos[used]
+            uv_g = cur_uv[used]
             i_g = remap[tris_g]
             l_g = locked[used]
-            target = max(int(len(i_g) * SIMPLIFY_RATIO), 1)
-            sp, si, err = simplify(p_g, i_g, l_g, target)
+            # Weld duplicated seam vertices (same position, split UV) so
+            # the collapse graph is watertight — unwelded copies simplify
+            # independently and crack the seam open. The first copy's UV
+            # survives; simplify() provenance then carries UVs through the
+            # collapse (reference: attribute-preserving simplification,
+            # ClusterLODUtilities.cpp's meshopt attribute path).
+            ext_g = float(max(p_g.max() - p_g.min(), 1e-9)) if len(p_g) else 1.0
+            qp = np.round(p_g / ext_g * 1e5).astype(np.int64)
+            _, widx, winv = np.unique(qp, axis=0, return_index=True,
+                                      return_inverse=True)
+            pw, uvw = p_g[widx], uv_g[widx]
+            lw = np.zeros(len(widx), bool)
+            np.logical_or.at(lw, winv, l_g)
+            iw = winv[i_g].astype(np.int32)
+            target = max(int(len(iw) * SIMPLIFY_RATIO), 1)
+            sp, si, src, err = simplify(pw, iw, lw.astype(np.uint8), target)
             new_pos_l.append(sp)
             new_idx_l.append(si)
+            new_uv_l.append(uvw[src])
             errs.append(err)
 
         # Flatten this level.
         lvl_pos = np.concatenate(new_pos_l) if new_pos_l else np.zeros((0, 3), np.float32)
+        lvl_uv = np.concatenate(new_uv_l) if new_uv_l else np.zeros((0, 2), np.float32)
         offs = np.cumsum([0] + [len(p) for p in new_pos_l])
         lvl_idx = np.concatenate([i + offs[k] for k, i in enumerate(new_idx_l)]) \
             if new_idx_l else np.zeros((0, 3), np.int32)
@@ -359,7 +381,7 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
         err_of_new_cluster = np.concatenate(err_parts)
         sphere_of_new_cluster = np.concatenate(sphere_parts)
 
-        c_off2, ncl_new = append_level(lvl_pos, lvl_idx, np.zeros((len(lvl_pos), 2), np.float32),
+        c_off2, ncl_new = append_level(lvl_pos, lvl_idx, lvl_uv,
                                        level, err_of_new_cluster, cl2,
                                        self_spheres=sphere_of_new_cluster)
         # Patch children: parent error AND parent sphere = their group's.
@@ -369,8 +391,7 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
             prev_rows[c, 12:16] = group_spheres[g]
         prev_err = float(lvl_err.max())
         prev_range = (c_off2, ncl_new)
-        cur_pos, cur_idx, cur_uv, cur_cl = lvl_pos, lvl_idx, \
-            np.zeros((len(lvl_pos), 2), np.float32), cl2
+        cur_pos, cur_idx, cur_uv, cur_cl = lvl_pos, lvl_idx, lvl_uv, cl2
 
     positions = np.concatenate(all_pos)
     indices = np.concatenate(all_idx)

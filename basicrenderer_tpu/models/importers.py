@@ -9,10 +9,11 @@ dependencies (pygltflib/assimp are not in the image). USD/NIF support slots
 into `load_model`'s dispatch the same way when available.
 
 Loads geometry, PBR metallic-roughness material factors, the node hierarchy
-(TRS), skins (inverse bind + joint hierarchy) and keyframe animations into
-the framework's registries + Scene. Image textures are recorded on the
-Material (texture ids) but sampling is factor-based this round (SURVEY §7
-post-stack milestone note).
+(TRS), skins (inverse bind + joint hierarchy), keyframe animations, and
+texture images (PNG/JPEG via PIL, from file URIs, data URIs, or GLB buffer
+views — reference: TextureFactory::CreateFromGltf) into the framework's
+registries + Scene. Color textures register sRGB; normal/metallic-roughness
+data registers linear (the sampler decodes accordingly, ops/textures.py).
 """
 
 from __future__ import annotations
@@ -98,11 +99,66 @@ class _GltfReader:
         return np.array(a)
 
 
+def _decode_image(gltf: dict, rd: "_GltfReader", base_dir: str,
+                  img_idx: int) -> Optional[np.ndarray]:
+    """Decode gltf images[img_idx] (PNG/JPEG) -> (H, W, 3|4) uint8."""
+    img = gltf["images"][img_idx]
+    uri = img.get("uri")
+    if uri is not None:
+        if uri.startswith("data:"):
+            data = base64.b64decode(uri.split(",", 1)[1])
+        else:
+            from urllib.parse import unquote
+            with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+                data = f.read()
+    elif "bufferView" in img:
+        view = gltf["bufferViews"][img["bufferView"]]
+        off = view.get("byteOffset", 0)
+        data = rd.buffers[view["buffer"]][off:off + view["byteLength"]]
+    else:
+        return None
+    try:
+        from io import BytesIO
+        from PIL import Image
+        with Image.open(BytesIO(data)) as im:
+            return np.asarray(im.convert("RGBA"))
+    except Exception:
+        return None
+
+
+class _TextureImporter:
+    """glTF texture index -> TextureRegistry id, decoded lazily and cached
+    per (texture, colorspace) since a registry layer bakes its encoding."""
+
+    def __init__(self, gltf, rd, base_dir, registry):
+        self.gltf, self.rd, self.base_dir = gltf, rd, base_dir
+        self.registry = registry
+        self.cache: Dict[Tuple[int, bool], int] = {}
+
+    def get(self, tex_idx: int, srgb: bool) -> int:
+        if tex_idx < 0 or self.registry is None:
+            return -1
+        key = (tex_idx, srgb)
+        if key not in self.cache:
+            tex = self.gltf.get("textures", [])[tex_idx]
+            src = tex.get("source", -1)
+            if src < 0:
+                self.cache[key] = -1
+            else:
+                img = _decode_image(self.gltf, self.rd, self.base_dir, src)
+                self.cache[key] = (self.registry.add(img, srgb=srgb)
+                                   if img is not None else -1)
+        return self.cache[key]
+
+
 def load_gltf(path: str, scene: Scene, meshes: MeshRegistry,
               materials: MaterialRegistry,
               skeletons: Optional[SkeletonRegistry] = None,
-              parent: Optional[int] = None) -> Dict[str, list]:
-    """Load a glTF file into the scene. Returns created entity/clip info."""
+              parent: Optional[int] = None,
+              textures=None) -> Dict[str, list]:
+    """Load a glTF file into the scene. Returns created entity/clip info.
+    `textures`: a models.textures.TextureRegistry to decode images into
+    (None skips image decode; materials keep factors only)."""
     base_dir = os.path.dirname(path)
     if path.endswith(".glb"):
         gltf, glb_bin = _read_glb(path)
@@ -111,6 +167,7 @@ def load_gltf(path: str, scene: Scene, meshes: MeshRegistry,
             gltf = json.load(f)
         glb_bin = b""
     rd = _GltfReader(gltf, base_dir, glb_bin)
+    tex_import = _TextureImporter(gltf, rd, base_dir, textures)
 
     # Materials.
     mat_ids = []
@@ -123,14 +180,20 @@ def load_gltf(path: str, scene: Scene, meshes: MeshRegistry,
             metallic=float(pbr.get("metallicFactor", 1.0)),
             roughness=float(pbr.get("roughnessFactor", 1.0)),
             emissive=np.asarray(m.get("emissiveFactor", [0, 0, 0]), np.float32),
+            normal_scale=float(m.get("normalTexture", {}).get("scale", 1.0)),
             double_sided=bool(m.get("doubleSided", False)),
             alpha_blend=m.get("alphaMode") == "BLEND",
             alpha_cutoff=(m.get("alphaCutoff", 0.5)
                           if m.get("alphaMode") == "MASK" else -1.0),
-            base_color_texture=pbr.get("baseColorTexture", {}).get("index", -1),
-            normal_texture=m.get("normalTexture", {}).get("index", -1),
-            metallic_roughness_texture=pbr.get(
-                "metallicRoughnessTexture", {}).get("index", -1),
+            base_color_texture=tex_import.get(
+                pbr.get("baseColorTexture", {}).get("index", -1), True),
+            normal_texture=tex_import.get(
+                m.get("normalTexture", {}).get("index", -1), False),
+            metallic_roughness_texture=tex_import.get(
+                pbr.get("metallicRoughnessTexture", {}).get("index", -1),
+                False),
+            emissive_texture=tex_import.get(
+                m.get("emissiveTexture", {}).get("index", -1), True),
         )
         mat_ids.append(materials.add(mat))
     if not mat_ids:
@@ -314,11 +377,12 @@ def load_obj(path: str, scene: Scene, meshes: MeshRegistry,
 def load_model(path: str, scene: Scene, meshes: MeshRegistry,
                materials: MaterialRegistry,
                skeletons: Optional[SkeletonRegistry] = None,
-               parent: Optional[int] = None):
+               parent: Optional[int] = None, textures=None):
     """Format dispatch (reference: ModelLoader.cpp:14-45)."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".gltf", ".glb"):
-        return load_gltf(path, scene, meshes, materials, skeletons, parent)
+        return load_gltf(path, scene, meshes, materials, skeletons, parent,
+                         textures=textures)
     if ext == ".obj":
         return load_obj(path, scene, meshes, materials, parent)
     raise ValueError(f"unsupported model format: {ext} "

@@ -30,14 +30,17 @@ class BuiltScene:
 def build_courtyard(grid: int = 10, seed: int = 42,
                     meshes: Optional[MeshRegistry] = None,
                     materials: Optional[MaterialRegistry] = None,
-                    lod: bool = False) -> BuiltScene:
+                    lod: bool = False, textures=None) -> BuiltScene:
     """A Sponza-courtyard-style scene: terrain floor + a grid^2 field of
     mixed sphere/cube/torus instances with varied PBR materials + lights.
     With `lod=True` the curved shapes carry cluster-LOD DAGs (the
-    virtualized-geometry bench path)."""
+    virtualized-geometry bench path). Pass a TextureRegistry to give the
+    terrain + shapes base-color/normal/roughness maps (bench Config 2)."""
     rng = np.random.default_rng(seed)
-    meshes = meshes or MeshRegistry()
-    materials = materials or MaterialRegistry()
+    # `is None` (not truthiness): an EMPTY registry passed in (e.g. a fresh
+    # Renderer's) must still be used, or the scene's ids point nowhere.
+    meshes = MeshRegistry() if meshes is None else meshes
+    materials = MaterialRegistry() if materials is None else materials
 
     terrain = meshes.add(procedural.make_fractal_terrain(size=60.0, segments=96, height=2.0))
     sphere_mesh = procedural.make_uv_sphere(0.5, rings=16, sectors=32)
@@ -51,6 +54,22 @@ def build_courtyard(grid: int = 10, seed: int = 42,
     torus = meshes.add(torus_mesh)
     shapes = [sphere, cube, torus]
 
+    # Optional texture set (base color + tangent-space normal + ORM).
+    tex_base = tex_norm = tex_orm = -1
+    if textures is not None:
+        r = textures.resolution
+        yy, xx = np.mgrid[0:r, 0:r].astype(np.float32) / r
+        marble = 0.55 + 0.35 * np.sin(xx * 21.0 + 3.5 * np.sin(yy * 9.0))
+        base = np.stack([marble, marble * 0.93, marble * 0.85], -1)
+        tex_base = textures.add(base.clip(0, 1), srgb=False)
+        bump = np.sin(xx * 60.0) * np.cos(yy * 60.0) * 0.35
+        nrm = np.stack([bump, np.roll(bump, 7, 0),
+                        np.sqrt(np.clip(1 - 2 * bump ** 2, 0.05, 1))], -1)
+        tex_norm = textures.add(nrm * 0.5 + 0.5, srgb=False)
+        orm = np.stack([np.ones_like(xx), 0.5 + 0.45 * np.sin(xx * 13.0),
+                        (yy > 0.5).astype(np.float32)], -1)
+        tex_orm = textures.add(orm, srgb=False)
+
     mat_ids = []
     palette = [
         ([0.8, 0.15, 0.1], 0.0, 0.35), ([0.1, 0.5, 0.8], 0.0, 0.2),
@@ -58,12 +77,17 @@ def build_courtyard(grid: int = 10, seed: int = 42,
         ([0.85, 0.85, 0.9], 1.0, 0.1), ([0.6, 0.3, 0.7], 0.0, 0.5),
         ([0.95, 0.55, 0.15], 0.0, 0.4), ([0.35, 0.35, 0.4], 1.0, 0.55),
     ]
-    for rgb, metal, rough in palette:
+    for k, (rgb, metal, rough) in enumerate(palette):
         mat_ids.append(materials.add(Material(
             base_color=np.array(rgb + [1.0], np.float32),
-            metallic=metal, roughness=rough)))
+            metallic=metal, roughness=rough,
+            base_color_texture=tex_base if k % 2 == 0 else -1,
+            normal_texture=tex_norm if k % 3 == 0 else -1,
+            metallic_roughness_texture=tex_orm if k % 4 == 0 else -1)))
     ground = materials.add(Material(
-        base_color=np.array([0.45, 0.42, 0.38, 1.0], np.float32), roughness=0.95))
+        base_color=np.array([0.45, 0.42, 0.38, 1.0], np.float32),
+        roughness=0.95, base_color_texture=tex_base,
+        normal_texture=tex_norm))
 
     sc = Scene()
     sc.create_renderable(terrain, ground)

@@ -1,18 +1,20 @@
-"""Texture registry + layered atlas.
+"""Texture registry + packed mip-pyramid atlas.
 
 Reference analogue: TextureFactory/Texture + TextureProcessingManager
 (reference: BasicRenderer/src/Factories/TextureFactory.cpp,
-src/Resources/Texture.cpp, TextureProcessingManager — GPU BC7, mips,
-streaming metadata). TPU redesign: textures live in one fixed-shape
-LAYERED atlas (N, R, R, 4) f32 — the layer index IS the texture id, so
-sampling needs no rect packing and a texture's address is computable from
-(id, uv) alone. Mip 1 of every layer is kept in a second half-res atlas
-(R/2) for the reduced-rate sampling path (TPU gathers are the bottleneck;
-see ops/textures.py).
+src/Resources/Texture.cpp, TextureProcessingManager — GPU BC7 encode, mip
+generation, streaming metadata). TPU redesign: all textures share one fixed
+square resolution and live in a single flat atlas of RGBA8 texels PACKED
+INTO uint32 words — one gathered word per sample tap (XLA gathers serialize,
+so bytes-per-tap is the whole cost model; see ops/textures.py). Each layer
+carries its full mip chain contiguously (mip offsets are static), the TPU
+analogue of the reference's mip-chain subresources.
 
-No BC compression (TPU reads f32/bf16 natively); the reference's
-processed-texture disk cache is unnecessary since atlas building is a
-one-time numpy resize.
+Color data is stored sRGB8 (like the reference's *_SRGB formats) and decoded
+after the tap; data textures (normal/metallic-roughness) are stored linear —
+a per-layer flag word tells the sampler which. No BC compression: RGBA8 is
+already the decoded form BC7 produces, and HBM capacity is not the
+bottleneck at these budgets.
 """
 
 from __future__ import annotations
@@ -21,14 +23,21 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from ..ops.textures import layer_words, mip_layout
+
+FLAG_SRGB = 1
+
 
 class TextureRegistry:
     def __init__(self, resolution: int = 256):
         self.resolution = resolution
-        self.images: List[np.ndarray] = []
+        self.images: List[np.ndarray] = []   # (R, R, 4) f32 LINEAR
+        self.srgb: List[bool] = []           # stored-encoding flag per layer
 
     def add(self, image: np.ndarray, srgb: bool = True) -> int:
-        """Register an (H, W, 3|4) uint8/float image; returns texture id."""
+        """Register an (H, W, 3|4) uint8/float image; returns texture id.
+        `srgb=True` marks color data (decoded to linear here, re-encoded
+        sRGB8 in the atlas); False marks data textures (normals, ORM)."""
         img = np.asarray(image)
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
@@ -41,6 +50,7 @@ class TextureRegistry:
         if img.shape[-1] == 3:
             img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
         self.images.append(_resize(img, self.resolution))
+        self.srgb.append(bool(srgb))
         return len(self.images) - 1
 
     def checkerboard(self, a=(0.9, 0.9, 0.9), b=(0.2, 0.2, 0.2),
@@ -53,25 +63,51 @@ class TextureRegistry:
         return self.add(np.concatenate([img, np.ones((r, r, 1), np.float32)], -1),
                         srgb=False)
 
-    def atlas(self, capacity: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (mip0 (N, R, R, 4), mip1 (N, R/2, R/2, 4)) f32 atlases."""
+    def pyramid(self, capacity: Optional[int] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (pyramid (N, S) uint32, flags (N,) int32). S is the flat
+        per-layer mip chain length (ops/textures.mip_layout). Missing layers
+        are opaque white."""
         n = capacity or max(len(self.images), 1)
         r = self.resolution
-        a0 = np.zeros((n, r, r, 4), np.float32)
-        a0[..., :] = 1.0  # missing texture = white
+        sizes, offsets = mip_layout(r)
+        S = layer_words(r)
+        pyr = np.full((n, S), 0xFFFFFFFF, np.uint32)
+        flags = np.zeros((n,), np.int32)
         for i, img in enumerate(self.images[:n]):
-            a0[i] = img
-        a1 = a0.reshape(n, r // 2, 2, r // 2, 2, 4).mean((2, 4))
-        return a0, a1
+            flags[i] = FLAG_SRGB if self.srgb[i] else 0
+            level = img
+            for sz, off in zip(sizes, offsets):
+                pyr[i, off:off + sz * sz] = _pack_rgba8(
+                    level, self.srgb[i]).reshape(-1)
+                if sz > sizes[-1]:         # box-filter down (in linear space)
+                    level = level.reshape(sz // 2, 2, sz // 2, 2, 4).mean((1, 3))
+        return pyr, flags
 
     def __len__(self):
         return len(self.images)
 
 
+def _pack_rgba8(img: np.ndarray, srgb: bool) -> np.ndarray:
+    """(H, W, 4) f32 linear -> (H, W) uint32 packed (R | G<<8 | B<<16 | A<<24),
+    rgb sRGB-encoded when flagged."""
+    rgb = img[..., :3]
+    if srgb:
+        rgb = np.where(rgb <= 0.0031308, rgb * 12.92,
+                       1.055 * np.maximum(rgb, 1e-8) ** (1 / 2.4) - 0.055)
+    q = np.clip(np.concatenate([rgb, img[..., 3:]], -1) * 255.0 + 0.5,
+                0, 255).astype(np.uint32)
+    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
+
+
 def _resize(img: np.ndarray, r: int) -> np.ndarray:
+    """Area-average resize to (r, r) — correct for both down- and upscale
+    is overkill; downscale uses box binning, upscale nearest."""
     h, w = img.shape[:2]
     if (h, w) == (r, r):
         return img
+    if h >= r and w >= r and h % r == 0 and w % r == 0:
+        return img.reshape(r, h // r, r, w // r, -1).mean((1, 3))
     ys = (np.arange(r) * (h / r)).astype(np.int32).clip(0, h - 1)
     xs = (np.arange(r) * (w / r)).astype(np.int32).clip(0, w - 1)
     return img[ys][:, xs]

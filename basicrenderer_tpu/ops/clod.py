@@ -39,9 +39,12 @@ def _screen_error_factor(view: ViewData, height: int) -> jnp.ndarray:
 def select_cluster_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                        tau_px: jnp.ndarray,
                        object_visible: Optional[jnp.ndarray] = None,
-                       frustum: bool = True
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (selected (C,) bool, num_selected () i32).
+                       frustum: bool = True, return_bounds: bool = False
+                       ) -> Tuple[jnp.ndarray, ...]:
+    """Returns (selected (C,) bool, num_selected () i32); with
+    `return_bounds` also (center_w (C, 3), radius_w (C,)) — the world-space
+    cluster spheres the cut already computed (consumed by the two-phase
+    occlusion test, graph/frame.py).
 
     Cluster bounds/errors are object-space; each cluster is transformed by
     its owning object's matrix (one-hot MXU lookup) and tested against the
@@ -84,6 +87,8 @@ def select_cluster_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         obj_ok = raster_setup.gather_rows_onehot(
             object_visible.astype(jnp.float32)[:, None], scene.cluster_object)
         cut = cut & (obj_ok[:, 0] > 0.5)
+    if return_bounds:
+        return cut, jnp.sum(cut).astype(jnp.int32), center_w, radius_w
     return cut, jnp.sum(cut).astype(jnp.int32)
 
 

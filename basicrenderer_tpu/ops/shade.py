@@ -46,6 +46,8 @@ class GBuffer(NamedTuple):
     alpha: jnp.ndarray = None  # (H, W) f32 material base alpha (OIT)
     base_tex: jnp.ndarray = None  # (H, W) i32 base-color texture id (-1 none)
     normal_tex: jnp.ndarray = None  # (H, W) i32 normal texture id (-1 none)
+    mr_tex: jnp.ndarray = None      # (H, W) i32 metallic-roughness tex id
+    emissive_tex: jnp.ndarray = None  # (H, W) i32 emissive texture id
 
 
 def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
@@ -170,6 +172,10 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
                            .reshape(H, W), -1),
         normal_tex=jnp.where(covered, jnp.round(mat[:, 14]).astype(jnp.int32)
                              .reshape(H, W), -1),
+        mr_tex=jnp.where(covered, jnp.round(mat[:, 15]).astype(jnp.int32)
+                         .reshape(H, W), -1),
+        emissive_tex=jnp.where(covered, jnp.round(mat[:, 16]).astype(jnp.int32)
+                               .reshape(H, W), -1),
     )
 
 

@@ -276,6 +276,12 @@ class SceneRenderBridge:
             env_specular = np.zeros((1, 6, 8, 8, 3), np.float32)
         if env_brdf_lut is None:
             env_brdf_lut = np.zeros((32, 32, 2), np.float32)
+        if self.textures and len(self.textures):
+            tex_pyr, tex_flags = self.textures.pyramid()
+        else:
+            from ..ops.textures import layer_words
+            tex_pyr = np.full((1, layer_words(4)), 0xFFFFFFFF, np.uint32)
+            tex_flags = np.zeros((1,), np.int32)
         return SceneBuffers(
             positions=f32(p.positions), normals=f32(p.normals),
             tangents=f32(p.tangents), uvs=f32(p.uvs),
@@ -283,8 +289,7 @@ class SceneRenderBridge:
             indices=jnp.asarray(p.indices),
             tri_material=jnp.asarray(p.tri_material),
             tri_object=jnp.asarray(p.tri_object),
-            tex_atlas=f32(self.textures.atlas()[1] if self.textures and
-                          len(self.textures) else np.ones((1, 4, 4, 4), np.float32)),
+            tex_pyramid=jnp.asarray(tex_pyr), tex_flags=jnp.asarray(tex_flags),
             vert_joints=jnp.asarray(p.vert_joints),
             vert_weights=f32(p.vert_weights),
             joint_palette=f32(self.snapshot_joint_palette()),

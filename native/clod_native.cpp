@@ -75,11 +75,17 @@ extern "C" {
 //  boundaries, the key CLod constraint so neighboring groups stay sealed)
 //  target_tris: stop when at/below this count
 //  out_positions/out_indices: caller-allocated, same capacity as inputs
+//  out_src: (nv,) int32 — provenance: for each OUTPUT vertex, the INPUT
+//  vertex id it descended from (collapses keep the surviving endpoint's
+//  id), so the caller can carry attributes (UVs, normals) through LOD
+//  levels (reference: attribute-preserving simplify,
+//  ClusterLODUtilities.cpp meshopt_simplifyWithAttributes call sites).
 //  out_counts: int32[2] = {result_nv, result_nt}
 //  returns max collapse error (squared distance scale)
 float simplify_qem(const float* positions, int nv, const int* indices, int nt,
                    const uint8_t* locked, int target_tris,
-                   float* out_positions, int* out_indices, int* out_counts) {
+                   float* out_positions, int* out_indices, int* out_src,
+                   int* out_counts) {
   std::vector<double> px(nv), py(nv), pz(nv);
   for (int i = 0; i < nv; i++) {
     px[i] = positions[i * 3 + 0];
@@ -245,6 +251,7 @@ float simplify_qem(const float* positions, int nv, const int* indices, int nt,
         out_positions[out_nv * 3 + 0] = float(px[r[k]]);
         out_positions[out_nv * 3 + 1] = float(py[r[k]]);
         out_positions[out_nv * 3 + 2] = float(pz[r[k]]);
+        out_src[out_nv] = r[k];
         out_nv++;
       }
       out_indices[out_nt * 3 + k] = vmap[r[k]];

@@ -31,8 +31,10 @@ def test_simplify_reduces_and_preserves_locked():
     locked = np.zeros(mesh.num_vertices, np.uint8)
     locked[:10] = 1
     locked_pos = mesh.positions[:10].copy()
-    sp, si, err = clusters.simplify(mesh.positions, mesh.indices, locked,
-                                    mesh.num_triangles // 4)
+    sp, si, src, err = clusters.simplify(mesh.positions, mesh.indices, locked,
+                                         mesh.num_triangles // 4)
+    # Provenance maps every output vertex to a real input vertex.
+    assert src.min() >= 0 and src.max() < mesh.num_vertices
     assert len(si) <= mesh.num_triangles // 2
     assert len(si) > 0
     assert err >= 0
@@ -155,3 +157,60 @@ def test_cut_interior_coverage_hole_free_across_tau(lod_mesh):
         holes = interior & ~vis
         assert holes.sum() == 0, \
             f"tau={tau}: {holes.sum()} interior pixels lost coverage"
+
+
+def test_coarse_lods_preserve_uvs(lod_mesh):
+    """Every LOD level keeps a live UV parameterization (regression: coarse
+    levels used to get zero UVs — VERDICT r1 #31)."""
+    cl = lod_mesh
+    lvl_of_tri = cl.clusters[cl.tri_cluster, 6]
+    for l in range(cl.num_levels):
+        tris = cl.indices[lvl_of_tri == l]
+        uvs = cl.uvs[np.unique(tris)]
+        assert uvs[:, 0].max() - uvs[:, 0].min() > 0.6, f"level {l}"
+        assert uvs[:, 1].max() - uvs[:, 1].min() > 0.4, f"level {l}"
+
+
+def test_textured_checker_survives_coarse_lod(lod_mesh):
+    """Golden check: a checkered sphere still shows the pattern when the
+    cut selects coarse LODs (UV provenance through simplification)."""
+    from basicrenderer_tpu.models.textures import TextureRegistry
+
+    meshes = MeshRegistry()
+    mats = MaterialRegistry()
+    tex = TextureRegistry(resolution=64)
+    checker = tex.checkerboard(a=(1, 1, 1), b=(0.03, 0.03, 0.03), squares=8)
+    mid = meshes.add(clusters.to_mesh_data(lod_mesh))
+    m = mats.add(Material(base_color=np.array([1, 1, 1, 1], np.float32),
+                          roughness=0.9, base_color_texture=checker))
+    sc = Scene()
+    sc.create_renderable(mid, m)
+    sc.create_directional_light(direction=(0, -0.4, -1), intensity=3.0)
+    sc.set_camera(position=(0, 0.3, 2.6), target=(0, 0, 0), aspect=1.0)
+    sc.propagate_transforms()
+    caps = BridgeCapacities(max_vertices=1 << 16, max_triangles=1 << 16,
+                            max_objects=8, max_materials=4, max_lights=4,
+                            max_clusters=1 << 12)
+    bridge = SceneRenderBridge(sc, meshes, mats, caps, textures=tex)
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    vd = make_view(view, proj, pos)
+    import dataclasses
+    cfg = dataclasses.replace(CFG, enable_textures=True, texture_downscale=1)
+    frame = jax.jit(build_frame_fn(cfg))
+    tbl = np.asarray(buffers.cluster_table)
+    for tau in (0.5, 8.0, 32.0):
+        params = FrameParams.default().replace(clod_error_px=jnp.float32(tau))
+        out = frame(buffers, vd, params)
+        img = np.asarray(out["image"]).astype(np.float32)
+        vis = np.asarray(out["vis"]) > 0
+        assert vis.mean() > 0.05
+        lum = img[..., 0][vis]
+        bright = (lum > 100).mean()
+        assert 0.1 < bright < 0.9, f"tau={tau}: checker lost ({bright})"
+        # Confirm coarse taus actually select coarser levels.
+        cut, _ = clod.select_cluster_cut(buffers, vd, cfg,
+                                         jnp.float32(tau))
+        sel = np.asarray(cut)
+        if tau >= 32.0:
+            assert tbl[sel, 6].mean() >= 1.0

@@ -111,3 +111,64 @@ def test_unknown_format_raises(tmp_path):
     open(p, "w").write("")
     with pytest.raises(ValueError, match="unsupported"):
         load_model(p, Scene(), MeshRegistry(), MaterialRegistry())
+
+
+def _write_textured_gltf(path):
+    """A quad with UVs + an embedded PNG base-color texture (data URI)."""
+    from io import BytesIO
+    from PIL import Image
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :4] = (255, 0, 0)
+    img[:, 4:] = (0, 0, 255)
+    buf = BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png_uri = ("data:image/png;base64,"
+               + base64.b64encode(buf.getvalue()).decode())
+    pos = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    blob = pos.tobytes() + uv.tobytes() + idx.tobytes()
+    gltf = {
+        "asset": {"version": "2.0"}, "scene": 0,
+        "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+            "indices": 2, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0}}}],
+        "textures": [{"source": 0}],
+        "images": [{"uri": png_uri}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 80, "byteLength": 12},
+        ],
+        "buffers": [{"byteLength": len(blob),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(blob).decode()}],
+    }
+    with open(path, "w") as f:
+        json.dump(gltf, f)
+
+
+def test_gltf_decodes_texture_images(tmp_path):
+    from basicrenderer_tpu.models.textures import TextureRegistry
+    p = str(tmp_path / "texquad.gltf")
+    _write_textured_gltf(p)
+    meshes, mats = MeshRegistry(), MaterialRegistry()
+    tex = TextureRegistry(resolution=8)
+    sc = Scene()
+    load_model(p, sc, meshes, mats, textures=tex)
+    assert len(tex) == 1
+    m = mats.get(1)  # id 0 = default
+    assert m.base_color_texture == 0
+    assert tex.srgb[0] is True
+    # Decoded image: left half red, right half blue (linearized).
+    img = tex.images[0]
+    assert img[4, 1, 0] > 0.9 and img[4, 1, 2] < 0.1
+    assert img[4, 6, 2] > 0.9 and img[4, 6, 0] < 0.1
