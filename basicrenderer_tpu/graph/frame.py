@@ -65,14 +65,15 @@ def clod_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
 
 
 def clod_compact(scene: SceneBuffers, view: ViewData, config: FrameConfig,
-                 params: FrameParams, frustum: bool = True):
+                 params: FrameParams, frustum: bool = True,
+                 max_visible: int = None):
     """Virtualized-geometry LOD cut + visible-triangle compaction. Returns
-    (indices, material, object, valid, overflow) sized
-    max_visible_clusters * 128."""
+    (indices, material, object, valid, overflow) sized max_visible * 128."""
     from ..ops import clod as clod_ops
     cut = clod_cut(scene, view, config, params, frustum=frustum)
-    return clod_ops.compact_visible_tris(cut=cut, scene=scene,
-                                         max_visible=config.max_visible_clusters)
+    return clod_ops.compact_visible_tris(
+        cut=cut, scene=scene,
+        max_visible=max_visible or config.max_visible_clusters)
 
 
 def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig,
@@ -151,6 +152,7 @@ def visibility_pass(pairs, lcfg: FrameConfig, init=None, tile_row0=0):
 def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                  prev_depth: Optional[jnp.ndarray],
                  taa_history: Optional[jnp.ndarray],
+                 vsm_state=None,
                  *, config: FrameConfig, lcfg: FrameConfig,
                  row0_tiles, axis: Optional[str]) -> Dict[str, jnp.ndarray]:
     """The frame program — ONE implementation for single-chip and sharded
@@ -281,31 +283,76 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
 
     if config.enable_textures:
         # Material texture fetches (reference: VisUtilEvaluate/gbuffer.hlsl
-        # through the descriptor heap). All channels ride the packed-u32
-        # mip-pyramid sampler (ops/textures.py): base color + alpha (sRGB),
-        # tangent-space normal, metallic-roughness (glTF: G=rough B=metal),
-        # emissive (sRGB). Texture factors multiply per glTF semantics.
+        # through the descriptor heap). All live channels ride ONE call of
+        # the block-window MXU sampler (ops/textures.py) sharing window
+        # geometry: base color + alpha (sRGB), tangent-space normal,
+        # metallic-roughness (glTF: G=rough B=metal), emissive (sRGB).
+        # Texture factors multiply per glTF semantics.
         from ..ops import textures as tex_ops
         ds, filt = config.texture_downscale, config.texture_filter
-        base = tex_ops.sample_pyramid(scene.tex_pyramid, scene.tex_flags,
-                                      gb.base_tex, gb.uv, ds, filt)
-        nrm2 = tex_ops.apply_normal_map(
-            gb.normal, gb.world_pos, gb.uv, scene.tex_pyramid,
-            scene.tex_flags, gb.normal_tex, downscale=ds, filter=filt)
-        mr = tex_ops.sample_pyramid(scene.tex_pyramid, scene.tex_flags,
-                                    gb.mr_tex, gb.uv, ds, filt)
-        emis = tex_ops.sample_pyramid(scene.tex_pyramid, scene.tex_flags,
-                                      gb.emissive_tex, gb.uv, ds, filt)
-        gb = gb._replace(
-            albedo=gb.albedo * base[..., :3],
-            alpha=gb.alpha * base[..., 3] if gb.alpha is not None else None,
-            normal=nrm2,
-            roughness=gb.roughness * mr[..., 1],
-            metallic=gb.metallic * mr[..., 2],
-            emissive=gb.emissive * emis[..., :3])
+        id_of = {"base": gb.base_tex, "normal": gb.normal_tex,
+                 "mr": gb.mr_tex, "emissive": gb.emissive_tex}
+        chans = config.tex_channels
+        tex_ids = jnp.stack([id_of[c] for c in chans])
+        smp = tex_ops.sample_pyramid_blocked(
+            scene.tex_strips, scene.tex_flags, tex_ids, gb.uv, ds, filt)
+        # Barrier in (K*4, H, W) layout: stops XLA from re-running the whole
+        # sampler inside every consumer fusion (producer duplication — the
+        # measured cost was 13x), and keeps the padded minor dims image-
+        # shaped instead of padding the 4-lane channel dim to 128.
+        K = len(chans)
+        H_, W_ = gb.uv.shape[:2]
+        smp = jax.lax.optimization_barrier(
+            smp.transpose(0, 3, 1, 2).reshape(K * 4, H_, W_))
+        smp = smp.reshape(K, 4, H_, W_).transpose(0, 2, 3, 1)
+        s_of = {c: smp[k] for k, c in enumerate(chans)}
+        rep = {}
+        if "base" in s_of:
+            rep["albedo"] = gb.albedo * s_of["base"][..., :3]
+            if gb.alpha is not None:
+                rep["alpha"] = gb.alpha * s_of["base"][..., 3]
+        if "normal" in s_of:
+            rep["normal"] = tex_ops.apply_normal_map_sampled(
+                gb.normal, gb.world_pos, gb.uv, s_of["normal"],
+                gb.normal_tex)
+        if "mr" in s_of:
+            rep["roughness"] = gb.roughness * s_of["mr"][..., 1]
+            rep["metallic"] = gb.metallic * s_of["mr"][..., 2]
+        if "emissive" in s_of:
+            rep["emissive"] = gb.emissive * s_of["emissive"][..., :3]
+        gb = gb._replace(**rep)
 
     shadow_fn = None
-    if config.enable_shadows:
+    vsm_state_out = None
+    if config.enable_vsm and vsm_state is not None:
+        # Virtual shadow maps: clipmap page cache for the primary
+        # directional light (ops/vsm.py; reference: VSM pass stack,
+        # VirtualShadowMapSetupPass.cpp). Pages raster through the same
+        # cluster-cut machinery with the CAMERA's LOD selection and the
+        # PAGE's frustum.
+        from ..ops import clod as clod_ops
+        from ..ops import vsm as vsm_ops
+        from ..utils import math3d
+
+        def page_compact(vp):
+            cut, cw, rw = clod_cut(scene, view, config, params,
+                                   frustum=False, return_bounds=True)
+            planes = math3d.frustum_planes(vp)
+            cut = cut & math3d.sphere_in_frustum(planes, cw, rw)
+            return clod_ops.compact_visible_tris(
+                cut=cut, scene=scene,
+                max_visible=config.vsm_page_clusters)
+
+        vsm_term, vsm_state_out, vsm_stats = vsm_ops.update_vsm(
+            scene, view, config, params, vsm_state,
+            gather_rows(gb.world_pos), gather_rows(gb.valid), page_compact)
+        shadow_term = local_rows(vsm_term)
+        shadow_term = jnp.where(scene.num_dir_lights > 0, shadow_term, 1.0)
+
+        def shadow_fn(i, wp, n):
+            return jnp.where(i == 0, shadow_term,
+                             jnp.ones_like(shadow_term))
+    elif config.enable_shadows:
         # Cascaded shadow maps for the primary directional light
         # (reference: LightManager directional cascades; ops/shadows.py).
         # The bridge packs directional lights first, so row 0 is the
@@ -317,7 +364,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             view, ldir, config.num_cascades)
         if config.enable_clod:
             shadow_tris = clod_compact(scene, view, config, params,
-                                       frustum=False)
+                                       frustum=False,
+                                       max_visible=config.shadow_clusters)
         else:
             shadow_tris = None
         smaps = jnp.stack([
@@ -460,6 +508,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             "bin_overflow": pairs.overflow, "num_pairs": pairs.num_pairs,
             "cluster_overflow": cluster_overflow,
             "light_overflow": light_overflow, "taa_out": hdr,
+            **({"vsm_state": vsm_state_out, "vsm_stats": vsm_stats}
+               if vsm_state_out is not None else {}),
         }
 
     ldr = shade_ops.aces_tonemap(hdr * exposure)
@@ -477,6 +527,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         "cluster_overflow": cluster_overflow,
         "light_overflow": light_overflow,
         "taa_out": taa_out,
+        **({"vsm_state": vsm_state_out, "vsm_stats": vsm_stats}
+           if vsm_state_out is not None else {}),
     }
 
 
@@ -492,10 +544,11 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
 
     def frame(scene: SceneBuffers, view: ViewData, params: FrameParams,
               prev_depth: jnp.ndarray = None,
-              taa_history: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
+              taa_history: jnp.ndarray = None,
+              vsm_state=None) -> Dict[str, jnp.ndarray]:
         return _render_body(scene, view, params, prev_depth, taa_history,
-                            config=config, lcfg=config, row0_tiles=0,
-                            axis=None)
+                            vsm_state, config=config, lcfg=config,
+                            row0_tiles=0, axis=None)
 
     return frame
 

@@ -66,9 +66,11 @@ class SceneBuffers:
     #                              (bounds/errors in object space)
     cluster_object: jnp.ndarray  # (C,) i32 owning object
     num_clusters: jnp.ndarray    # () i32
-    # Texture atlas (models/textures.py): per-layer flat mip chains of
-    # RGBA8-packed uint32 words; flags bit 0 = sRGB-stored (ops/textures.py)
-    tex_pyramid: jnp.ndarray     # (N, S) uint32
+    # Texture atlas (models/textures.py strip_pyramid): every mip row as
+    # 128-texel RGBA8-packed u32 strips at two x phases — the layout the
+    # block-window sampler's row gathers need (ops/textures.py). Flags
+    # bit 0 = sRGB-stored.
+    tex_strips: jnp.ndarray      # (N * rows_per_layer, 128) uint32
     tex_flags: jnp.ndarray       # (N,) int32
     # Environment (IBL) — optional, zeros when disabled
     env_sh: jnp.ndarray          # (9, 3) f32 irradiance SH
@@ -115,13 +117,18 @@ class FrameConfig:
     enable_shadows: bool = False
     num_cascades: int = 4
     shadow_resolution: int = 1024
+    shadow_clusters: int = 512        # caster cut budget (x128 tris)
     enable_clustered: bool = False
     max_lights_per_cluster: int = 64
     enable_ibl: bool = False
-    ibl_specular_downscale: int = 2
+    ibl_specular_downscale: int = 4   # prefiltered radiance is low-frequency;
+    #                                   ds4 cuts the per-pixel gathers 4x
     enable_textures: bool = False
     texture_downscale: int = 2
     texture_filter: str = "bilinear"   # "nearest" | "bilinear"
+    # Which channel samples the frame traces (renderer derives from the
+    # materials actually registered — unused channels cost nothing).
+    tex_channels: Tuple[str, ...] = ("base", "normal", "mr", "emissive")
     enable_bloom: bool = False
     enable_gtao: bool = False
     enable_ssr: bool = False
@@ -130,7 +137,12 @@ class FrameConfig:
     oit_layers: int = 4
     enable_auto_exposure: bool = False
     enable_skinning: bool = False
-    enable_vsm: bool = False
+    enable_vsm: bool = False            # virtual shadow maps (ops/vsm.py)
+    vsm_pages_per_frame: int = 4        # dirty-page render budget
+    vsm_sample_downscale: int = 2
+    vsm_mark_downscale: int = 4
+    vsm_page_pairs: int = 1 << 15       # raster bin capacity per page
+    vsm_page_clusters: int = 512        # cluster budget per page
     enable_culling: bool = True
     enable_clod: bool = False        # cluster-LOD cut selection (ops/clod.py)
     max_visible_clusters: int = 2048  # visible-cluster budget (x128 tris)

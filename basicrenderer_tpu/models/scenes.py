@@ -30,21 +30,33 @@ class BuiltScene:
 def build_courtyard(grid: int = 10, seed: int = 42,
                     meshes: Optional[MeshRegistry] = None,
                     materials: Optional[MaterialRegistry] = None,
-                    lod: bool = False, textures=None) -> BuiltScene:
+                    lod: bool = False, textures=None, dense: bool = False,
+                    num_point_lights: int = 4) -> BuiltScene:
     """A Sponza-courtyard-style scene: terrain floor + a grid^2 field of
     mixed sphere/cube/torus instances with varied PBR materials + lights.
     With `lod=True` the curved shapes carry cluster-LOD DAGs (the
     virtualized-geometry bench path). Pass a TextureRegistry to give the
-    terrain + shapes base-color/normal/roughness maps (bench Config 2)."""
+    terrain + shapes base-color/normal/roughness maps (bench Config 2).
+    `dense=True` swaps in high-tessellation source meshes (Bistro-class
+    source complexity: grid=16 dense ~= 2.4M source triangles — the LOD
+    build keeps the rendered set bounded). `num_point_lights` scales the
+    local-light field (the 1k-light bench)."""
     rng = np.random.default_rng(seed)
     # `is None` (not truthiness): an EMPTY registry passed in (e.g. a fresh
     # Renderer's) must still be used, or the scene's ids point nowhere.
     meshes = MeshRegistry() if meshes is None else meshes
     materials = MaterialRegistry() if materials is None else materials
 
-    terrain = meshes.add(procedural.make_fractal_terrain(size=60.0, segments=96, height=2.0))
-    sphere_mesh = procedural.make_uv_sphere(0.5, rings=16, sectors=32)
-    torus_mesh = procedural.make_torus(0.5, 0.2, rings=24, sides=12)
+    if dense:
+        terrain = meshes.add(procedural.make_fractal_terrain(
+            size=60.0, segments=256, height=2.0))
+        sphere_mesh = procedural.make_uv_sphere(0.5, rings=64, sectors=128)
+        torus_mesh = procedural.make_torus(0.5, 0.2, rings=96, sides=48)
+    else:
+        terrain = meshes.add(procedural.make_fractal_terrain(
+            size=60.0, segments=96, height=2.0))
+        sphere_mesh = procedural.make_uv_sphere(0.5, rings=16, sectors=32)
+        torus_mesh = procedural.make_torus(0.5, 0.2, rings=24, sides=12)
     if lod:
         from . import clusters
         sphere_mesh = clusters.to_mesh_data(clusters.build_cluster_lod(sphere_mesh))
@@ -110,12 +122,20 @@ def build_courtyard(grid: int = 10, seed: int = 42,
 
     sc.create_directional_light(direction=(-0.45, -1.0, -0.3),
                                 color=(1.0, 0.96, 0.9), intensity=3.0)
-    # A few accent point lights.
-    for k in range(4):
-        ang = k * np.pi / 2 + 0.4
-        sc.create_point_light(position=(np.cos(ang) * 6, 2.5, np.sin(ang) * 6),
+    # Local light field (num_point_lights=1000 is the many-light bench:
+    # reference README.md "1000 dynamic lights").
+    for k in range(num_point_lights):
+        if k < 4:
+            ang = k * np.pi / 2 + 0.4
+            p = (np.cos(ang) * 6, 2.5, np.sin(ang) * 6)
+            inten, rng_w = 30.0, 14.0
+        else:
+            p = (rng.uniform(-extent, extent), rng.uniform(0.5, 4.0),
+                 rng.uniform(-extent, extent))
+            inten, rng_w = 8.0, 4.0
+        sc.create_point_light(position=p,
                               color=(1.0, 0.7, 0.4) if k % 2 else (0.4, 0.6, 1.0),
-                              intensity=30.0, range=14.0)
+                              intensity=inten, range=rng_w)
     sc.set_camera(position=(grid * 1.1, grid * 0.55, grid * 1.25),
                   target=(0, 0.0, 0), aspect=16 / 9)
     sc.propagate_transforms()

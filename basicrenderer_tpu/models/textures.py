@@ -84,6 +84,42 @@ class TextureRegistry:
                     level = level.reshape(sz // 2, 2, sz // 2, 2, 4).mean((1, 3))
         return pyr, flags
 
+    def strip_pyramid(self, capacity: Optional[int] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Strip-layout atlas for the block-window sampler
+        (ops/textures.sample_pyramid_blocked): every mip row is stored as
+        128-texel strips at TWO x phases (0 and 64), so any 128-wide
+        x window whose base is 64-aligned is ONE gathered row. Returns
+        (strips (N * ROWS, 128) uint32, flags (N,) int32); row layout is
+        given by strip_layout(resolution)."""
+        from ..ops.textures import strip_layout
+        n = capacity or max(len(self.images), 1)
+        r = self.resolution
+        sizes, _offsets = mip_layout(r)
+        row_of_mip, rows_per_layer = strip_layout(r)
+        strips = np.full((n * rows_per_layer, 128), 0xFFFFFFFF, np.uint32)
+        flags = np.zeros((n,), np.int32)
+        for i, img in enumerate(self.images[:n]):
+            flags[i] = FLAG_SRGB if self.srgb[i] else 0
+            level = img
+            for m, sz in enumerate(sizes):
+                packed = _pack_rgba8(level, self.srgb[i])   # (sz, sz)
+                base = i * rows_per_layer + row_of_mip[m]
+                if sz <= 128:
+                    # Whole row fits one strip; tile x to fill 128 (wrap
+                    # addressing comes free for REPEAT sampling).
+                    reps = 128 // sz
+                    strips[base:base + sz] = np.tile(packed, (1, reps))
+                else:
+                    nph = sz // 64 - 1   # phases 0,64,...,sz-128
+                    rows = packed  # (sz, sz)
+                    for ph in range(nph):
+                        sl = rows[:, ph * 64: ph * 64 + 128]
+                        strips[base + ph * sz: base + (ph + 1) * sz] = sl
+                if sz > sizes[-1]:
+                    level = level.reshape(sz // 2, 2, sz // 2, 2, 4).mean((1, 3))
+        return strips, flags
+
     def __len__(self):
         return len(self.images)
 

@@ -108,7 +108,11 @@ def compact_visible_tris(scene: SceneBuffers, cut: jnp.ndarray,
     C = cut.shape[0]
     T = scene.indices.shape[0]
     Kc = max_visible
-    slot = jnp.sort(jnp.where(cut, jnp.arange(C, dtype=jnp.int32), C))[:Kc]
+    slot = jnp.sort(jnp.where(cut, jnp.arange(C, dtype=jnp.int32), C))
+    if Kc <= C:
+        slot = slot[:Kc]
+    else:   # budget exceeds table capacity: pad with the dead sentinel
+        slot = jnp.pad(slot, (0, Kc - C), constant_values=C)
     live_slot = slot < C
     overflow = jnp.maximum(jnp.sum(cut) - Kc, 0)
     ci = jnp.minimum(slot, C - 1)

@@ -36,7 +36,11 @@ def shadow_config(config: FrameConfig) -> FrameConfig:
     res = config.shadow_resolution
     return dataclasses.replace(
         config, width=res, height=res, enable_occlusion=False,
-        max_pairs=min(config.max_pairs, 1 << 17))
+        max_pairs=min(config.max_pairs, 1 << 17),
+        # Ortho shadow views bin the budgeted caster set; capping the
+        # per-triangle span keeps the bin sort at ~0.5M keys per cascade
+        # (K=32 here was ~1/3 of the old 45 ms CSM cost).
+        max_tiles_per_tri=min(config.max_tiles_per_tri, 8))
 
 
 def cascade_matrices(view: ViewData, light_dir: jnp.ndarray, num_cascades: int,
@@ -150,9 +154,13 @@ def sample_shadow_cascades(world_pos: jnp.ndarray, normal: jnp.ndarray,
     slope_bias = bias * jnp.clip(1.0 / jnp.maximum(ndl, 0.2), 1.0, 5.0)
 
     wph = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])], -1)
-    lit = jnp.zeros((h, w), jnp.float32)
-    chosen = jnp.zeros((h, w), bool)
+    # Select the cascade per pixel FIRST (cheap vectorized projections),
+    # then take ONE combined gather — per-pixel gathers cost ~7 ns each on
+    # TPU, so K separate cascade taps were the whole pass's cost.
     flat_maps = shadow_maps.reshape(-1)
+    sel_idx = jnp.zeros((h, w), jnp.int32)
+    sel_z = jnp.zeros((h, w), jnp.float32)
+    chosen = jnp.zeros((h, w), bool)
     for k in range(K):
         ls = wph @ cascade_vps[k].T                       # (h, w, 4)
         x = ls[..., 0]
@@ -162,13 +170,13 @@ def sample_shadow_cascades(world_pos: jnp.ndarray, normal: jnp.ndarray,
         use = inside & ~chosen
         u = jnp.clip(((x * 0.5 + 0.5) * Rp).astype(jnp.int32), 0, Rp - 1)
         v = jnp.clip(((0.5 - y * 0.5) * Rp).astype(jnp.int32), 0, Rp - 1)
-        smp = flat_maps[(k * Rp + v) * Rp + u]
-        # Reverse-style: fragment lit if its light depth >= map depth - bias.
-        vis_k = (z + slope_bias >= smp).astype(jnp.float32)
-        # Empty shadow texels (0 = nothing rendered) never occlude.
-        vis_k = jnp.where(smp <= 0.0, 1.0, vis_k)
-        lit = jnp.where(use, vis_k, lit)
+        sel_idx = jnp.where(use, (k * Rp + v) * Rp + u, sel_idx)
+        sel_z = jnp.where(use, z, sel_z)
         chosen = chosen | inside
+    smp = flat_maps[sel_idx]                              # the ONE gather
+    # Reverse-style: fragment lit if its light depth >= map depth - bias.
+    # Empty shadow texels (0 = nothing rendered) never occlude.
+    lit = ((sel_z + slope_bias >= smp) | (smp <= 0.0)).astype(jnp.float32)
     lit = jnp.where(chosen, lit, 1.0)                     # outside all: lit
 
     # Upsample + 3x3 box smooth (the PCF analogue on the result mask).

@@ -166,6 +166,243 @@ def sample_pyramid(pyramid: jnp.ndarray, tex_flags: jnp.ndarray,
     return smp
 
 
+# ---------------------------------------------------------------------------
+# Block-window sampler: the full-rate path.
+#
+# Measured on v5e: XLA's per-element gather costs ~7 ns/element regardless of
+# table size or coherence — per-pixel taps are therefore ~15 ms per 2M-pixel
+# channel and can never reach full rate. ROW gathers amortize (~4-6 ns per
+# row up to 256 elements wide), and batched MXU einsums with K=128 are fast.
+# The sampler exploits both:
+#
+#   1. pixels are processed in 16x16 screen blocks; each block picks ONE
+#      (layer, mip, window): mip = max(per-pixel mip, smallest mip whose
+#      texel footprint fits a 20-texel window) — blocks that straddle UV
+#      seams/material edges gracefully blur instead of reading wrong memory;
+#   2. each mip row is stored as 128-texel strips at two x phases (0, 64)
+#      (models/textures.strip_pyramid), so a block's 24-row window is 24
+#      GATHERED ROWS — the only gathers in the pipeline, ~100k-800k rows;
+#   3. per-pixel bilinear selection inside the window is ONE batched MXU
+#      einsum (blocks, 256 px, 128) @ (blocks, 128, 24*4K) with the bilinear
+#      x weights encoded in a 2-nonzero one-hot matrix, then a 24-way
+#      select-sum for y on the VPU. K channel samples (base/normal/orm/
+#      emissive) share the window geometry and ride the same einsum.
+# ---------------------------------------------------------------------------
+
+BLOCK = 16            # pixel block edge
+WROWS = 24            # window rows (y texels)
+FIT_TEXELS = 20.0     # max block footprint per axis before mip bump
+
+
+@functools.lru_cache(maxsize=None)
+def strip_layout(resolution: int) -> Tuple[Tuple[int, ...], int]:
+    """(row offset of each mip, rows per layer) in the strip pyramid."""
+    sizes, _ = mip_layout(resolution)
+    offs = []
+    off = 0
+    for sz in sizes:
+        offs.append(off)
+        off += sz if sz <= 128 else (sz // 64 - 1) * sz
+    return tuple(offs), off
+
+
+def _blockify(img: jnp.ndarray) -> jnp.ndarray:
+    """(h, w, ...) -> (nb, BLOCK*BLOCK, ...)."""
+    h, w = img.shape[:2]
+    hb, wb = h // BLOCK, w // BLOCK
+    x = img.reshape((hb, BLOCK, wb, BLOCK) + img.shape[2:])
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((hb * wb, BLOCK * BLOCK) + img.shape[2:])
+
+
+def _unblockify(blocks: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    hb, wb = h // BLOCK, w // BLOCK
+    x = blocks.reshape((hb, wb, BLOCK, BLOCK) + blocks.shape[2:])
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((h, w) + blocks.shape[2:])
+
+
+def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
+                           tex_ids: jnp.ndarray, uv: jnp.ndarray,
+                           downscale: int = 1, filter: str = "bilinear",
+                           block_chunk: int = 2048) -> jnp.ndarray:
+    """Full-rate sampling of K channel layers sharing one UV image.
+
+    strips: (N * rows_per_layer, 128) uint32 (models/textures.strip_pyramid)
+    tex_flags: (N,) i32; tex_ids: (K, H, W) i32 (-1 = none -> white);
+    uv: (H, W, 2). Returns (K, H, W, 4) f32 linear.
+
+    Block limitations (documented contract): one layer per (block, channel) —
+    minority pixels of a block that straddles two textured materials fall
+    back to white for that channel; blocks straddling UV wrap seams or with
+    >20-texel footprints sample a coarser mip (blur, never wrong memory).
+    """
+    K = tex_ids.shape[0]
+    N = tex_flags.shape[0]
+    NR, _sw = strips.shape
+    RPL_total = NR // N
+    R = _infer_strip_resolution(RPL_total)
+    sizes, _ = mip_layout(R)
+    M = len(sizes)
+    row_offs, RPL = strip_layout(R)
+    H, W = uv.shape[:2]
+    ds = downscale
+    h, w = H // ds, W // ds
+    ph = (-h) % BLOCK
+    pw = (-w) % BLOCK
+
+    st = uv[::ds, ::ds]
+    tids = tex_ids[:, ::ds, ::ds]
+    mipf = compute_mip(st, R, M)
+    if ph or pw:
+        st = jnp.pad(st, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        mipf = jnp.pad(mipf, ((0, ph), (0, pw)), mode="edge")
+        tids = jnp.pad(tids, ((0, 0), (0, ph), (0, pw)),
+                       constant_values=-1)
+    hp, wp = h + ph, w + pw
+
+    u = st[..., 0] - jnp.floor(st[..., 0])
+    v = st[..., 1] - jnp.floor(st[..., 1])
+    ub = _blockify(u)                      # (nb, P)
+    vb = _blockify(v)
+    mb_px = _blockify(jnp.round(mipf).astype(jnp.int32))
+    tb = jnp.stack([_blockify(tids[k]) for k in range(K)])  # (K, nb, P)
+    nb, P = ub.shape
+
+    live_any = (tb >= 0).any(0)            # (nb, P) any channel textured
+    inf = jnp.float32(jnp.inf)
+    umin = jnp.min(jnp.where(live_any, ub, inf), axis=1)
+    umax = jnp.max(jnp.where(live_any, ub, -inf), axis=1)
+    vmin = jnp.min(jnp.where(live_any, vb, inf), axis=1)
+    vmax = jnp.max(jnp.where(live_any, vb, -inf), axis=1)
+    any_live = live_any.any(axis=1)
+    ext = jnp.where(any_live,
+                    jnp.maximum(umax - umin, vmax - vmin), 0.0)
+    m_fit = jnp.ceil(jnp.log2(jnp.maximum(ext * R / FIT_TEXELS, 1e-6)))
+    m0 = jnp.max(jnp.where(live_any, mb_px, 0), axis=1)
+    mb = jnp.clip(jnp.maximum(m0, m_fit.astype(jnp.int32)), 0, M - 1)
+
+    # Static per-mip constants -> per-block values.
+    rm = jnp.zeros((nb,), jnp.int32)
+    off = jnp.zeros((nb,), jnp.int32)
+    for m, sz in enumerate(sizes):
+        rm = jnp.where(mb == m, sz, rm)
+        off = jnp.where(mb == m, row_offs[m], off)
+    rf = rm.astype(jnp.float32)
+    wide = rm > 128                          # phase-strip regime
+
+    txf = ub * rf[:, None] - 0.5             # (nb, P)
+    tyf = vb * rf[:, None] - 0.5
+    txmin = jnp.min(jnp.where(live_any, txf, inf), axis=1)
+    tymin = jnp.min(jnp.where(live_any, tyf, inf), axis=1)
+    txmin = jnp.where(any_live, txmin, 0.0)
+    tymin = jnp.where(any_live, tymin, 0.0)
+    xb = jnp.clip((jnp.floor(txmin).astype(jnp.int32) // 64) * 64,
+                  0, jnp.maximum(rm - 128, 0))
+    xb = jnp.where(wide, xb, 0)
+    y0 = jnp.floor(tymin).astype(jnp.int32)
+
+    # Window row ids (nb, WROWS) then per-channel layer bases (K, nb, WROWS).
+    j = jnp.arange(WROWS, dtype=jnp.int32)[None, :]
+    yrow = jnp.remainder(y0[:, None] + j, rm[:, None])
+    phase_rows = jnp.where(wide, (xb // 64) * rm, 0)
+    row_in_layer = off[:, None] + phase_rows[:, None] + yrow   # (nb, WROWS)
+    btid = jnp.max(tb, axis=2)                                  # (K, nb)
+    layer = jnp.clip(btid, 0, N - 1)
+    rows_k = layer[:, :, None] * RPL + row_in_layer[None]       # (K, nb, R)
+
+    # Per-pixel window coordinates + weights.
+    ix0f = jnp.floor(txf)
+    fx = txf - ix0f
+    ix0 = ix0f.astype(jnp.int32)
+    ix0 = jnp.where(wide[:, None], jnp.clip(ix0 - xb[:, None], 0, 126),
+                    jnp.remainder(ix0, 128))
+    ix1 = jnp.where(wide[:, None], ix0 + 1, jnp.remainder(ix0 + 1, 128))
+    iy0f = jnp.floor(tyf)
+    fy = tyf - iy0f
+    wy0 = jnp.clip(iy0f.astype(jnp.int32) - y0[:, None], 0, WROWS - 2)
+
+    if filter == "nearest":
+        ixn = jnp.where(fx > 0.5, ix1, ix0)
+        fx = jnp.zeros_like(fx)
+        ix0 = ix1 = ixn
+        wy0 = jnp.clip(wy0 + (fy > 0.5), 0, WROWS - 1).astype(jnp.int32)
+        fy = jnp.zeros_like(fy)
+
+    flat = strips  # (NR, 128)
+    lanes = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+    jj = jnp.arange(WROWS, dtype=jnp.int32)[None, None, :]
+    bf16 = jnp.bfloat16   # texel values 0..255 are exact in bf16; weight
+    #                       rounding ~0.4% is invisible — single MXU pass.
+
+    def chunk_fn(args):
+        rows_c, ix0c, ix1c, fxc, wy0c, fyc = args
+        # rows_c (K, cb, WROWS); the rest (cb, P).
+        cb = ix0c.shape[0]
+        wx = ((lanes == ix0c[..., None]).astype(bf16)
+              * (1 - fxc)[..., None].astype(bf16)
+              + (lanes == ix1c[..., None]).astype(bf16)
+              * fxc[..., None].astype(bf16))            # (cb, P, 128)
+        win = flat[rows_c.reshape(-1)]                  # row gathers
+        w32 = win.reshape(K, cb, WROWS, 128).astype(jnp.uint32)
+        ch = jnp.stack([(w32 >> s) & 0xFF for s in (0, 8, 16, 24)],
+                       axis=-1).astype(bf16)            # (K, cb, WROWS, 128, 4)
+        op = ch.transpose(1, 3, 0, 2, 4).reshape(cb, 128, K * WROWS * 4)
+        x_red = jnp.einsum("bpx,bxc->bpc", wx, op,
+                           precision=jax.lax.Precision.DEFAULT)
+        x_red = x_red.reshape(cb, P, K, WROWS, 4)       # stays bf16
+        wy = ((jj == wy0c[..., None]).astype(bf16) * (1 - fyc)[..., None]
+              .astype(bf16)
+              + (jj == (wy0c + 1)[..., None]).astype(bf16)
+              * fyc[..., None].astype(bf16))            # (cb, P, WROWS)
+        return jnp.sum(x_red * wy[:, :, None, :, None], axis=3,
+                       dtype=jnp.float32)               # (cb, P, K, 4)
+
+    if nb > block_chunk:
+        pad_b = (-nb) % block_chunk
+        nchunk = (nb + pad_b) // block_chunk
+
+        def padc(x, axis=0):
+            cfg = [(0, 0)] * x.ndim
+            cfg[axis] = (0, pad_b)
+            return jnp.pad(x, cfg)
+
+        rows_p = padc(rows_k, 1).reshape(K, nchunk, block_chunk, WROWS) \
+            .transpose(1, 0, 2, 3)
+        parts = [padc(x).reshape(nchunk, block_chunk, P)
+                 for x in (ix0, ix1, fx, wy0, fy)]
+        res = jax.lax.map(chunk_fn, (rows_p, *parts))
+        out = res.reshape(nchunk * block_chunk, P, K, 4)[:nb]
+    else:
+        out = chunk_fn((rows_k, ix0, ix1, fx, wy0, fy))
+    out = out / 255.0                                   # (nb, P, K, 4)
+
+    # sRGB decode (per channel layer) + masks.
+    srgb = ((tex_flags[layer] & 1) > 0)                 # (K, nb)
+    dec = jnp.where(out <= 0.04045, out / 12.92,
+                    jnp.power(jnp.maximum((out + 0.055) / 1.055, 1e-6), 2.4))
+    out = jnp.where(srgb.T[:, None, :, None],
+                    jnp.concatenate([dec[..., :3], out[..., 3:]], -1), out)
+    valid = (tb == btid[:, :, None]) & (tb >= 0)        # (K, nb, P)
+    out = jnp.where(valid.transpose(1, 2, 0)[..., None], out, 1.0)
+
+    img = _unblockify(out, hp, wp)[:h, :w]              # (h, w, K, 4)
+    img = img.transpose(2, 0, 1, 3)                     # (K, h, w, 4)
+    if ds > 1:
+        img = jax.image.resize(img, (K, H, W, 4), method="bilinear")
+    return img
+
+
+@functools.lru_cache(maxsize=None)
+def _infer_strip_resolution(rows_per_layer: int) -> int:
+    r = MIN_MIP
+    while r <= 1 << 16:
+        if strip_layout(r)[1] == rows_per_layer:
+            return r
+        r *= 2
+    raise ValueError(f"no strip layout has {rows_per_layer} rows")
+
+
 def _ddx(img):
     return jnp.concatenate([img[:, 1:] - img[:, :-1], img[:, -1:] * 0], axis=1)
 
@@ -189,6 +426,16 @@ def apply_normal_map(normal: jnp.ndarray, world_pos: jnp.ndarray,
     """
     smp = sample_pyramid(pyramid, tex_flags, normal_tex, uv, downscale,
                          filter)
+    return apply_normal_map_sampled(normal, world_pos, uv, smp, normal_tex,
+                                    normal_scale)
+
+
+def apply_normal_map_sampled(normal: jnp.ndarray, world_pos: jnp.ndarray,
+                             uv: jnp.ndarray, smp: jnp.ndarray,
+                             normal_tex: jnp.ndarray,
+                             normal_scale=1.0) -> jnp.ndarray:
+    """Tangent-frame perturbation from an already-sampled normal map `smp`
+    (H, W, 4) — the variant the frame uses with the block-window sampler."""
     n_ts = smp[..., :3] * 2.0 - 1.0
     n_ts = n_ts.at[..., :2].multiply(normal_scale)
 

@@ -70,26 +70,32 @@ def build_sharded_frame_fn(config: FrameConfig, mesh: Mesh, axis: str = AXIS):
     lcfg = dataclasses.replace(config, height=rows_per * config.tile_h)
 
     def frame(scene: SceneBuffers, view: ViewData, params: FrameParams,
-              prev_depth: jnp.ndarray = None, taa_history: jnp.ndarray = None
-              ) -> Dict[str, jnp.ndarray]:
+              prev_depth: jnp.ndarray = None, taa_history: jnp.ndarray = None,
+              vsm_state=None) -> Dict[str, jnp.ndarray]:
         have_prev = prev_depth is not None
         have_hist = taa_history is not None
+        have_vsm = vsm_state is not None
 
-        def run(scene, view, params, prev_depth, taa_history):
+        def run(scene, view, params, prev_depth, taa_history, vsm_state):
             row0 = jax.lax.axis_index(axis) * rows_per
             return _render_body(
                 scene, view, params,
                 prev_depth if have_prev else None,
                 taa_history if have_hist else None,
+                vsm_state if have_vsm else None,
                 config=config, lcfg=lcfg, row0_tiles=row0, axis=axis)
 
+        out_keys = _OUT_KEYS + (("vsm_state", "vsm_stats") if have_vsm
+                                and config.enable_vsm else ())
+        # VSM state/stats are replicated pytrees; P() applies leaf-wise.
         out_specs = {k: P(axis) if k in _SHARDED_KEYS else P()
-                     for k in _OUT_KEYS}
+                     for k in out_keys}
         sharded = shard_map(
             run, mesh=mesh,
             in_specs=(P(), P(), P(),
                       P(axis) if have_prev else P(),
-                      P(axis) if have_hist else P()),
+                      P(axis) if have_hist else P(),
+                      P()),
             out_specs=out_specs,
             check_vma=False,
         )
@@ -98,6 +104,7 @@ def build_sharded_frame_fn(config: FrameConfig, mesh: Mesh, axis: str = AXIS):
         zero = jnp.zeros((n,), jnp.float32)
         return sharded(scene, view, params,
                        prev_depth if have_prev else zero,
-                       taa_history if have_hist else zero)
+                       taa_history if have_hist else zero,
+                       vsm_state if have_vsm else zero)
 
     return frame

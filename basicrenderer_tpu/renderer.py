@@ -112,6 +112,7 @@ class Renderer:
             max_lights_per_cluster=s.get("maxLightsPerCluster"),
             enable_ibl=s.get("enableIBL"),
             enable_textures=s.get("enableTextures", False),
+            tex_channels=self._live_tex_channels(),
             enable_bloom=s.get("enableBloom"),
             enable_gtao=s.get("enableGTAO"),
             enable_ssr=s.get("enableSSR"),
@@ -128,6 +129,21 @@ class Renderer:
             debug_view=s.get("debugView"),
             use_pallas_raster=on_tpu,
         )
+
+    def _live_tex_channels(self) -> tuple:
+        """Channel samples the frame actually needs (unused ones cost
+        nothing — they're dropped from the traced program)."""
+        ms = self.materials.materials
+        chans = []
+        if any(m.base_color_texture >= 0 for m in ms):
+            chans.append("base")
+        if any(m.normal_texture >= 0 for m in ms):
+            chans.append("normal")
+        if any(m.metallic_roughness_texture >= 0 for m in ms):
+            chans.append("mr")
+        if any(m.emissive_texture >= 0 for m in ms):
+            chans.append("emissive")
+        return tuple(chans) or ("base",)
 
     def current_config(self) -> FrameConfig:
         if self._config is None or self.settings.generation != self._settings_generation:
@@ -160,6 +176,16 @@ class Renderer:
         # Auto-enable skinning when any packed instance is skinned.
         if self._bridge.packed and self._bridge.packed.skin_instances:
             self.settings.set("enableSkinning", True)
+        # VSM page cache: conservative whole-cache invalidation when any
+        # transform or light changes (per-page object tracking is a later
+        # milestone; reference invalidates per page on transform updates).
+        if self.settings.get("enableVSM"):
+            mats, _n, _b, _v = self._bridge.snapshot_objects()
+            lights, _, _ = self._bridge.snapshot_lights()
+            h = hash((mats.tobytes(), lights.tobytes()))
+            if h != getattr(self, "_vsm_scene_hash", None):
+                self._vsm_state = None
+            self._vsm_scene_hash = h
 
     def render(self) -> Dict[str, Any]:
         """Dispatch the frame program (reference Renderer::Render,
@@ -180,25 +206,33 @@ class Renderer:
         params = self._frame_params()
         frame_fn = self._programs.get(config)
         args = [self._buffers, view, params]
+        kwargs = {}
         if config.enable_occlusion or config.enable_taa:
             if getattr(self, "_prev_depth", None) is None or \
                self._prev_depth.shape != (config.padded_height, config.padded_width):
                 self._prev_depth = jnp.zeros(
                     (config.padded_height, config.padded_width), jnp.float32)
-            args.append(self._prev_depth)
+            kwargs["prev_depth"] = self._prev_depth
         if config.enable_taa:
             hist = getattr(self, "_taa_history", None)
             if hist is None or hist.shape != (config.height, config.width, 3):
                 hist = None
-            args.append(hist)
+            kwargs["taa_history"] = hist
+        if config.enable_vsm:
+            from .ops import vsm as vsm_ops
+            if getattr(self, "_vsm_state", None) is None:
+                self._vsm_state = vsm_ops.init_state()
+            kwargs["vsm_state"] = self._vsm_state
         with self.telemetry.stage("dispatch"):
-            out = frame_fn(*args)
+            out = frame_fn(*args, **kwargs)
         self.telemetry.record_frame_outputs(out)
         self.telemetry.end_frame()
         if config.enable_occlusion or config.enable_taa:
             self._prev_depth = out["depth_padded"]
         if config.enable_taa:
             self._taa_history = out["taa_out"]
+        if config.enable_vsm:
+            self._vsm_state = out["vsm_state"]
         self._frame_index += 1
         return out
 

@@ -277,10 +277,11 @@ class SceneRenderBridge:
         if env_brdf_lut is None:
             env_brdf_lut = np.zeros((32, 32, 2), np.float32)
         if self.textures and len(self.textures):
-            tex_pyr, tex_flags = self.textures.pyramid()
+            tex_pyr, tex_flags = self.textures.strip_pyramid()
         else:
-            from ..ops.textures import layer_words
-            tex_pyr = np.full((1, layer_words(4)), 0xFFFFFFFF, np.uint32)
+            from ..ops.textures import strip_layout
+            tex_pyr = np.full((strip_layout(4)[1], 128), 0xFFFFFFFF,
+                              np.uint32)
             tex_flags = np.zeros((1,), np.int32)
         return SceneBuffers(
             positions=f32(p.positions), normals=f32(p.normals),
@@ -289,7 +290,7 @@ class SceneRenderBridge:
             indices=jnp.asarray(p.indices),
             tri_material=jnp.asarray(p.tri_material),
             tri_object=jnp.asarray(p.tri_object),
-            tex_pyramid=jnp.asarray(tex_pyr), tex_flags=jnp.asarray(tex_flags),
+            tex_strips=jnp.asarray(tex_pyr), tex_flags=jnp.asarray(tex_flags),
             vert_joints=jnp.asarray(p.vert_joints),
             vert_weights=f32(p.vert_weights),
             joint_palette=f32(self.snapshot_joint_palette()),

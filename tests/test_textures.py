@@ -190,3 +190,53 @@ def test_normal_mapping_perturbs_shading():
     out2 = np.asarray(apply_normal_map(normal, wp, uv, pyr, flags,
                                        jnp.full((H, W), -1, jnp.int32)))
     np.testing.assert_allclose(out2, np.asarray(normal), atol=1e-6)
+
+
+def test_blocked_sampler_matches_reference():
+    """The block-window MXU sampler must match the per-pixel gather sampler
+    on a magnified view (both resolve to mip 0, bilinear)."""
+    from basicrenderer_tpu.ops.textures import sample_pyramid_blocked
+
+    reg = TextureRegistry(resolution=64)
+    rng = np.random.default_rng(7)
+    img = rng.random((64, 64, 4)).astype(np.float32)
+    t0 = reg.add(img, srgb=False)
+    t1 = reg.checkerboard(a=(1, 0, 0), b=(0, 0, 1), squares=4)
+    pyr, flags = (jnp.asarray(x) for x in reg.pyramid())
+    strips, sflags = (jnp.asarray(x) for x in reg.strip_pyramid())
+
+    H = W = 64
+    uv = _uv_grid(H, W) * 0.45 + 0.05      # magnified: ~0.45 texel/px
+    tid0 = jnp.full((H, W), t0, jnp.int32)
+    tid1 = jnp.full((H, W), t1, jnp.int32)
+    ref0 = np.asarray(sample_pyramid(pyr, flags, tid0, uv, 1, "bilinear"))
+    ref1 = np.asarray(sample_pyramid(pyr, flags, tid1, uv, 1, "bilinear"))
+    out = np.asarray(sample_pyramid_blocked(
+        strips, sflags, jnp.stack([tid0, tid1]), uv, 1, "bilinear"))
+    assert out.shape == (2, H, W, 4)
+    np.testing.assert_allclose(out[0], ref0, atol=0.02)
+    np.testing.assert_allclose(out[1], ref1, atol=0.02)
+    # Nearest filter too.
+    refn = np.asarray(sample_pyramid(pyr, flags, tid0, uv, 1, "nearest"))
+    outn = np.asarray(sample_pyramid_blocked(
+        strips, sflags, tid0[None], uv, 1, "nearest"))
+    np.testing.assert_allclose(outn[0], refn, atol=0.02)
+
+
+def test_blocked_sampler_minified_and_untextured():
+    from basicrenderer_tpu.ops.textures import sample_pyramid_blocked
+
+    reg = TextureRegistry(resolution=64)
+    t1 = reg.checkerboard(a=(1, 0, 0), b=(0, 0, 1), squares=16)
+    strips, sflags = (jnp.asarray(x) for x in reg.strip_pyramid())
+    H = W = 64
+    uv = _uv_grid(H, W) * 16.0             # heavy minification
+    tid = jnp.full((H, W), t1, jnp.int32)
+    out = np.asarray(sample_pyramid_blocked(strips, sflags, tid[None], uv))
+    # Fine checker averages toward purple at coarse mips.
+    assert np.abs(out[0, ..., 0] - out[0, ..., 2]).mean() < 0.4
+    assert np.isfinite(out).all()
+    # Untextured -> white.
+    out2 = np.asarray(sample_pyramid_blocked(
+        strips, sflags, jnp.full((1, H, W), -1, jnp.int32), uv))
+    assert (out2 == 1.0).all()

@@ -1,0 +1,114 @@
+"""Virtual shadow maps: page mark/allocate/render/sample + caching.
+
+Reference analogue: the VSM pass stack + clipmap page machinery
+(VirtualShadowMapSetupPass.cpp, clodVirtualShadowClipmap.hlsli). Contracts
+tested: correct shadows (ground beneath an occluder darkens, the occluder's
+lit faces don't), budgeted convergence (dirty pages drain over frames and
+hit zero for a static scene), and cache stability (a converged static frame
+is identical to the previous one with zero pages rendered)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from basicrenderer_tpu.graph.framedata import FrameConfig, FrameParams, make_view
+from basicrenderer_tpu.graph.frame import build_frame_fn
+from basicrenderer_tpu.models import procedural
+from basicrenderer_tpu.models.materials import Material, MaterialRegistry
+from basicrenderer_tpu.models.mesh import MeshRegistry
+from basicrenderer_tpu.ops import vsm as vsm_ops
+from basicrenderer_tpu.scene.bridge import BridgeCapacities, SceneRenderBridge
+from basicrenderer_tpu.scene.scene import Scene
+
+
+def _shadow_scene():
+    meshes, mats = MeshRegistry(), MaterialRegistry()
+    cube = meshes.add(procedural.make_cube(1.0))
+    plane = meshes.add(procedural.make_plane(16.0, 2))
+    white = mats.add(Material(base_color=np.array([1, 1, 1, 1], np.float32),
+                              roughness=0.9))
+    sc = Scene()
+    sc.create_renderable(plane, white)
+    sc.create_renderable(cube, white, position=(0, 1.0, 0))
+    # Slanted sun -> a long cast shadow (a robust multi-page test signal).
+    sc.create_directional_light(direction=(-0.8, -0.5, -0.35), intensity=3.0)
+    sc.set_camera(position=(4, 3.5, 5), target=(0, 0.5, 0), aspect=1.0)
+    sc.propagate_transforms()
+    caps = BridgeCapacities(max_vertices=1 << 10, max_triangles=1 << 10,
+                            max_objects=8, max_materials=4, max_lights=4,
+                            max_clusters=32)
+    bridge = SceneRenderBridge(sc, meshes, mats, caps)
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    return buffers, make_view(view, proj, pos)
+
+
+CFG = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                  max_pairs=1 << 12, use_pallas_raster=False,
+                  enable_vsm=True, vsm_pages_per_frame=8,
+                  vsm_page_pairs=1 << 12, vsm_sample_downscale=1,
+                  vsm_mark_downscale=2)
+
+
+@pytest.fixture(scope="module")
+def converged():
+    buffers, vd = _shadow_scene()
+    params = FrameParams.default()
+    frame = jax.jit(build_frame_fn(CFG))
+    state = vsm_ops.init_state()
+    frames = []
+    dirt = []
+    for _ in range(10):
+        out = frame(buffers, vd, params, vsm_state=state)
+        state = out["vsm_state"]
+        frames.append(np.asarray(out["image"]))
+        dirt.append(int(out["vsm_stats"]["dirty"]))
+    return buffers, vd, frames, dirt, out
+
+
+def test_vsm_shadows_are_correct(converged):
+    """Ground beneath the cube darkens; the cube's sun-facing top stays lit
+    (regression guard for the r1 inverted-depth CSM bug class)."""
+    buffers, vd, frames, dirt, out = converged
+    img = frames[-1].astype(np.float32)
+    # Light from (+x, +y, +z)-ish: shadow falls +x/+z of the cube.
+    # Find cube top pixels (brightest cluster near screen center)
+    # structurally: compare a no-shadow render.
+    cfg0 = dataclasses.replace(CFG, enable_vsm=False)
+    base = np.asarray(jax.jit(build_frame_fn(cfg0))(
+        buffers, vd, FrameParams.default())["image"]).astype(np.float32)
+    ratio = (img.mean(-1) + 1) / (base.mean(-1) + 1)
+    shadowed = ratio < 0.7
+    vis = np.asarray(out["vis"])
+    # A real shadow region exists on geometry...
+    assert shadowed[(vis > 0)].sum() > 50
+    # ...and most lit geometry is unchanged (no global darkening).
+    assert (ratio[(vis > 0)] > 0.9).mean() > 0.5
+    # Cross-check against the independent CSM implementation: the two
+    # shadow techniques must agree on the shadow's size (within 2x).
+    cfg_csm = dataclasses.replace(CFG, enable_vsm=False, enable_shadows=True)
+    csm = np.asarray(jax.jit(build_frame_fn(cfg_csm))(
+        buffers, vd, FrameParams.default())["image"]).astype(np.float32)
+    csm_shadowed = ((csm.mean(-1) + 1) / (base.mean(-1) + 1)) < 0.7
+    a, b = shadowed.sum(), csm_shadowed.sum()
+    assert 0.5 < (a + 1) / (b + 1) < 2.0, (a, b)
+
+
+def test_vsm_converges_and_caches(converged):
+    _buffers, _vd, frames, dirt, _out = converged
+    assert dirt[0] > 0                      # first frame marks pages
+    assert dirt[-1] == 0, f"did not converge: {dirt}"
+    # Monotone-ish drain: total dirty bounded, reaches zero.
+    # Converged frames are bit-identical (pure cache hits).
+    np.testing.assert_array_equal(frames[-1], frames[-2])
+
+
+def test_vsm_state_shapes():
+    st = vsm_ops.init_state()
+    assert st.atlas.shape == (vsm_ops.SLOTS, vsm_ops.PAGE, vsm_ops.PAGE)
+    n = vsm_ops.LEVELS * vsm_ops.PAGES * vsm_ops.PAGES
+    assert st.slot_of_cell.shape == (n,)
+    assert not bool(st.initialized)
