@@ -85,11 +85,10 @@ def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     if config.enable_clod:
         # Virtualized-geometry fast path: nothing here touches the full
         # soup except the cluster table and the compaction gather.
-        idx, mat, tobj, tvalid, cl_overflow = clod_compact(
-            scene, view, config, params)
-        lanes, bbox, valid = raster_setup.triangle_setup_compacted(
-            scene.vertex_table, scene.object_mats, scene.object_normal_mats,
-            view.viewproj, idx, tvalid, config, mat, tobj)
+        comp = clod_compact(scene, view, config, params)
+        cl_overflow = comp.overflow
+        lanes, bbox, valid = raster_setup.setup_from_compacted(
+            scene, comp, view.viewproj, config)
         pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
         return None, None, None, cl_overflow, pairs
     clip, world_pos, world_normals = raster_setup.transform_geometry(
@@ -219,12 +218,11 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                                            config.width, full_h)
 
         def raster_cut(c, budget, init=None):
-            idx, mat, tobj, tvalid, ovf = clod_ops.compact_visible_tris(
+            comp = clod_ops.compact_visible_tris(
                 cut=c, scene=scene, max_visible=budget)
-            lanes, bboxt, valid = raster_setup.triangle_setup_compacted(
-                scene.vertex_table, scene.object_mats,
-                scene.object_normal_mats, view.viewproj, idx, tvalid,
-                config, mat, tobj)
+            ovf = comp.overflow
+            lanes, bboxt, valid = raster_setup.setup_from_compacted(
+                scene, comp, view.viewproj, config)
             prs = raster_setup.bin_pairs(lanes, bboxt, valid, config)
             d, v, ch = visibility_pass(localize(prs), lcfg, init=init,
                                        tile_row0=row0_tiles)
@@ -345,7 +343,7 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
 
         vsm_term, vsm_state_out, vsm_stats = vsm_ops.update_vsm(
             scene, view, config, params, vsm_state,
-            gather_rows(gb.world_pos), gather_rows(gb.valid), page_compact)
+            gather_rows(depth), page_compact, full_h=full_h)
         shadow_term = local_rows(vsm_term)
         shadow_term = jnp.where(scene.num_dir_lights > 0, shadow_term, 1.0)
 
@@ -375,8 +373,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         # The term's half-res sampling + upsample + 3x3 smooth cross tile
         # rows -> computed on the gathered frame when sharded (like GTAO).
         shadow_term = local_rows(shadow_ops.sample_shadow_cascades(
-            gather_rows(gb.world_pos), gather_rows(gb.normal), ldir,
-            cascade_vps, smaps, params.shadow_bias))
+            gather_rows(depth), view, cascade_vps, smaps,
+            params.shadow_bias, full_h=full_h))
         shadow_term = jnp.where(scene.num_dir_lights > 0, shadow_term, 1.0)
 
         def shadow_fn(i, wp, n):

@@ -56,6 +56,15 @@ class SceneBuffers:
     # Static per-vertex table for the compacted (virtualized-geometry)
     # setup path: [pos3, normal3, uv2, objid] — gathered per visible corner.
     vertex_table: jnp.ndarray    # (V, 10) f32
+    # Cluster-local vertex pages (the fast setup path + the streaming
+    # substrate): per GEOMETRY cluster, its unique vertices packed into a
+    # fixed slab, and per-corner slab indices for its <=128 triangles.
+    # Profiled: gathering (V, 10)-row corners costs ~33 ns/row (narrow
+    # unaligned rows); fetching whole slabs as wide rows + extracting
+    # corners with a one-hot MXU einsum is ~10x cheaper.
+    cluster_verts: jnp.ndarray     # (G, SLAB*10) f32 wide rows
+    cluster_tri_local: jnp.ndarray  # (G, 384) f32 corner slab indices
+    #                                 (t*3+c order; ids < SLAB, f32-exact)
     # Cluster-LOD (virtualized geometry; ops/clod.py). tri_cluster = -1 for
     # non-clustered triangles (always selected).
     tri_cluster: jnp.ndarray     # (T,) i32 global cluster id or -1

@@ -37,6 +37,7 @@ from .mesh import MeshData, compute_normals
 CACHE_DIR = os.path.expanduser("~/.cache/basicrenderer_tpu/clod")
 CACHE_SCHEMA = 6  # v6: UV-preserving simplify (seam weld + provenance)
 MESHLET_TRIS = 128
+SLAB_VERTS = 384        # cluster vertex-page capacity (128 tris x 3 corners)
 GROUP_SIZE = 4          # clusters merged per simplify step
 SIMPLIFY_RATIO = 0.5    # target triangle ratio per LOD level
 
@@ -141,7 +142,9 @@ CLUSTER_STRIDE = 16
 # 4 self_error (object-space), 5 parent_error, 6 level,
 # 7 tri_offset (mesh-local; the bridge adds the global offset),
 # 8 tri_count, 9 material id (bridge fills per instance),
-# 10 transparent flag (bridge fills per instance), 11 pad,
+# 10 transparent flag (bridge fills per instance),
+# 11 geometry-cluster id (bridge fills; indexes the shared cluster vertex
+#    pages — instances share geometry, framedata.SceneBuffers),
 # 12-14 PARENT-GROUP bound center, 15 radius — the sphere of the group this
 #     cluster is simplified INTO; used for projecting parent_error.
 #

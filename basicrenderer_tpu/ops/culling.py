@@ -35,22 +35,27 @@ def frustum_cull_spheres(viewproj: jnp.ndarray, centers: jnp.ndarray,
     return valid & math3d.sphere_in_frustum(planes, centers, radii)
 
 
+HZB_FIRST_LEVEL = 1   # finest stored mip is 1/2 res (conservative; skipping
+#                       mip0 halves the build cost and it is built twice per
+#                       frame in the two-phase occlusion loop)
+
+
 def build_hzb(depth: jnp.ndarray, levels: int = 8) -> List[jnp.ndarray]:
     """Reverse-Z hierarchical depth pyramid: each level keeps the MIN depth
-    (farthest; conservative for occlusion: an occludee is hidden only if its
-    nearest point is farther than the max... with reverse-Z bigger=closer,
+    (farthest; conservative for occlusion: with reverse-Z bigger=closer,
     occluded iff occludee_z < min(occluder block z)).
 
     Reference analogue: FidelityFX SPD Downsample.h building the HZB mips.
-    Returns [full, /2, /4, ...] — `levels` entries.
+    Returns `levels` entries starting at 1/2 res (HZB_FIRST_LEVEL).
     """
-    mips = [depth]
+    mips = []
     d = depth
-    for _ in range(levels - 1):
+    for _ in range(levels):
         h, w = d.shape
-        h2, w2 = h // 2, w // 2
-        d4 = d[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
-        d = jnp.min(jnp.min(d4, axis=3), axis=1)
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        if h >= 2 and w >= 2:
+            d4 = d[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
+            d = jnp.min(jnp.min(d4, axis=3), axis=1)
         mips.append(d)
     return mips
 
@@ -65,17 +70,17 @@ def project_sphere_bounds(viewproj: jnp.ndarray, centers: jnp.ndarray,
     conservative and branch-free (the reference projects cluster bounds
     similarly in computeCulling.hlsl).
     """
+    from ..utils import math3d
     offs = jnp.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
                       for sz in (-1, 1)], jnp.float32)     # (8, 3)
     corners = centers[:, None, :] + radii[:, None, None] * offs[None]  # (N,8,3)
-    ch = jnp.concatenate([corners, jnp.ones_like(corners[..., :1])], -1)
-    clip = ch @ viewproj.T                                  # (N, 8, 4)
-    w = clip[..., 3]
+    cx, cy, cz, w = math3d.mat4_columns(
+        viewproj, corners[..., 0], corners[..., 1], corners[..., 2])
     behind = jnp.any(w <= 1e-6, axis=-1)
     iw = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
-    sx = (clip[..., 0] * iw * 0.5 + 0.5) * width
-    sy = (0.5 - clip[..., 1] * iw * 0.5) * height
-    z = clip[..., 2] * iw
+    sx = (cx * iw * 0.5 + 0.5) * width
+    sy = (0.5 - cy * iw * 0.5) * height
+    z = cz * iw
     bbox = jnp.stack([sx.min(-1), sy.min(-1), sx.max(-1), sy.max(-1)], axis=-1)
     z_near = z.max(-1)   # reverse-Z: max = nearest
     return bbox, z_near, behind
@@ -96,25 +101,36 @@ def occlusion_test_hzb(hzb_mips: List[jnp.ndarray], bbox: jnp.ndarray,
     y1 = jnp.clip(bbox[:, 3], 0, height - 1)
     size = jnp.maximum(x1 - x0, y1 - y0)
     num_mips = len(hzb_mips)
-    mip = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(size, 1.0))).astype(jnp.int32),
-                   0, num_mips - 1)
+    mip = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(size, 1.0))).astype(jnp.int32)
+                   - HZB_FIRST_LEVEL, 0, num_mips - 1)
 
-    # Gather the 2x2 neighborhood at each candidate mip, select by mip.
-    # N is small (objects/clusters), so these gathers are cheap.
-    occluder_z = jnp.full(x0.shape, jnp.inf, jnp.float32)
+    # ONE flattened pyramid + 4 combined gathers: gathering the 2x2
+    # neighborhood per mip array cost 8 mips x 4 gathers x 2 phases
+    # (~12 ms/frame profiled); selecting the mip's static (offset, size)
+    # per candidate first makes it 4 gathers total.
+    flat = jnp.concatenate([m.reshape(-1) for m in hzb_mips])
+    off_m = jnp.zeros(x0.shape, jnp.int32)
+    wm_m = jnp.zeros(x0.shape, jnp.int32)
+    hm_m = jnp.zeros(x0.shape, jnp.int32)
+    sc_m = jnp.zeros(x0.shape, jnp.float32)
+    off = 0
     for m, hz in enumerate(hzb_mips):
         hm, wm = hz.shape
-        scale = 1.0 / (1 << m)
-        tx0 = jnp.clip((x0 * scale).astype(jnp.int32), 0, wm - 1)
-        ty0 = jnp.clip((y0 * scale).astype(jnp.int32), 0, hm - 1)
-        tx1 = jnp.clip((x1 * scale).astype(jnp.int32), 0, wm - 1)
-        ty1 = jnp.clip((y1 * scale).astype(jnp.int32), 0, hm - 1)
-        z00 = hz[ty0, tx0]
-        z01 = hz[ty0, tx1]
-        z10 = hz[ty1, tx0]
-        z11 = hz[ty1, tx1]
-        zmin = jnp.minimum(jnp.minimum(z00, z01), jnp.minimum(z10, z11))
-        occluder_z = jnp.where(mip == m, zmin, occluder_z)
+        sel = mip == m
+        off_m = jnp.where(sel, off, off_m)
+        wm_m = jnp.where(sel, wm, wm_m)
+        hm_m = jnp.where(sel, hm, hm_m)
+        sc_m = jnp.where(sel, 1.0 / (1 << (m + HZB_FIRST_LEVEL)), sc_m)
+        off += hm * wm
+    tx0 = jnp.clip((x0 * sc_m).astype(jnp.int32), 0, wm_m - 1)
+    ty0 = jnp.clip((y0 * sc_m).astype(jnp.int32), 0, hm_m - 1)
+    tx1 = jnp.clip((x1 * sc_m).astype(jnp.int32), 0, wm_m - 1)
+    ty1 = jnp.clip((y1 * sc_m).astype(jnp.int32), 0, hm_m - 1)
+    z00 = flat[off_m + ty0 * wm_m + tx0]
+    z01 = flat[off_m + ty0 * wm_m + tx1]
+    z10 = flat[off_m + ty1 * wm_m + tx0]
+    z11 = flat[off_m + ty1 * wm_m + tx1]
+    occluder_z = jnp.minimum(jnp.minimum(z00, z01), jnp.minimum(z10, z11))
 
     # Reverse-Z: visible if the sphere's nearest point is closer (>=) than
     # the farthest occluder in its footprint, or conservative fallbacks.

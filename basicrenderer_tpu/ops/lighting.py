@@ -64,9 +64,10 @@ def tile_world_bounds(depth_p: jnp.ndarray, view: ViewData, config: FrameConfig,
     inv_vp = jnp.linalg.inv(view.viewproj)
 
     def unproject(x, y, z):
-        ndc = jnp.stack([x, y, z, jnp.ones_like(x)], axis=-1)
-        w = ndc @ inv_vp.T
-        return w[..., :3] / jnp.where(jnp.abs(w[..., 3:]) > 1e-12, w[..., 3:], 1.0)
+        from ..utils import math3d
+        wx, wy, wz, ww = math3d.mat4_columns(inv_vp, x, y, z)
+        iw = 1.0 / jnp.where(jnp.abs(ww) > 1e-12, ww, 1.0)
+        return jnp.stack([wx * iw, wy * iw, wz * iw], axis=-1)
 
     pts = jnp.stack([
         unproject(xx, yy, zz)

@@ -46,11 +46,10 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     transparent = scene.cluster_table[:, 10] > 0.5
     cut = cut & transparent
     budget = max(config.max_visible_clusters // 4, 64)
-    idx, mat, tobj, tvalid, _ovf = clod_ops.compact_visible_tris(
+    comp = clod_ops.compact_visible_tris(
         cut=cut, scene=scene, max_visible=budget)
-    lanes, bbox, valid = raster_setup.triangle_setup_compacted(
-        scene.vertex_table, scene.object_mats, scene.object_normal_mats,
-        view.viewproj, idx, tvalid, config, mat, tobj)
+    lanes, bbox, valid = raster_setup.setup_from_compacted(
+        scene, comp, view.viewproj, config)
     pairs = localize(raster_setup.bin_pairs(lanes, bbox, valid, config))
 
     H, W = lcfg.height, config.width

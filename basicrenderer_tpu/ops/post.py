@@ -45,37 +45,53 @@ def _blur3(img: jnp.ndarray) -> jnp.ndarray:
     return sum(p2[dy:dy + h] * k[dy] for dy in range(3))
 
 
-def _up2(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Cheap 2x upsample: pixel-repeat + 3x3 tent smooth (measured faster
-    than jax.image.resize's general bilinear on TPU; bloom is blurry by
-    construction so the filter difference is invisible). Handles odd
-    targets (edge-pad the last row/column)."""
-    up = jnp.repeat(jnp.repeat(img, 2, 0), 2, 1)
-    ph, pw = h - up.shape[0], w - up.shape[1]
+def _down2_p(img: jnp.ndarray) -> jnp.ndarray:
+    """(C, h, w) plane-layout 2x box downsample."""
+    c, h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    return img[:, :h2 * 2, :w2 * 2].reshape(c, h2, 2, w2, 2).mean((2, 4))
+
+
+def _blur3_p(img: jnp.ndarray) -> jnp.ndarray:
+    """(C, h, w) separable 1-2-1 blur."""
+    c, h, w = img.shape
+    p = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    v = (p[:, :h] + 2.0 * p[:, 1:h + 1] + p[:, 2:h + 2]) * 0.25
+    p = jnp.pad(v, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    return (p[:, :, :w] + 2.0 * p[:, :, 1:w + 1] + p[:, :, 2:w + 2]) * 0.25
+
+
+def _up2_p(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(C, h2, w2) -> (C, h, w): pixel-repeat + tent smooth (cheaper than
+    jax.image.resize's general bilinear; bloom is blurry by construction)."""
+    up = jnp.repeat(jnp.repeat(img, 2, 1), 2, 2)
+    ph, pw = h - up.shape[1], w - up.shape[2]
     if ph > 0 or pw > 0:
-        up = jnp.pad(up, ((0, max(ph, 0)), (0, max(pw, 0)), (0, 0)),
+        up = jnp.pad(up, ((0, 0), (0, max(ph, 0)), (0, max(pw, 0))),
                      mode="edge")
-    return _blur3(up[:h, :w])
+    return _blur3_p(up[:, :h, :w])
 
 
 def bloom(hdr: jnp.ndarray, threshold, intensity, mips: int = 5) -> jnp.ndarray:
     """Threshold -> mip down chain -> blurred up chain -> add.
 
-    The chain starts at HALF resolution (the bright pass is downsampled
-    immediately): bloom's output is low-frequency, and skipping the
-    full-res blur/upsample level halves the pass cost."""
+    TPU notes: the whole chain runs in (3, H, W) PLANE layout — image ops
+    on (H, W, 3) arrays put the 3-channel dim in the 128-lane axis (the
+    first downsample alone profiled at 5.2 ms) — and starts at HALF
+    resolution (bloom is low-frequency; skipping the full-res level halves
+    the cost again)."""
     lum = hdr[..., 0] * 0.2126 + hdr[..., 1] * 0.7152 + hdr[..., 2] * 0.0722
     scale = jnp.clip((lum - threshold) / jnp.maximum(threshold, 1e-3), 0.0, 1e3)
-    bright = _downsample2(hdr * scale[..., None])
-    chain = [bright]
+    bright = hdr * scale[..., None]
+    chain = [_down2_p(bright.transpose(2, 0, 1))]
     for _ in range(mips - 2):
-        chain.append(_blur3(_downsample2(chain[-1])))
+        chain.append(_blur3_p(_down2_p(chain[-1])))
     up = chain[-1]
     for m in range(len(chain) - 2, -1, -1):
-        h, w = chain[m].shape[:2]
-        up = chain[m] + _up2(up, h, w)
+        _c, h, w = chain[m].shape
+        up = chain[m] + _up2_p(up, h, w)
     H, W = hdr.shape[:2]
-    return hdr + _up2(up, H, W) * (intensity / mips)
+    return hdr + _up2_p(up, H, W).transpose(1, 2, 0) * (intensity / mips)
 
 
 # ---------------------------------------------------------------------------
@@ -83,13 +99,18 @@ def bloom(hdr: jnp.ndarray, threshold, intensity, mips: int = 5) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def luminance_histogram(hdr: jnp.ndarray, bins: int = 256,
-                        log_min: float = -10.0, log_max: float = 6.0
-                        ) -> jnp.ndarray:
+                        log_min: float = -10.0, log_max: float = 6.0,
+                        downscale: int = 4) -> jnp.ndarray:
+    """TPU note: a scatter-add histogram serializes (~15 ms at 2M pixels);
+    a one-hot matmul on a downsampled grid is exact enough for exposure
+    and runs on the MXU."""
+    hdr = hdr[::downscale, ::downscale]
     lum = hdr[..., 0] * 0.2126 + hdr[..., 1] * 0.7152 + hdr[..., 2] * 0.0722
     loglum = jnp.log2(jnp.maximum(lum, 1e-6))
     t = jnp.clip((loglum - log_min) / (log_max - log_min), 0.0, 1.0)
     idx = jnp.clip((t * bins).astype(jnp.int32), 0, bins - 1)
-    return jnp.zeros((bins,), jnp.int32).at[idx.reshape(-1)].add(1)
+    oh = jax.nn.one_hot(idx.reshape(-1), bins, dtype=jnp.float32)
+    return jnp.sum(oh, axis=0).astype(jnp.int32) * (downscale * downscale)
 
 
 def auto_exposure(hdr: jnp.ndarray, target_gray: float = 0.18,

@@ -71,7 +71,10 @@ def gather_rows_onehot(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     table: (R, C), idx: (N,) -> (N, C).
     """
     oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
-    return oh @ table
+    # Precision HIGH (bf16_3x): the one-hot side is exact in bf16, and the
+    # table's three 8-bit mantissa chunks reconstruct full f32 — bit-exact
+    # gathers at half the MXU passes of HIGHEST (the package default).
+    return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGH)
 
 
 def transform_geometry(positions: jnp.ndarray, normals: jnp.ndarray,
@@ -94,7 +97,9 @@ def transform_geometry(positions: jnp.ndarray, normals: jnp.ndarray,
     ph = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=-1)
     world_h = jnp.einsum("vij,vj->vi", mats, ph)
     wn = jnp.einsum("vij,vj->vi", nmats, normals)
-    clip = world_h @ viewproj.T
+    from ..utils import math3d
+    clip = jnp.stack(math3d.mat4_columns(
+        viewproj, world_h[:, 0], world_h[:, 1], world_h[:, 2]), axis=-1)
     return clip, world_h[:, :3], wn
 
 
@@ -105,7 +110,9 @@ def transform_vertices(positions, vert_object, object_mats, viewproj):
     mats = mats.reshape(-1, 4, 4)
     ph = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=-1)
     world_h = jnp.einsum("vij,vj->vi", mats, ph)
-    clip = world_h @ viewproj.T
+    from ..utils import math3d
+    clip = jnp.stack(math3d.mat4_columns(
+        viewproj, world_h[:, 0], world_h[:, 1], world_h[:, 2]), axis=-1)
     return clip, world_h[:, :3]
 
 
@@ -299,27 +306,85 @@ def triangle_setup_compacted(vertex_table: jnp.ndarray, object_mats: jnp.ndarray
             objid = tri_object
         else:
             objid = raw[:, 9].astype(jnp.int32)
-        m = gather_rows_onehot(mat_table, objid)          # (Kt, 25) MXU
-        px, py, pz = raw[:, 0], raw[:, 1], raw[:, 2]
-        # world = M @ [p, 1] (column math; no rank-3 intermediates)
-        wx = m[:, 0] * px + m[:, 1] * py + m[:, 2] * pz + m[:, 3]
-        wy = m[:, 4] * px + m[:, 5] * py + m[:, 6] * pz + m[:, 7]
-        wz = m[:, 8] * px + m[:, 9] * py + m[:, 10] * pz + m[:, 11]
-        vp = viewproj
-        cx = vp[0, 0] * wx + vp[0, 1] * wy + vp[0, 2] * wz + vp[0, 3]
-        cy = vp[1, 0] * wx + vp[1, 1] * wy + vp[1, 2] * wz + vp[1, 3]
-        cz = vp[2, 0] * wx + vp[2, 1] * wy + vp[2, 2] * wz + vp[2, 3]
-        cw = vp[3, 0] * wx + vp[3, 1] * wy + vp[3, 2] * wz + vp[3, 3]
-        nx0, ny0, nz0 = raw[:, 3], raw[:, 4], raw[:, 5]
-        nx = m[:, 16] * nx0 + m[:, 17] * ny0 + m[:, 18] * nz0
-        ny = m[:, 19] * nx0 + m[:, 20] * ny0 + m[:, 21] * nz0
-        nz = m[:, 22] * nx0 + m[:, 23] * ny0 + m[:, 24] * nz0
-        g = jnp.stack([cx, cy, cz, cw, nx, ny, nz, raw[:, 6], raw[:, 7]], axis=1)
-        gs.append(g)
+        gs.append(_transform_corner_rows(raw, objid, mat_table, viewproj))
 
     setup = _setup_from_corners(gs[0], gs[1], gs[2], tri_valid, config,
                                 has_normals=True, has_uvs=True)
     lanes = pack_setup_lanes(setup, tri_material)
+    return jax.lax.optimization_barrier((lanes, setup.bbox, setup.valid))
+
+
+def _transform_corner_rows(raw, objid, mat_table, viewproj):
+    """Raw corner rows [pos3, nrm3, uv2, ...] + per-tri object ids ->
+    g rows [clip4 | wnormal3 | uv2] (all column math, one one-hot MXU
+    matrix lookup)."""
+    m = gather_rows_onehot(mat_table, objid)          # (Kt, 25) MXU
+    px, py, pz = raw[:, 0], raw[:, 1], raw[:, 2]
+    # world = M @ [p, 1] (column math; no rank-3 intermediates)
+    wx = m[:, 0] * px + m[:, 1] * py + m[:, 2] * pz + m[:, 3]
+    wy = m[:, 4] * px + m[:, 5] * py + m[:, 6] * pz + m[:, 7]
+    wz = m[:, 8] * px + m[:, 9] * py + m[:, 10] * pz + m[:, 11]
+    vp = viewproj
+    cx = vp[0, 0] * wx + vp[0, 1] * wy + vp[0, 2] * wz + vp[0, 3]
+    cy = vp[1, 0] * wx + vp[1, 1] * wy + vp[1, 2] * wz + vp[1, 3]
+    cz = vp[2, 0] * wx + vp[2, 1] * wy + vp[2, 2] * wz + vp[2, 3]
+    cw = vp[3, 0] * wx + vp[3, 1] * wy + vp[3, 2] * wz + vp[3, 3]
+    nx0, ny0, nz0 = raw[:, 3], raw[:, 4], raw[:, 5]
+    nx = m[:, 16] * nx0 + m[:, 17] * ny0 + m[:, 18] * nz0
+    ny = m[:, 19] * nx0 + m[:, 20] * ny0 + m[:, 21] * nz0
+    nz = m[:, 22] * nx0 + m[:, 23] * ny0 + m[:, 24] * nz0
+    return jnp.stack([cx, cy, cz, cw, nx, ny, nz, raw[:, 6], raw[:, 7]],
+                     axis=1)
+
+
+def setup_from_compacted(scene, comp, viewproj: jnp.ndarray,
+                         config: FrameConfig):
+    """Dispatch: cluster-page setup normally; the global vertex-table path
+    when skinning is on (apply_skinning rewrites vertex_table, and the
+    static slabs would be stale)."""
+    if config.enable_skinning:
+        return triangle_setup_compacted(
+            scene.vertex_table, scene.object_mats, scene.object_normal_mats,
+            viewproj, comp.indices, comp.valid, config, comp.material,
+            comp.object)
+    return triangle_setup_clustered(scene, comp, viewproj, config)
+
+
+def triangle_setup_clustered(scene, comp, viewproj: jnp.ndarray,
+                             config: FrameConfig
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Setup from cluster-local vertex pages (the fast virtualized-geometry
+    path; reference: cluster-local vertex fetch in softwareRaster.hlsl).
+
+    `comp` is a clod.CompactedTris. Per visible cluster slot this fetches
+    the geometry cluster's vertex slab as ONE wide gathered row and
+    extracts the 384 corner rows with a one-hot MXU einsum — profiled ~10x
+    cheaper than per-corner (V, 10)-row gathers (which cost ~33 ns/row).
+    Returns (lanes, bbox, valid) like triangle_setup_packed.
+    """
+    from ..models.clusters import MESHLET_TRIS, SLAB_VERTS
+    O = scene.object_mats.shape[0]
+    mat_table = jnp.concatenate(
+        [scene.object_mats.reshape(O, 16),
+         scene.object_normal_mats.reshape(O, 9)], axis=-1)
+    gids = jnp.clip(comp.geom, 0, scene.cluster_verts.shape[0] - 1)
+    slabs = scene.cluster_verts[gids]                  # (Kc, SLAB*10) rows
+    locals_ = scene.cluster_tri_local[gids]            # (Kc, 384) f32
+    Kc = gids.shape[0]
+    slabs = slabs.reshape(Kc, SLAB_VERTS, 10)
+    li = locals_.astype(jnp.int32)                     # (Kc, 384)
+    oh = (li[:, :, None]
+          == jnp.arange(SLAB_VERTS, dtype=jnp.int32)[None, None, :]
+          ).astype(jnp.float32)
+    corners = jnp.einsum("kcs,ksd->kcd", oh, slabs,
+                         precision=jax.lax.Precision.HIGH)  # exact f32
+    corners = corners.reshape(Kc, MESHLET_TRIS, 3, 10)
+    gs = [_transform_corner_rows(
+        corners[:, :, c, :].reshape(Kc * MESHLET_TRIS, 10),
+        comp.object, mat_table, viewproj) for c in range(3)]
+    setup = _setup_from_corners(gs[0], gs[1], gs[2], comp.valid, config,
+                                has_normals=True, has_uvs=True)
+    lanes = pack_setup_lanes(setup, comp.material)
     return jax.lax.optimization_barrier((lanes, setup.bbox, setup.valid))
 
 

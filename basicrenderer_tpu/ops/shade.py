@@ -136,13 +136,15 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
     uv = jnp.stack([channels[4] / safe_iw, channels[5] / safe_iw], axis=-1)
     mat_id = jnp.round(channels[6]).astype(jnp.int32)
 
-    # World position from depth (reverse-Z NDC) + inverse viewproj.
+    # World position from depth (reverse-Z NDC) + inverse viewproj
+    # (column math — see math3d.mat4_columns TPU note).
+    from ..utils import math3d
     ndc_x = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5) / full_w * 2.0 - 1.0
     ndc_y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5 + row0) / full_h * 2.0
     inv_vp = jnp.linalg.inv(view.viewproj)
-    ndc = jnp.stack([ndc_x, ndc_y, depth, jnp.ones_like(depth)], axis=-1)
-    wp_h = ndc @ inv_vp.T
-    wp = wp_h[..., :3] / jnp.where(jnp.abs(wp_h[..., 3:]) > 1e-12, wp_h[..., 3:], 1.0)
+    wx, wy, wz, ww = math3d.mat4_columns(inv_vp, ndc_x, ndc_y, depth)
+    iw = 1.0 / jnp.where(jnp.abs(ww) > 1e-12, ww, 1.0)
+    wp = jnp.stack([wx * iw, wy * iw, wz * iw], axis=-1)
 
     # Material params via one-hot MXU lookup (XLA row-gather serializes).
     from .raster_setup import gather_rows_onehot
@@ -314,13 +316,16 @@ def procedural_sky(view: ViewData, H: int, W: int, intensity=1.0,
     x = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5) / W * 2.0 - 1.0
     y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5 + row0) \
         / full_h * 2.0
+    from ..utils import math3d
     inv_vp = jnp.linalg.inv(view.viewproj)
-    ndc = jnp.stack([x, y, jnp.full((H, W), 0.5, jnp.float32),
-                     jnp.ones((H, W), jnp.float32)], axis=-1)
-    wp = ndc @ inv_vp.T
-    dirs = wp[..., :3] / jnp.where(jnp.abs(wp[..., 3:]) > 1e-9, wp[..., 3:], 1.0) \
-        - view.cam_pos[None, None, :]
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+    wx, wy, wz, ww = math3d.mat4_columns(
+        inv_vp, x, y, jnp.full((H, W), 0.5, jnp.float32))
+    iw = 1.0 / jnp.where(jnp.abs(ww) > 1e-9, ww, 1.0)
+    dx = wx * iw - view.cam_pos[0]
+    dy = wy * iw - view.cam_pos[1]
+    dz = wz * iw - view.cam_pos[2]
+    inv_len = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-9)
+    dirs = jnp.stack([dx * inv_len, dy * inv_len, dz * inv_len], axis=-1)
     t = jnp.clip(dirs[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
     horizon = jnp.array([0.45, 0.55, 0.70], jnp.float32)
     zenith = jnp.array([0.10, 0.25, 0.55], jnp.float32)

@@ -114,10 +114,8 @@ def render_cascade(scene: SceneBuffers, cascade_vp: jnp.ndarray,
     reverse-style depth (1 = nearest to light)."""
     scfg = shadow_config(config)
     if compacted is not None:
-        idx, mat, tobj, tri_valid, _ovf = compacted
-        lanes, bbox, valid = raster_setup.triangle_setup_compacted(
-            scene.vertex_table, scene.object_mats, scene.object_normal_mats,
-            cascade_vp, idx, tri_valid, scfg, mat, tobj)
+        lanes, bbox, valid = raster_setup.setup_from_compacted(
+            scene, compacted, cascade_vp, scfg)
     else:
         clip, _ = raster_setup.transform_vertices(
             scene.positions, scene.vert_object, scene.object_mats, cascade_vp)
@@ -133,51 +131,77 @@ def render_cascade(scene: SceneBuffers, cascade_vp: jnp.ndarray,
     return depth
 
 
-def sample_shadow_cascades(world_pos: jnp.ndarray, normal: jnp.ndarray,
-                           light_dir: jnp.ndarray, cascade_vps: jnp.ndarray,
+def downsample2d(x: jnp.ndarray, ds: int) -> jnp.ndarray:
+    """(H, W) -> (H//ds, W//ds) point sample. Profiled: `x[::ds, ::ds]`
+    compiles to a GATHER fusion on TPU (~5-6 ms at 1080p/3-chan); the
+    reshape+static-index form lowers to a plain slice (~2.3 ms 2D). Only
+    2D planes should ever be downsampled — never (H, W, 3) images."""
+    if ds == 1:
+        return x
+    h, w = x.shape
+    return x.reshape(h // ds, ds, w // ds, ds)[:, 0, :, 0]
+
+
+def sample_shadow_cascades(depth: jnp.ndarray, view, cascade_vps: jnp.ndarray,
                            shadow_maps: jnp.ndarray, bias: jnp.ndarray,
-                           downscale: int = 2) -> jnp.ndarray:
-    """(H, W) shadow visibility in [0, 1].
+                           downscale: int = 2, row0: int = 0,
+                           full_h: int = None) -> jnp.ndarray:
+    """(H, W) shadow visibility in [0, 1] from the DEPTH buffer.
 
-    world_pos/normal: (H, W, 3); cascade_vps (K, 4, 4); shadow_maps
-    (K, R', R') padded depth from render_cascade. Evaluated at 1/downscale
-    res with one gather tap, upsampled, 3x3-smoothed.
+    depth: (H, W) reverse-Z NDC (the full gathered frame when sharded);
+    cascade_vps (K, 4, 4); shadow_maps (K, R', R') from render_cascade.
+    Receivers are unprojected from downsampled depth in column math — the
+    profiler showed downsampling (H, W, 3) world-pos/normal images costs
+    more than the entire rest of the pass. Slope bias comes from the
+    light-space depth gradient (receiver-plane bias, shadows.hlsli's role),
+    computed with cheap low-res shifts. One combined gather samples all
+    cascades. Result upsampled + 3x3-smoothed.
     """
-    H, W = world_pos.shape[:2]
+    H, W = depth.shape
+    full_h = full_h or H
     K, Rp = shadow_maps.shape[0], shadow_maps.shape[1]
-    wp = world_pos[::downscale, ::downscale]
-    nrm = normal[::downscale, ::downscale]
-    h, w = wp.shape[:2]
+    d = downsample2d(depth, downscale)
+    h, w = d.shape
+    ds = downscale
 
-    # Slope-scaled bias (reference: shadows.hlsli).
-    ndl = jnp.abs(jnp.sum(nrm * (-light_dir)[None, None, :], -1))
-    slope_bias = bias * jnp.clip(1.0 / jnp.maximum(ndl, 0.2), 1.0, 5.0)
+    # Unproject at low res (column math; see math3d.mat4_columns TPU note).
+    ndc_x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * ds + 0.5) \
+        / W * 2.0 - 1.0
+    ndc_y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * ds
+                   + 0.5 + row0) / full_h * 2.0
+    inv_vp = jnp.linalg.inv(view.viewproj)
+    px, py, pz, pw = math3d.mat4_columns(inv_vp, ndc_x, ndc_y, d)
+    iw = 1.0 / jnp.where(jnp.abs(pw) > 1e-12, pw, 1.0)
+    px, py, pz = px * iw, py * iw, pz * iw
 
-    wph = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])], -1)
-    # Select the cascade per pixel FIRST (cheap vectorized projections),
-    # then take ONE combined gather — per-pixel gathers cost ~7 ns each on
-    # TPU, so K separate cascade taps were the whole pass's cost.
     flat_maps = shadow_maps.reshape(-1)
     sel_idx = jnp.zeros((h, w), jnp.int32)
     sel_z = jnp.zeros((h, w), jnp.float32)
+    sel_bias = jnp.zeros((h, w), jnp.float32)
     chosen = jnp.zeros((h, w), bool)
     for k in range(K):
-        ls = wph @ cascade_vps[k].T                       # (h, w, 4)
-        x = ls[..., 0]
-        y = ls[..., 1]
-        z = ls[..., 2]
+        x, y, z, _w4 = math3d.mat4_columns(cascade_vps[k], px, py, pz)
         inside = (jnp.abs(x) < 0.99) & (jnp.abs(y) < 0.99) & (z > 0) & (z < 1)
         use = inside & ~chosen
         u = jnp.clip(((x * 0.5 + 0.5) * Rp).astype(jnp.int32), 0, Rp - 1)
         v = jnp.clip(((0.5 - y * 0.5) * Rp).astype(jnp.int32), 0, Rp - 1)
+        # Receiver-plane slope bias: light-depth change per shadow texel,
+        # from screen-space gradients of the light-space coordinates.
+        dzdx = jnp.abs(jnp.diff(z, axis=1, append=z[:, -1:]))
+        dzdy = jnp.abs(jnp.diff(z, axis=0, append=z[-1:]))
+        texels_x = jnp.abs(jnp.diff(x, axis=1, append=x[:, -1:])) * Rp * 0.5
+        texels_y = jnp.abs(jnp.diff(y, axis=0, append=y[-1:])) * Rp * 0.5
+        slope = (dzdx + dzdy) / jnp.maximum(texels_x + texels_y, 0.5)
+        sel_bias = jnp.where(use, bias + jnp.minimum(slope * 2.0, 20.0 * bias),
+                             sel_bias)
         sel_idx = jnp.where(use, (k * Rp + v) * Rp + u, sel_idx)
         sel_z = jnp.where(use, z, sel_z)
         chosen = chosen | inside
     smp = flat_maps[sel_idx]                              # the ONE gather
     # Reverse-style: fragment lit if its light depth >= map depth - bias.
     # Empty shadow texels (0 = nothing rendered) never occlude.
-    lit = ((sel_z + slope_bias >= smp) | (smp <= 0.0)).astype(jnp.float32)
-    lit = jnp.where(chosen, lit, 1.0)                     # outside all: lit
+    lit = ((sel_z + sel_bias >= smp) | (smp <= 0.0)).astype(jnp.float32)
+    lit = jnp.where(chosen & (d > 0.0), lit, 1.0)         # outside/sky: lit
 
     # Upsample + 3x3 box smooth (the PCF analogue on the result mask).
     lit = jax.image.resize(lit, (H, W), method="bilinear")

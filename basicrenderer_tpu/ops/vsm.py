@@ -106,20 +106,43 @@ def _page_world(level):
 
 
 def _abs_id(ix, iy):
-    return (iy + (1 << 14)) * (1 << 15) + (ix + (1 << 14))
+    """Absolute page id. Fits in 20 bits (pages clamped to +-512 of the
+    origin — level-0 pages are BASE_EXTENT/PAGES world units, so that is
+    ~+-1000 world units of coverage) so ids survive the f32 lane of the
+    one-hot table lookup exactly (f32 ints exact to 2^24)."""
+    ix = jnp.clip(ix, -512, 511)
+    iy = jnp.clip(iy, -512, 511)
+    return (iy + 512) * 1024 + (ix + 512)
 
 
 def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
-               params, state: VsmState, world_pos: jnp.ndarray,
-               valid: jnp.ndarray,
-               shadow_compact_fn) -> Tuple[jnp.ndarray, VsmState]:
+               params, state: VsmState, depth: jnp.ndarray,
+               shadow_compact_fn, row0: int = 0, full_h: int = None,
+               ) -> Tuple[jnp.ndarray, VsmState, dict]:
     """One VSM frame step: mark -> allocate -> render dirty -> sample.
 
-    world_pos/valid: full-res G-buffer images. `shadow_compact_fn(vp,
-    planes)` -> compacted caster triangles for a page viewproj (the
-    cluster-cut shadow set). Returns ((H, W) visibility, new state).
+    depth: (H, W) reverse-Z NDC (full gathered frame when sharded);
+    receivers are unprojected from downsampled depth in column math (a
+    downsampled (H, W, 3) world-pos image costs more than the whole pass
+    - see shadows.downsample2d). `shadow_compact_fn(vp)` -> compacted
+    caster triangles for a page viewproj (the cluster-cut shadow set).
+    Returns ((H, W) visibility, new state, stats).
     """
-    H, W = valid.shape
+    from .shadows import downsample2d
+    H, W = depth.shape
+    full_h = full_h or H
+    inv_vp = jnp.linalg.inv(view.viewproj)
+
+    def unproject_ds(ds):
+        d = downsample2d(depth, ds)
+        h, w = d.shape
+        nx = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * ds + 0.5) \
+            / W * 2.0 - 1.0
+        ny = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * ds
+                    + 0.5 + row0) / full_h * 2.0
+        px, py, pz, pw = math3d.mat4_columns(inv_vp, nx, ny, d)
+        iw = 1.0 / jnp.where(jnp.abs(pw) > 1e-12, pw, 1.0)
+        return px * iw, py * iw, pz * iw, d > 0.0
     ds = config.vsm_sample_downscale
     R = light_basis(scene.lights[0, 4:7])
     n_cells = LEVELS * PAGES * PAGES
@@ -138,10 +161,10 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     cx, cy = cam_l[0], cam_l[1]
 
     # --- mark: which absolute pages does the screen need? ------------------
-    wp = world_pos[::config.vsm_mark_downscale, ::config.vsm_mark_downscale]
-    vmask = valid[::config.vsm_mark_downscale, ::config.vsm_mark_downscale]
-    lp = wp.reshape(-1, 3) @ R.T
-    lx, ly = lp[:, 0], lp[:, 1]
+    mx, my, mz, mmask = unproject_ds(config.vsm_mark_downscale)
+    vmask = mmask
+    lx, ly, _lz = math3d.mat3_columns(
+        R, mx.reshape(-1), my.reshape(-1), mz.reshape(-1))
     lev = _level_of_point(lx, ly, cx, cy)
     pw = _page_world(lev)
     ix = jnp.floor(lx / pw).astype(jnp.int32)
@@ -149,11 +172,15 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     cell = (lev * PAGES + (iy % PAGES)) * PAGES + (ix % PAGES)
     aid = _abs_id(ix, iy)
     cell = jnp.where(vmask.reshape(-1), cell, n_cells)      # dead -> overflow
-    needed = jnp.zeros((n_cells + 1,), jnp.int32).at[cell].add(1)[:-1] > 0
+    # Scatter-free mark: one-hot reduction over the (few hundred) cells
+    # (scatter-add/max serialize on TPU — ~2.3 ms at the mark rate; this
+    # broadcast-compare reduce is ~50M cheap VPU ops).
+    oh = cell[:, None] == jnp.arange(n_cells, dtype=jnp.int32)[None, :]
+    needed = oh.any(axis=0)
     # The wanted absolute id per cell comes from the pixels themselves: all
     # pixels hitting a cell agree on aid by construction (same mod class,
     # same window — up to window-edge races resolved by max).
-    wanted = jnp.full((n_cells + 1,), -1, jnp.int32).at[cell].max(aid)[:-1]
+    wanted = jnp.max(jnp.where(oh, aid[:, None], -1), axis=0)
 
     valid_cell = (state.abs_of_cell == wanted) & (state.slot_of_cell >= 0)
     dirty = needed & ~valid_cell
@@ -192,8 +219,8 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
             ok = live_k[k]
             l = c // (PAGES * PAGES)
             a = wanted[c]
-            a_iy = a // (1 << 15) - (1 << 14)
-            a_ix = a % (1 << 15) - (1 << 14)
+            a_iy = a // 1024 - 512
+            a_ix = a % 1024 - 512
             pwk = _page_world(l)
             x0 = a_ix.astype(jnp.float32) * pwk
             y0 = a_iy.astype(jnp.float32) * pwk
@@ -207,10 +234,9 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
             proj = proj.at[3, 3].set(1.0)
             Rw = jnp.zeros((4, 4), jnp.float32).at[:3, :3].set(R).at[3, 3].set(1.0)
             vp = proj @ Rw
-            idx, mat, tobj, tvalid, _ovf = shadow_compact_fn(vp)
-            lanes, bbox, tvalid2 = raster_setup.triangle_setup_compacted(
-                scene.vertex_table, scene.object_mats, scene.object_normal_mats,
-                vp, idx, tvalid, page_cfg, mat, tobj)
+            comp = shadow_compact_fn(vp)
+            lanes, bbox, tvalid2 = raster_setup.setup_from_compacted(
+                scene, comp, vp, page_cfg)
             pairs = raster_setup.bin_pairs(lanes, bbox, tvalid2, page_cfg)
             if config.use_pallas_raster:
                 depth, _, _ = raster_tiles_pallas(
@@ -261,18 +287,23 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         initialized=jnp.asarray(True))
 
     # --- sample -------------------------------------------------------------
-    wp_s = world_pos[::ds, ::ds]
-    h, w = wp_s.shape[:2]
-    lp = wp_s.reshape(-1, 3) @ R.T
-    lx, ly, lz = lp[:, 0], lp[:, 1], lp[:, 2]
+    sx_, sy_, sz_, smask = unproject_ds(ds)
+    h, w = sx_.shape
+    lx, ly, lz = math3d.mat3_columns(
+        R, sx_.reshape(-1), sy_.reshape(-1), sz_.reshape(-1))
     lev = _level_of_point(lx, ly, cx, cy)
     pw = _page_world(lev)
     ix = jnp.floor(lx / pw).astype(jnp.int32)
     iy = jnp.floor(ly / pw).astype(jnp.int32)
     cell = (lev * PAGES + (iy % PAGES)) * PAGES + (ix % PAGES)
     aid = _abs_id(ix, iy)
-    slot = slot_of_cell[cell]
-    mapped = (slot >= 0) & (abs_of_cell[cell] == aid)
+    # Per-pixel (slot, abs) lookup from the tiny cell table via one-hot MXU
+    # (direct gathers cost ~7 ns/px — 7.6 ms at ds2; this is ~0.5 ms).
+    cell_tbl = jnp.stack([slot_of_cell.astype(jnp.float32),
+                          abs_of_cell.astype(jnp.float32)], axis=-1)
+    rows = raster_setup.gather_rows_onehot(cell_tbl, cell)
+    slot = jnp.round(rows[:, 0]).astype(jnp.int32)
+    mapped = (slot >= 0) & (jnp.round(rows[:, 1]).astype(jnp.int32) == aid)
     # Texel within page.
     fx = lx / pw - ix.astype(jnp.float32)
     fy = ly / pw - iy.astype(jnp.float32)
@@ -283,7 +314,8 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     zref = (lz - z0) / jnp.maximum(z1 - z0, 1e-6)
     bias = params.shadow_bias * (2.0 ** lev.astype(jnp.float32))
     lit = (zref + bias >= smp) | (smp <= 0.0)
-    lit = jnp.where(mapped, lit, True).astype(jnp.float32).reshape(h, w)
+    lit = (jnp.where(mapped, lit, True).reshape(h, w)
+           | ~smask).astype(jnp.float32)
 
     lit = jax.image.resize(lit, (H, W), method="bilinear")
     p = jnp.pad(lit, 1, mode="edge")

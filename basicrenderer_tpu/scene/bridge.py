@@ -38,6 +38,7 @@ class BridgeCapacities:
     max_lights: int = 256
     max_clusters: int = 1 << 14
     max_joints: int = 256
+    max_geom_clusters: int = 1 << 13   # unique (non-instanced) cluster pages
 
 
 @dataclasses.dataclass
@@ -62,6 +63,8 @@ class PackedGeometry:
     vert_joints: np.ndarray = None   # (V, 4) i32 global palette slots
     vert_weights: np.ndarray = None  # (V, 4) f32
     skin_instances: list = None      # [(skeleton_id, palette_offset, J)]
+    cluster_verts: np.ndarray = None      # (G, SLAB*10) f32 vertex pages
+    cluster_tri_local: np.ndarray = None  # (G, 384) f32 corner slab ids
 
 
 class SceneRenderBridge:
@@ -105,9 +108,16 @@ class SceneRenderBridge:
         ent2obj: Dict[int, int] = {}
         local_bounds = np.zeros((c.max_objects, 4), np.float32)
         tcl = np.full((c.max_triangles,), -1, np.int32)
-        from ..models.clusters import CLUSTER_STRIDE as _CS, MESHLET_TRIS
+        from ..models.clusters import CLUSTER_STRIDE as _CS, MESHLET_TRIS, SLAB_VERTS
         cluster_table = np.zeros((c.max_clusters, _CS), np.float32)
         cluster_object = np.zeros((c.max_clusters,), np.int32)
+        # Cluster-local vertex pages (framedata.SceneBuffers docstring):
+        # built ONCE per geometry cluster; instances share them.
+        cluster_verts = np.zeros((c.max_geom_clusters, SLAB_VERTS * 10),
+                                 np.float32)
+        cluster_tri_local = np.zeros((c.max_geom_clusters, MESHLET_TRIS * 3),
+                                     np.float32)
+        g_off = 0
         cl_off = 0
         obj = 0
         # Geometry is packed ONCE PER MESH; instances only add cluster rows
@@ -161,6 +171,27 @@ class SceneRenderBridge:
                         template[ci, 8] = hi - lo
                         template[ci, 12:16] = template[ci, 0:4]
                 template = template.copy()
+                # Geometry-cluster vertex pages + local corner indices.
+                ncl_g = len(template)
+                if g_off + ncl_g > c.max_geom_clusters:
+                    raise ValueError("geometry cluster capacity exceeded")
+                for ci in range(ncl_g):
+                    lo = int(template[ci, 7])
+                    cnt = int(template[ci, 8])
+                    tris = mesh.indices[lo:lo + cnt]         # (cnt, 3) local
+                    uniq, inv = np.unique(tris, return_inverse=True)
+                    if len(uniq) > SLAB_VERTS:
+                        raise ValueError(
+                            f"cluster has {len(uniq)} unique verts > slab")
+                    g = g_off + ci
+                    rows10 = np.concatenate(
+                        [mesh.positions[uniq], mesh.normals[uniq],
+                         mesh.uvs[uniq], np.zeros((len(uniq), 2), np.float32)],
+                        axis=1)
+                    cluster_verts[g, :len(uniq) * 10] = rows10.reshape(-1)
+                    cluster_tri_local[g, :cnt * 3] = inv.reshape(-1)
+                template[:, 11] = g_off + np.arange(ncl_g)
+                g_off += ncl_g
                 template[:, 7] += t_off  # mesh-local -> global tri offsets
                 tcl[t_off:t_off + nt] = mesh.tri_cluster + cl_off  # first inst
                 if skinned:
@@ -195,7 +226,8 @@ class SceneRenderBridge:
         self.packed = PackedGeometry(pos, nrm, tan, uv, vobj, idx, tmat, tobj,
                                      v_off, t_off, ent2obj, local_bounds,
                                      tcl, cluster_table, cluster_object, cl_off,
-                                     vjoints, vweights, skin_instances)
+                                     vjoints, vweights, skin_instances,
+                                     cluster_verts, cluster_tri_local)
         return self.packed
 
     # -- hot path ----------------------------------------------------------
@@ -298,6 +330,8 @@ class SceneRenderBridge:
                 [p.positions, p.normals, p.uvs,
                  p.vert_object[:, None].astype(np.float32)], axis=1)),
             tri_cluster=jnp.asarray(p.tri_cluster),
+            cluster_verts=f32(p.cluster_verts),
+            cluster_tri_local=f32(p.cluster_tri_local),
             cluster_table=f32(p.cluster_table),
             cluster_object=jnp.asarray(p.cluster_object),
             num_clusters=jnp.int32(p.num_clusters),

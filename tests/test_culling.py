@@ -22,12 +22,13 @@ def test_hzb_is_conservative_min():
     depth = jnp.zeros((64, 128), jnp.float32).at[10:20, 30:60].set(0.8)
     mips = culling.build_hzb(depth, levels=4)
     assert len(mips) == 4
-    # Any block containing an uncovered pixel must report 0 (farthest):
-    # mip1 block (4,15) = rows 8-9, cols 30-31 — rows 8-9 are uncovered.
-    assert float(mips[1][4, 15]) == 0.0
-    # A fully covered block keeps 0.8... block (rows 12-13, cols 16-17 at mip1)
-    assert abs(float(mips[1][6, 16]) - 0.8) < 1e-6
-    assert mips[3].shape == (8, 16)
+    # mips[0] is 1/2 res (HZB_FIRST_LEVEL=1). Any block containing an
+    # uncovered pixel must report 0 (farthest): block (4,15) = rows 8-9,
+    # cols 30-31 — rows 8-9 are uncovered.
+    assert float(mips[0][4, 15]) == 0.0
+    # A fully covered block keeps 0.8 (rows 12-13, cols 32-33).
+    assert abs(float(mips[0][6, 16]) - 0.8) < 1e-6
+    assert mips[3].shape == (4, 8)
 
 
 def test_occlusion_small_sphere_behind_wall():
