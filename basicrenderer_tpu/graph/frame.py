@@ -57,10 +57,15 @@ def clod_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                                       frustum=frustum,
                                       return_bounds=return_bounds)
     cut = out[0]
+    flag = scene.cluster_table[:, 10]   # 0 opaque, 1 transparent, 2 MASK
     if config.enable_oit:
         # Transparent clusters render through the OIT peeling passes
-        # (ops/oit.py); keep only opaque ones here.
-        cut = cut & (scene.cluster_table[:, 10] < 0.5)
+        # (ops/oit.py); keep only non-blended ones here.
+        cut = cut & ~((flag > 0.5) & (flag < 1.5))
+    if config.enable_alpha_mask:
+        # Alpha-MASK clusters render through the masked pass (alpha-tested
+        # merge into the opaque buffers).
+        cut = cut & (flag < 1.5)
     return (cut,) + out[2:] if return_bounds else cut
 
 
@@ -273,6 +278,48 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         depth_p, vis_p, channels = visibility_pass(
             localize(pairs), lcfg, tile_row0=row0_tiles)
 
+    if config.enable_alpha_mask:
+        # Alpha-cutoff (MASK) materials: raster the masked clusters into
+        # their own buffers, evaluate base-texture alpha at their pixels,
+        # and depth-merge surviving texels into the opaque targets
+        # (reference: alpha-tested PSOs in the vis-buffer raster; one
+        # masked layer — masked-behind-masked is a later tier).
+        from ..ops import clod as clod_ops
+        from ..ops import textures as tex_ops
+        tau = params.clod_error_px
+        base_cut, _ = clod_ops.select_cluster_cut(scene, view, config, tau)
+        cut_m = base_cut & (scene.cluster_table[:, 10] > 1.5)
+        comp_m = clod_ops.compact_visible_tris(
+            cut=cut_m, scene=scene, max_visible=config.mask_clusters)
+        lanes_m, bbox_m, valid_m = raster_setup.setup_from_compacted(
+            scene, comp_m, view.viewproj, config)
+        pairs_m = raster_setup.bin_pairs(lanes_m, bbox_m, valid_m, config)
+        dm, vm, chm = visibility_pass(localize(pairs_m), lcfg,
+                                      tile_row0=row0_tiles)
+        # Alpha evaluation: uv + material from the masked channels.
+        iwm = jnp.where(jnp.abs(chm[0]) > 1e-12, chm[0], 1.0)
+        uv_m = jnp.stack([chm[4] / iwm, chm[5] / iwm], axis=-1)[:H, :W]
+        mid_m = jnp.round(chm[6]).astype(jnp.int32)[:H, :W]
+        mrow = raster_setup.gather_rows_onehot(
+            scene.material_table, jnp.clip(
+                mid_m.reshape(-1), 0, scene.material_table.shape[0] - 1))
+        cutoff = mrow[:, 11].reshape(H, W)
+        factor_a = mrow[:, 3].reshape(H, W)
+        btex = jnp.round(mrow[:, 13]).astype(jnp.int32).reshape(H, W)
+        smp_a = tex_ops.sample_pyramid_blocked(
+            scene.tex_strips, scene.tex_flags, btex[None], uv_m,
+            config.texture_downscale, config.texture_filter)[0]
+        alpha_m = jnp.pad(smp_a[..., 3] * factor_a,
+                          ((0, lcfg.padded_height - H),
+                           (0, lcfg.padded_width - W)))
+        keep = (vm > 0) & (dm > depth_p)
+        keep = keep & (alpha_m >= jnp.pad(
+            cutoff, ((0, lcfg.padded_height - H),
+                     (0, lcfg.padded_width - W))))
+        depth_p = jnp.where(keep, dm, depth_p)
+        vis_p = jnp.where(keep, vm, vis_p)
+        channels = jnp.where(keep[None], chm, channels)
+
     depth = depth_p[:H, :W]
     vis = vis_p[:H, :W]
     gb = shade_ops.gbuffer_from_channels(
@@ -414,9 +461,51 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
     else:
         light_overflow = jnp.int32(0)
         hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn)
+
+    if config.enable_clustered and config.max_shadow_lights > 0:
+        # Shadow-casting SPOT lights: excluded from the tiled loop
+        # (ops/lighting.py), each shades full-screen with its own shadow
+        # map (reference: LightManager per-light shadow cameras + atlas).
+        import dataclasses as _dc
+        from ..ops import shadows as shadow_ops
+        svps, sidx, slive = shadow_ops.spot_shadow_matrices(
+            scene.lights, config.max_shadow_lights)
+        spot_cfg = _dc.replace(
+            config, shadow_resolution=config.spot_shadow_resolution)
+        spot_tris = clod_compact(scene, view, config, params, frustum=False,
+                                 max_visible=config.shadow_clusters)
+        vdir = view.cam_pos[None, None, :] - gb.world_pos
+        vdir = vdir / jnp.maximum(
+            jnp.linalg.norm(vdir, axis=-1, keepdims=True), 1e-12)
+        L = scene.lights.shape[0]
+        for k in range(config.max_shadow_lights):
+            smap = shadow_ops.render_cascade(scene, svps[k], spot_cfg,
+                                             compacted=spot_tris)
+            term = local_rows(shadow_ops.sample_spot_shadow(
+                gather_rows(depth), view, svps[k], smap,
+                params.shadow_bias, full_h=full_h))
+            row = scene.lights[jnp.clip(sidx[k], 0, L - 1)]
+            contrib = shade_ops.shade_one_light(gb, row, vdir, gb.normal)
+            hdr = hdr + jnp.where(slive[k],
+                                  contrib * term[..., None], 0.0)
+
     sky = shade_ops.procedural_sky(view, H, W, params.sky_intensity,
                                    row0=row0_px, full_h=full_h)
     hdr = jnp.where(gb.valid[..., None], hdr, sky)
+
+    ssr_col = ssr_wgt = None
+    if config.enable_ssr:
+        # Screen-space reflections march the DIRECT-lit frame (+sky) and
+        # blend into the environment-specular term below (reference:
+        # BuildSSRPipeline, RenderGraphBuildHelper.h:532-585). Rays cross
+        # rows -> computed on the gathered frame when sharded.
+        from ..ops import ssr as ssr_ops
+        ssr_col, ssr_wgt = ssr_ops.ssr(
+            gather_rows(hdr), gather_rows(depth), gather_rows(gb.normal),
+            gather_rows(gb.roughness), gather_rows(gb.metallic), view,
+            config, full_h=full_h)
+        ssr_col = local_rows(ssr_col)
+        ssr_wgt = local_rows(ssr_wgt)
 
     ao = None
     if config.enable_gtao:
@@ -443,6 +532,10 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         prefiltered = ibl_ops.runtime_specular_ibl(
             gb.normal, v, gb.roughness, scene.env_specular,
             downscale=config.ibl_specular_downscale)
+        if ssr_col is not None:
+            # SSR hits replace the prefiltered environment radiance.
+            prefiltered = prefiltered * (1.0 - ssr_wgt[..., None]) \
+                + ssr_col * ssr_wgt[..., None]
         spec_ibl = prefiltered * (f0 * scale[..., None] + bias[..., None])
         ambient = (diffuse_ibl + spec_ibl) * params.ibl_intensity
         if ao is not None:
@@ -450,6 +543,13 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         hdr = hdr + jnp.where(gb.valid[..., None], ambient, 0.0)
     elif ao is not None:
         hdr = hdr * (0.5 + 0.5 * ao[..., None])
+    if config.enable_ssr and not config.enable_ibl:
+        # Without IBL there is no env-specular slot; add the reflection
+        # directly with the Fresnel-at-normal tint.
+        f0 = 0.04 * (1 - gb.metallic[..., None]) \
+            + gb.albedo * gb.metallic[..., None]
+        hdr = hdr + jnp.where(gb.valid[..., None],
+                              ssr_col * ssr_wgt[..., None] * f0, 0.0)
 
     if config.enable_oit and config.enable_clod:
         # K-layer depth-peeled OIT (reference: deep-visibility /
@@ -514,9 +614,15 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
     srgb = shade_ops.linear_to_srgb(ldr)
     image = (srgb * 255.0 + 0.5).astype(jnp.uint8)
 
+    touched = None
+    if config.enable_streaming:
+        from ..ops import clod as clod_ops
+        touched = clod_ops.touched_groups(scene, view, config,
+                                          params.clod_error_px)
     return {
         "image": image,
         "hdr": hdr,
+        **({"touched_groups": touched} if touched is not None else {}),
         "depth": depth,
         "depth_padded": depth_p,   # next frame's occlusion HZB source
         "vis": vis,

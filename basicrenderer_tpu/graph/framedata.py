@@ -62,9 +62,17 @@ class SceneBuffers:
     # Profiled: gathering (V, 10)-row corners costs ~33 ns/row (narrow
     # unaligned rows); fetching whole slabs as wide rows + extracting
     # corners with a one-hot MXU einsum is ~10x cheaper.
-    cluster_verts: jnp.ndarray     # (G, SLAB*10) f32 wide rows
-    cluster_tri_local: jnp.ndarray  # (G, 384) f32 corner slab indices
+    cluster_verts: jnp.ndarray     # (S, SLAB*10) f32 wide rows (pool slab
+    #                                 when streaming; full table otherwise)
+    cluster_tri_local: jnp.ndarray  # (S, 384) f32 corner slab indices
     #                                 (t*3+c order; ids < SLAB, f32-exact)
+    # Streaming (ops/clod.py residency patching + models/streaming.py):
+    # geom_slot translates geometry-cluster page ids into pool slots
+    # (identity when fully resident); group_resident gates the LOD cut.
+    cluster_feeds: jnp.ndarray     # (C,) i32 streaming group of cluster
+    cluster_made: jnp.ndarray      # (C,) i32 group cluster was built from
+    geom_slot: jnp.ndarray         # (G,) i32 page -> slot (-1 missing)
+    group_resident: jnp.ndarray    # (GR,) bool
     # Cluster-LOD (virtualized geometry; ops/clod.py). tri_cluster = -1 for
     # non-clustered triangles (always selected).
     tri_cluster: jnp.ndarray     # (T,) i32 global cluster id or -1
@@ -127,6 +135,8 @@ class FrameConfig:
     num_cascades: int = 4
     shadow_resolution: int = 1024
     shadow_clusters: int = 512        # caster cut budget (x128 tris)
+    max_shadow_lights: int = 0        # shadow-casting spot-light slots
+    spot_shadow_resolution: int = 512
     enable_clustered: bool = False
     max_lights_per_cluster: int = 64
     enable_ibl: bool = False
@@ -141,9 +151,15 @@ class FrameConfig:
     enable_bloom: bool = False
     enable_gtao: bool = False
     enable_ssr: bool = False
+    ssr_steps: int = 8
+    ssr_downscale: int = 4
+    ssr_max_distance: float = 30.0
+    ssr_thickness: float = 0.03
     enable_taa: bool = False
     enable_oit: bool = False
     oit_layers: int = 4
+    enable_alpha_mask: bool = False   # alpha-cutoff (MASK) material pass
+    mask_clusters: int = 256          # masked caster cut budget (x128 tris)
     enable_auto_exposure: bool = False
     enable_skinning: bool = False
     enable_vsm: bool = False            # virtual shadow maps (ops/vsm.py)
@@ -154,6 +170,7 @@ class FrameConfig:
     vsm_page_clusters: int = 512        # cluster budget per page
     enable_culling: bool = True
     enable_clod: bool = False        # cluster-LOD cut selection (ops/clod.py)
+    enable_streaming: bool = False   # geometry page streaming feedback
     max_visible_clusters: int = 2048  # visible-cluster budget (x128 tris)
     max_phase2_clusters: int = 512    # occlusion phase-2 replay budget
     enable_occlusion: bool = False   # two-phase HZB occlusion culling

@@ -35,7 +35,7 @@ import numpy as np
 from .mesh import MeshData, compute_normals
 
 CACHE_DIR = os.path.expanduser("~/.cache/basicrenderer_tpu/clod")
-CACHE_SCHEMA = 6  # v6: UV-preserving simplify (seam weld + provenance)
+CACHE_SCHEMA = 7  # v7: streaming group ids (feeds/made)
 MESHLET_TRIS = 128
 SLAB_VERTS = 384        # cluster vertex-page capacity (128 tris x 3 corners)
 GROUP_SIZE = 4          # clusters merged per simplify step
@@ -169,6 +169,13 @@ class ClusterLODMesh:
     clusters: np.ndarray       # (C, CLUSTER_STRIDE) f32
     num_levels: int
     source_tris: int
+    # Streaming group ids (ops/clod.py residency patching; reference:
+    # CLodStreamingSystem group pages). feeds_group[c] = the simplify group
+    # c belongs to (-1 top level: never streamed, always resident);
+    # made_group[c] = the group whose children c was simplified FROM
+    # (-1 for level 0).
+    feeds_group: np.ndarray = None    # (C,) i32
+    made_group: np.ndarray = None     # (C,) i32
 
     @property
     def num_clusters(self) -> int:
@@ -180,6 +187,7 @@ def to_mesh_data(cl: ClusterLODMesh, name: str = "") -> MeshData:
     the runtime cut masks triangles per frame — ops/clod.py)."""
     return MeshData(cl.positions, cl.normals, cl.uvs, cl.indices,
                     tri_cluster=cl.tri_cluster, clusters=cl.clusters,
+                    feeds_group=cl.feeds_group, made_group=cl.made_group,
                     name=name or "clod")
 
 
@@ -228,13 +236,16 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
             return ClusterLODMesh(
                 z["positions"], z["normals"], z["uvs"], z["indices"],
                 z["tri_cluster"], z["clusters"], int(z["num_levels"]),
-                int(z["source_tris"]))
+                int(z["source_tris"]), z["feeds_group"], z["made_group"])
 
     all_pos: List[np.ndarray] = []
     all_idx: List[np.ndarray] = []
     all_cluster: List[np.ndarray] = []
     all_uv: List[np.ndarray] = []
     cluster_rows: List[np.ndarray] = []
+    feeds_parts: List[np.ndarray] = []
+    made_parts: List[np.ndarray] = []
+    group_base = 0
 
     def append_level(pos, idx, uv, level, self_errs_per_cluster, cluster_of_tri,
                      self_spheres=None):
@@ -271,6 +282,8 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
             rows[c, 8] = starts[c + 1] - starts[c]
             rows[c, 12:16] = rows[c, 0:4]  # parent sphere patched later
         cluster_rows.append(rows)
+        feeds_parts.append(np.full(ncl, -1, np.int32))
+        made_parts.append(np.full(ncl, -1, np.int32))
         return c_off, ncl
 
     # Level 0: original mesh meshlets, self_error = 0.
@@ -296,6 +309,9 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
             sel = cur_cl == c
             ccen[c] = cur_pos[np.unique(cur_idx[sel])].mean(0)
         group_of_cluster = partition(ccen, GROUP_SIZE)
+        # Streaming group ids: the PREVIOUS level's clusters feed these
+        # simplify groups (each group = one streamable page set).
+        feeds_parts[-1][:] = group_base + group_of_cluster
         group_of_tri = group_of_cluster[cur_cl]
         locked = _boundary_vertices(cur_idx, group_of_tri, len(cur_pos),
                                     positions=cur_pos)
@@ -369,6 +385,7 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
         cl2_parts = []
         err_parts = []
         sphere_parts = []
+        made_group_parts = []
         cl_base = 0
         for g, i_g in enumerate(new_idx_l):
             if len(i_g) == 0:
@@ -379,6 +396,7 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
             cl2_parts.append(cl_g + cl_base)
             err_parts.append(np.full(ncl_g, lvl_err[g], np.float32))
             sphere_parts.append(np.tile(group_spheres[g], (ncl_g, 1)))
+            made_group_parts.append(np.full(ncl_g, group_base + g, np.int32))
             cl_base += ncl_g
         cl2 = np.concatenate(cl2_parts).astype(np.int32)
         err_of_new_cluster = np.concatenate(err_parts)
@@ -387,6 +405,10 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
         c_off2, ncl_new = append_level(lvl_pos, lvl_idx, lvl_uv,
                                        level, err_of_new_cluster, cl2,
                                        self_spheres=sphere_of_new_cluster)
+        # New clusters record the group they were simplified FROM.
+        made_np = np.concatenate(made_group_parts).astype(np.int32)
+        made_parts[-1][:] = made_np
+        group_base += int(ngroups)
         # Patch children: parent error AND parent sphere = their group's.
         for c in range(ncl_cur):
             g = group_of_cluster[c]
@@ -406,12 +428,15 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
                          uvs.astype(np.float32), indices.astype(np.int32),
                          tri_cluster.astype(np.int32),
                          clusters.astype(np.float32),
-                         num_levels=level + 1, source_tris=len(mesh.indices))
+                         num_levels=level + 1, source_tris=len(mesh.indices),
+                         feeds_group=np.concatenate(feeds_parts),
+                         made_group=np.concatenate(made_parts))
     if use_cache and key is not None:
         os.makedirs(CACHE_DIR, exist_ok=True)
         np.savez(os.path.join(CACHE_DIR, f"{key}.npz"),
                  positions=out.positions, normals=out.normals, uvs=out.uvs,
                  indices=out.indices, tri_cluster=out.tri_cluster,
                  clusters=out.clusters, num_levels=out.num_levels,
-                 source_tris=out.source_tris)
+                 source_tris=out.source_tris, feeds_group=out.feeds_group,
+                 made_group=out.made_group)
     return out

@@ -36,6 +36,8 @@ class MeshData:
     # models/clusters.py when the mesh carries a LOD DAG.
     tri_cluster: Optional[np.ndarray] = None  # (T,) i32 local cluster id
     clusters: Optional[np.ndarray] = None     # (C, CLUSTER_STRIDE) f32
+    feeds_group: Optional[np.ndarray] = None  # (C,) i32 streaming group
+    made_group: Optional[np.ndarray] = None   # (C,) i32 source group
     name: str = ""
 
     def __post_init__(self):

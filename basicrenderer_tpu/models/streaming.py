@@ -174,3 +174,113 @@ class StreamingWorker:
                 self.pool.upload(key, rows)
                 with self._lock:
                     self._completed.append(key)
+
+
+class GeometryStreamer:
+    """Frame-integrated geometry streaming: cluster vertex PAGES move
+    between the host-side container and a fixed device slab, driven by the
+    frame's touched-group feedback.
+
+    Reference analogue: CLodStreamingSystem (CLodStreamingSystem.cpp:
+    986-1258) — GPU feedback readback -> worker requests -> page pool
+    residency -> group-error patching in the cut (ops/clod.py). Pages with
+    group -1 (top LOD levels + non-LOD meshes) are PINNED at init: the cut
+    can always fall back to them, so streaming misses coarsen, never hole.
+    """
+
+    def __init__(self, packed, max_groups: int, num_slots: int,
+                 loads_per_update: int = 16):
+        self.v_full = packed.cluster_verts          # (G, SLAB*10) host
+        self.l_full = packed.cluster_tri_local      # (G, 384) host
+        self.geom_group = packed.geom_group         # (G,) host
+        self.max_groups = max_groups
+        self.loads_per_update = loads_per_update
+        G = self.v_full.shape[0]
+        self.group_pages: Dict[int, np.ndarray] = {}
+        for g in np.unique(self.geom_group):
+            if g >= 0:
+                self.group_pages[int(g)] = np.nonzero(self.geom_group == g)[0]
+        pinned = np.nonzero(self.geom_group == -1)[0]
+        if len(pinned) > num_slots:
+            raise ValueError(
+                f"streaming slab too small: {len(pinned)} pinned pages "
+                f"> {num_slots} slots")
+        self.num_slots = num_slots
+        self.geom_slot = np.full(G, -1, np.int32)
+        self.resident = np.zeros(max_groups, bool)
+        self.group_slots: Dict[int, np.ndarray] = {}   # group -> its slots
+        self.last_touch: Dict[int, int] = {}
+        self.tick = 0
+        self.loads = 0
+        self.evictions = 0
+        self._free = list(range(num_slots))[::-1]
+        self.slab_v = jnp.zeros((num_slots, self.v_full.shape[1]), jnp.float32)
+        self.slab_l = jnp.zeros((num_slots, self.l_full.shape[1]), jnp.float32)
+        self._upd_v = jax.jit(lambda s, rows, at: jax.lax.dynamic_update_slice(
+            s, rows, (at, 0)))
+        # Pin the always-resident pages.
+        for p in pinned:
+            s = self._free.pop()
+            self.geom_slot[p] = s
+            self._upload(int(p), s)
+
+    def _upload(self, page: int, slot: int) -> None:
+        self.slab_v = self._upd_v(self.slab_v,
+                                  jnp.asarray(self.v_full[page:page + 1]), slot)
+        self.slab_l = self._upd_v(self.slab_l,
+                                  jnp.asarray(self.l_full[page:page + 1]), slot)
+        self.loads += 1
+
+    def _load_group(self, g: int) -> bool:
+        pages = self.group_pages.get(g)
+        if pages is None:
+            return False
+        while len(self._free) < len(pages):
+            if not self._evict_one(protect=g):
+                return False
+        slots = []
+        for p in pages:
+            s = self._free.pop()
+            self.geom_slot[p] = s
+            self._upload(int(p), s)
+            slots.append(s)
+        self.group_slots[g] = np.asarray(slots, np.int32)
+        self.resident[g] = True
+        return True
+
+    def _evict_one(self, protect: int) -> bool:
+        cands = [g for g in self.group_slots
+                 if g != protect]
+        if not cands:
+            return False
+        victim = min(cands, key=lambda g: self.last_touch.get(g, -1))
+        for s in self.group_slots.pop(victim):
+            self._free.append(int(s))
+        for p in self.group_pages[victim]:
+            self.geom_slot[p] = -1
+        self.resident[victim] = False
+        self.evictions += 1
+        return True
+
+    def update(self, touched: np.ndarray):
+        """Feed one frame's touched-group bits; returns the device-side
+        (slab_v, slab_l, geom_slot, group_resident) to splice into
+        SceneBuffers."""
+        self.tick += 1
+        want = np.nonzero(touched[:self.max_groups])[0]
+        for g in want:
+            self.last_touch[int(g)] = self.tick
+        budget = self.loads_per_update
+        for g in want:
+            if self.resident[g]:
+                continue
+            if budget <= 0:
+                break
+            if self._load_group(int(g)):
+                budget -= 1
+        return (self.slab_v, self.slab_l,
+                jnp.asarray(self.geom_slot), jnp.asarray(self.resident))
+
+    @property
+    def resident_groups(self) -> int:
+        return int(self.resident.sum())

@@ -94,7 +94,19 @@ def select_cluster_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     parent_px, _, _ = project_px(tbl[:, 12:15], tbl[:, 15], tbl[:, 5])
 
     live = jnp.arange(C) < scene.num_clusters
-    cut = live & (self_px <= tau_px) & (parent_px > tau_px)
+    # Streaming residency patch (reference: PatchCLodGroupError,
+    # MeshManager.h:117 + CLodStreamingSystem.cpp): a cluster whose group
+    # page is missing is unselectable, and a cluster whose CHILD group is
+    # missing gets effective self-error 0 so the cut falls back to the
+    # lowest resident ancestor — hole-free by construction. With the
+    # all-resident default masks this is the identity.
+    GR = scene.group_resident.shape[0]
+    feeds = scene.cluster_feeds
+    made = scene.cluster_made
+    res_feeds = (feeds < 0) | scene.group_resident[jnp.clip(feeds, 0, GR - 1)]
+    res_made = (made < 0) | scene.group_resident[jnp.clip(made, 0, GR - 1)]
+    eff_self = jnp.where(res_made, self_px, 0.0)
+    cut = live & res_feeds & (eff_self <= tau_px) & (parent_px > tau_px)
 
     # Frustum cull selected clusters (finer than object culling). Disabled
     # for shadow cuts (casters outside the camera frustum still cast).
@@ -155,3 +167,47 @@ def compact_visible_tris(scene: SceneBuffers, cut: jnp.ndarray,
     tri_obj = jnp.broadcast_to(obj_of_slot[:, None], (Kc, K)).reshape(-1)
     return CompactedTris(g, tri_mat, tri_obj, tri_ok.reshape(-1), overflow,
                          geom_of_slot)
+
+
+def touched_groups(scene: SceneBuffers, view: ViewData, config: FrameConfig,
+                   tau_px) -> jnp.ndarray:
+    """(GR,) bool: streaming groups the IDEAL cut (residency ignored) wants
+    this frame, plus one finer level as prefetch (reference: GPU feedback
+    'touched clusters' readback + predicted expand,
+    CLodStreamingSystem.cpp:986-1258). The renderer reads this back and
+    feeds the streaming worker."""
+    tbl = scene.cluster_table
+    C = tbl.shape[0]
+    GR = scene.group_resident.shape[0]
+    m = raster_setup.gather_rows_onehot(
+        scene.object_mats.reshape(-1, 16), scene.cluster_object)
+    scale = jnp.sqrt(jnp.maximum(
+        jnp.maximum(m[:, 0] ** 2 + m[:, 4] ** 2 + m[:, 8] ** 2,
+                    m[:, 1] ** 2 + m[:, 5] ** 2 + m[:, 9] ** 2),
+        m[:, 2] ** 2 + m[:, 6] ** 2 + m[:, 10] ** 2))
+    f = _screen_error_factor(view, config.height)
+    cam = view.cam_pos
+
+    def px_of(center_l, radius_l, err_l):
+        px, py, pz = center_l[:, 0], center_l[:, 1], center_l[:, 2]
+        wx = m[:, 0] * px + m[:, 1] * py + m[:, 2] * pz + m[:, 3]
+        wy = m[:, 4] * px + m[:, 5] * py + m[:, 6] * pz + m[:, 7]
+        wz = m[:, 8] * px + m[:, 9] * py + m[:, 10] * pz + m[:, 11]
+        dist = jnp.sqrt((wx - cam[0]) ** 2 + (wy - cam[1]) ** 2
+                        + (wz - cam[2]) ** 2)
+        dist = jnp.maximum(dist - radius_l * scale, view.near)
+        return err_l * scale * f / dist
+
+    self_px = px_of(tbl[:, 0:3], tbl[:, 3], tbl[:, 4])
+    parent_px = px_of(tbl[:, 12:15], tbl[:, 15], tbl[:, 5])
+    live = jnp.arange(C) < scene.num_clusters
+    wanted = live & (self_px <= tau_px) & (parent_px > tau_px)
+
+    out = jnp.zeros((GR + 1,), bool)
+    feeds = jnp.where(wanted & (scene.cluster_feeds >= 0),
+                      scene.cluster_feeds, GR)
+    made = jnp.where(wanted & (scene.cluster_made >= 0),
+                     scene.cluster_made, GR)
+    out = out.at[feeds].set(True)
+    out = out.at[made].set(True)    # one level finer: prefetch
+    return out[:GR]

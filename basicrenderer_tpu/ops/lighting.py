@@ -93,6 +93,10 @@ def cull_lights_tiles(depth_p: jnp.ndarray, lights: jnp.ndarray,
     ltype = lights[:, 3]
     lrange = lights[:, 11]
     live = (jnp.arange(L) < num_lights) & (ltype != 0.0)
+    if config.max_shadow_lights > 0:
+        # Shadow-casting locals shade through the per-light shadowed pass
+        # (graph/frame.py), not the tiled loop.
+        live = live & (lights[:, 14] < 0.0)
     # Squared distance from light to AABB.
     d = jnp.maximum(mins[:, None, :] - lpos[None, :, :], 0.0) + \
         jnp.maximum(lpos[None, :, :] - maxs[:, None, :], 0.0)  # (NT, L, 3)

@@ -43,7 +43,8 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         localize = lambda p: p
     tau = params.clod_error_px
     cut, _ = clod_ops.select_cluster_cut(scene, view, config, tau)
-    transparent = scene.cluster_table[:, 10] > 0.5
+    flag = scene.cluster_table[:, 10]
+    transparent = (flag > 0.5) & (flag < 1.5)  # 2 = alpha-MASK
     cut = cut & transparent
     budget = max(config.max_visible_clusters // 4, 64)
     comp = clod_ops.compact_visible_tris(

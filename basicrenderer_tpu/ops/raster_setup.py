@@ -367,7 +367,12 @@ def triangle_setup_clustered(scene, comp, viewproj: jnp.ndarray,
     mat_table = jnp.concatenate(
         [scene.object_mats.reshape(O, 16),
          scene.object_normal_mats.reshape(O, 9)], axis=-1)
-    gids = jnp.clip(comp.geom, 0, scene.cluster_verts.shape[0] - 1)
+    # Translate geometry-page ids through the streaming slot table
+    # (identity when fully resident; non-resident pages are never in the
+    # cut, so the clip only ever rewrites dead slots).
+    G = scene.geom_slot.shape[0]
+    slots = scene.geom_slot[jnp.clip(comp.geom, 0, G - 1)]
+    gids = jnp.clip(slots, 0, scene.cluster_verts.shape[0] - 1)
     slabs = scene.cluster_verts[gids]                  # (Kc, SLAB*10) rows
     locals_ = scene.cluster_tri_local[gids]            # (Kc, 384) f32
     Kc = gids.shape[0]

@@ -223,6 +223,38 @@ def eval_brdf(n, v, l, albedo, metallic, roughness):
     return (diffuse + specular) * n_dot_l
 
 
+def shade_one_light(gb: GBuffer, row: jnp.ndarray, v: jnp.ndarray,
+                    n: jnp.ndarray, directional_only: bool = False
+                    ) -> jnp.ndarray:
+    """Full-screen contribution of ONE packed light row (H, W, 3).
+    Shared by the deferred loop and the shadowed-local-light pass."""
+    lpos, ltype = row[0:3], row[3]
+    ldir, intensity = row[4:7], row[7]
+    color, rng = row[8:11], row[11]
+    cos_in, cos_out = row[12], row[13]
+    is_dir = ltype == 0.0
+    to_light = jnp.where(is_dir, -ldir[None, None, :],
+                         lpos[None, None, :] - gb.world_pos)
+    dist = jnp.linalg.norm(to_light, axis=-1, keepdims=True)
+    l = to_light / jnp.maximum(dist, 1e-9)
+    # Inverse-square falloff with range window (reference lighting.hlsli).
+    att = jnp.where(is_dir, 1.0, 1.0 / jnp.maximum(dist * dist, 1e-4))
+    window = jnp.clip(1.0 - (dist / jnp.maximum(rng, 1e-3)) ** 4, 0.0, 1.0) ** 2
+    att = jnp.where(is_dir, att, att * window)
+    # Spot cone.
+    cd = jnp.sum(-l * ldir[None, None, :], axis=-1, keepdims=True)
+    spot = jnp.clip((cd - cos_out) / jnp.maximum(cos_in - cos_out, 1e-4), 0.0, 1.0)
+    att = jnp.where(ltype == 2.0, att * spot * spot, att)
+    radiance = color[None, None, :] * (intensity * att)
+    brdf = eval_brdf(n, v, l, gb.albedo, gb.metallic, gb.roughness)
+    out = brdf * radiance
+    if directional_only:
+        # Local lights are handled by the tiled Pallas pass
+        # (ops/lighting.py); only type-0 lights shade here.
+        out = out * jnp.where(ltype == 0.0, 1.0, 0.0)
+    return out
+
+
 def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
                    shadow_fn=None, ambient: float = 0.0,
                    max_lights: int = 0, directional_only: bool = False
@@ -240,31 +272,8 @@ def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
     n = gb.normal
 
     def light_contrib(i):
-        row = scene.lights[i]
-        lpos, ltype = row[0:3], row[3]
-        ldir, intensity = row[4:7], row[7]
-        color, rng = row[8:11], row[11]
-        cos_in, cos_out = row[12], row[13]
-        is_dir = ltype == 0.0
-        to_light = jnp.where(is_dir, -ldir[None, None, :],
-                             lpos[None, None, :] - gb.world_pos)
-        dist = jnp.linalg.norm(to_light, axis=-1, keepdims=True)
-        l = to_light / jnp.maximum(dist, 1e-9)
-        # Inverse-square falloff with range window (reference lighting.hlsli).
-        att = jnp.where(is_dir, 1.0, 1.0 / jnp.maximum(dist * dist, 1e-4))
-        window = jnp.clip(1.0 - (dist / jnp.maximum(rng, 1e-3)) ** 4, 0.0, 1.0) ** 2
-        att = jnp.where(is_dir, att, att * window)
-        # Spot cone.
-        cd = jnp.sum(-l * ldir[None, None, :], axis=-1, keepdims=True)
-        spot = jnp.clip((cd - cos_out) / jnp.maximum(cos_in - cos_out, 1e-4), 0.0, 1.0)
-        att = jnp.where(ltype == 2.0, att * spot * spot, att)
-        radiance = color[None, None, :] * (intensity * att)
-        brdf = eval_brdf(n, v, l, gb.albedo, gb.metallic, gb.roughness)
-        out = brdf * radiance
-        if directional_only:
-            # Local lights are handled by the tiled Pallas pass
-            # (ops/lighting.py); only type-0 lights shade here.
-            out = out * jnp.where(ltype == 0.0, 1.0, 0.0)
+        out = shade_one_light(gb, scene.lights[i], v, n,
+                              directional_only=directional_only)
         if shadow_fn is not None:
             vis = shadow_fn(i, gb.world_pos, n)
             out = out * vis[..., None]

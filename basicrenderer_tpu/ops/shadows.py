@@ -208,3 +208,92 @@ def sample_shadow_cascades(depth: jnp.ndarray, view, cascade_vps: jnp.ndarray,
     p = jnp.pad(lit, 1, mode="edge")
     acc = sum(p[dy:dy + H, dx:dx + W] for dy in range(3) for dx in range(3))
     return acc / 9.0
+
+
+# ---------------------------------------------------------------------------
+# Local (spot) light shadow views — the reference's per-light shadow cameras
+# (LightManager.cpp shadow views via ViewManager; shadow atlas slots).
+# ---------------------------------------------------------------------------
+
+def spot_shadow_matrices(lights: jnp.ndarray, max_slots: int,
+                         near: float = 0.05):
+    """Per-slot perspective viewproj for shadow-casting spot lights.
+
+    Returns (vps (K, 4, 4), light_index (K,) i32, live (K,) bool). Slot ids
+    live in light lane 14 (scene/bridge.py packs spots only)."""
+    L = lights.shape[0]
+    slot = lights[:, 14]
+    vps, idxs, lives = [], [], []
+    for k in range(max_slots):
+        # One-hot select the light row owning slot k (small table matmul).
+        sel = (jnp.abs(slot - k) < 0.5).astype(jnp.float32)
+        live = jnp.sum(sel) > 0.5
+        row = jnp.matmul(sel[None, :], lights,
+                         precision=jax.lax.Precision.HIGH)[0]
+        pos, d = row[0:3], row[4:7]
+        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-9)
+        rng = jnp.maximum(row[11], near * 2.0)
+        outer = jnp.arccos(jnp.clip(row[13], -0.999, 0.999))
+        fov = jnp.clip(outer * 2.0 * 1.05, 0.1, 3.0)
+        up = jnp.where(jnp.abs(d[1]) < 0.95,
+                       jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
+        s = jnp.cross(d, up)
+        s = s / jnp.maximum(jnp.linalg.norm(s), 1e-9)
+        u = jnp.cross(s, d)
+        # View: right-handed looking down -Z -> rows (s, u, -d).
+        R = jnp.stack([s, u, -d])
+        t = -R @ pos
+        viewm = jnp.zeros((4, 4), jnp.float32).at[:3, :3].set(R) \
+            .at[:3, 3].set(t).at[3, 3].set(1.0)
+        proj = math3d.perspective(fov, 1.0, near, rng, reverse_z=True)
+        vps.append(proj @ viewm)
+        idxs.append(jnp.argmax(sel).astype(jnp.int32))
+        lives.append(live)
+    return jnp.stack(vps), jnp.stack(idxs), jnp.stack(lives)
+
+
+def spot_shadow_config(config: FrameConfig) -> FrameConfig:
+    res = config.spot_shadow_resolution
+    return dataclasses.replace(
+        config, width=res, height=res, enable_occlusion=False,
+        max_pairs=min(config.max_pairs, 1 << 15),
+        max_tiles_per_tri=min(config.max_tiles_per_tri, 8))
+
+
+def sample_spot_shadow(depth: jnp.ndarray, view, vp: jnp.ndarray,
+                       shadow_map: jnp.ndarray, bias, downscale: int = 4,
+                       row0: int = 0, full_h: int = None) -> jnp.ndarray:
+    """(H, W) visibility for one spot light from the camera DEPTH buffer
+    (same depth-unprojection strategy as the cascades)."""
+    H, W = depth.shape
+    full_h = full_h or H
+    Rp = shadow_map.shape[0]
+    d = downsample2d(depth, downscale)
+    h, w = d.shape
+    ds = downscale
+    ndc_x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * ds + 0.5) \
+        / W * 2.0 - 1.0
+    ndc_y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * ds
+                   + 0.5 + row0) / full_h * 2.0
+    inv_vp = jnp.linalg.inv(view.viewproj)
+    px, py, pz, pw = math3d.mat4_columns(inv_vp, ndc_x, ndc_y, d)
+    iw = 1.0 / jnp.where(jnp.abs(pw) > 1e-12, pw, 1.0)
+    x, y, z, wq = math3d.mat4_columns(vp, px * iw, py * iw, pz * iw)
+    front = wq > 1e-6
+    qi = 1.0 / jnp.where(front, wq, 1.0)
+    x, y, z = x * qi, y * qi, z * qi
+    inside = front & (jnp.abs(x) < 0.99) & (jnp.abs(y) < 0.99) \
+        & (z > 0) & (z < 1)
+    u = jnp.clip(((x * 0.5 + 0.5) * Rp).astype(jnp.int32), 0, Rp - 1)
+    v = jnp.clip(((0.5 - y * 0.5) * Rp).astype(jnp.int32), 0, Rp - 1)
+    smp = shadow_map.reshape(-1)[v * Rp + u]
+    # Perspective reverse-Z depth is ~near/dist — its absolute range
+    # collapses with far range, so the bias must be MULTIPLICATIVE:
+    # z/smp = dist_caster/dist_receiver, lit iff the receiver is within
+    # ~4% of the caster distance.
+    lit = ((z >= smp * 0.96) | (smp <= 0.0)).astype(jnp.float32)
+    lit = jnp.where(inside & (d > 0), lit, 1.0)
+    lit = jax.image.resize(lit, (H, W), method="bilinear")
+    p = jnp.pad(lit, 1, mode="edge")
+    acc = sum(p[dy:dy + H, dx:dx + W] for dy in range(3) for dx in range(3))
+    return acc / 9.0

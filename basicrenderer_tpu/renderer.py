@@ -120,15 +120,29 @@ class Renderer:
             enable_skinning=s.get("enableSkinning"),
             enable_oit=s.get("enableOIT"),
             oit_layers=s.get("oitLayers"),
+            enable_alpha_mask=any(m.alpha_cutoff >= 0.0
+                                  for m in self.materials.materials),
+            max_shadow_lights=self._count_shadow_spots(),
             enable_auto_exposure=s.get("enableAutoExposure"),
             enable_vsm=s.get("enableVSM"),
             enable_culling=s.get("enableFrustumCulling", True),
             enable_clod=s.get("enableClod"),
+            enable_streaming=s.get("enableStreaming", False),
             max_visible_clusters=s.get("maxVisibleClusters"),
             enable_occlusion=s.get("enableOcclusionCulling"),
             debug_view=s.get("debugView"),
             use_pallas_raster=on_tpu,
         )
+
+    def _count_shadow_spots(self) -> int:
+        """Shadow-casting spot lights (capped at 4 slots — each costs a
+        shadow render + a full-screen shadowed shade)."""
+        if self._scene is None:
+            return 0
+        from .scene.components import Light, LightType
+        n = sum(1 for _e, (l,) in self._scene.world.query(Light)
+                if l.type == LightType.SPOT and l.cast_shadows)
+        return min(n, 4)
 
     def _live_tex_channels(self) -> tuple:
         """Channel samples the frame actually needs (unused ones cost
@@ -173,6 +187,19 @@ class Renderer:
                 self._buffers = self._bridge.build_scene_buffers()
         else:
             self._buffers = self._bridge.update_dynamic(self._buffers, self._time)
+        # Geometry streaming: pool + feedback loop (models/streaming.py).
+        if self.settings.get("enableStreaming", False) and \
+                self._bridge.packed is not None and \
+                getattr(self, "_streamer", None) is None:
+            from .models.streaming import GeometryStreamer
+            self._streamer = GeometryStreamer(
+                self._bridge.packed, self.caps.max_groups,
+                self.settings.get("streamingSlots"))
+            sv, sl, gs, gr = self._streamer.update(
+                np.zeros(self.caps.max_groups, bool))
+            self._buffers = self._buffers.replace(
+                cluster_verts=sv, cluster_tri_local=sl, geom_slot=gs,
+                group_resident=gr)
         # Auto-enable skinning when any packed instance is skinned.
         if self._bridge.packed and self._bridge.packed.skin_instances:
             self.settings.set("enableSkinning", True)
@@ -223,8 +250,21 @@ class Renderer:
             if getattr(self, "_vsm_state", None) is None:
                 self._vsm_state = vsm_ops.init_state()
             kwargs["vsm_state"] = self._vsm_state
+        if config.enable_streaming and getattr(self, "_streamer", None):
+            # Pipelined GPU feedback: consume the PREVIOUS frame's touched
+            # groups (its compute has drained by now), stream pages, and
+            # splice the pool state into this frame's buffers.
+            t_prev = getattr(self, "_touched_dev", None)
+            if t_prev is not None:
+                sv, sl, gs, gr = self._streamer.update(np.asarray(t_prev))
+                self._buffers = self._buffers.replace(
+                    cluster_verts=sv, cluster_tri_local=sl, geom_slot=gs,
+                    group_resident=gr)
+                args[0] = self._buffers
         with self.telemetry.stage("dispatch"):
             out = frame_fn(*args, **kwargs)
+        if config.enable_streaming:
+            self._touched_dev = out.get("touched_groups")
         self.telemetry.record_frame_outputs(out)
         self.telemetry.end_frame()
         if config.enable_occlusion or config.enable_taa:

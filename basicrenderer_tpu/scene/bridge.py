@@ -39,6 +39,7 @@ class BridgeCapacities:
     max_clusters: int = 1 << 14
     max_joints: int = 256
     max_geom_clusters: int = 1 << 13   # unique (non-instanced) cluster pages
+    max_groups: int = 1 << 12          # streaming group id capacity
 
 
 @dataclasses.dataclass
@@ -65,6 +66,10 @@ class PackedGeometry:
     skin_instances: list = None      # [(skeleton_id, palette_offset, J)]
     cluster_verts: np.ndarray = None      # (G, SLAB*10) f32 vertex pages
     cluster_tri_local: np.ndarray = None  # (G, 384) f32 corner slab ids
+    cluster_feeds: np.ndarray = None      # (C,) i32 streaming group of c
+    cluster_made: np.ndarray = None       # (C,) i32 group c was built from
+    geom_group: np.ndarray = None         # (G,) i32 owning group per page
+    num_groups: int = 0
 
 
 class SceneRenderBridge:
@@ -117,6 +122,11 @@ class SceneRenderBridge:
                                  np.float32)
         cluster_tri_local = np.zeros((c.max_geom_clusters, MESHLET_TRIS * 3),
                                      np.float32)
+        cluster_feeds = np.full((c.max_clusters,), -1, np.int32)
+        cluster_made = np.full((c.max_clusters,), -1, np.int32)
+        # -2 = unused capacity, -1 = live pinned page, >=0 = group
+        geom_group = np.full((c.max_geom_clusters,), -2, np.int32)
+        grp_off = 0
         g_off = 0
         cl_off = 0
         obj = 0
@@ -191,6 +201,26 @@ class SceneRenderBridge:
                     cluster_verts[g, :len(uniq) * 10] = rows10.reshape(-1)
                     cluster_tri_local[g, :cnt * 3] = inv.reshape(-1)
                 template[:, 11] = g_off + np.arange(ncl_g)
+                # Streaming groups: offset this mesh's group ids into the
+                # global space; top level / non-LOD clusters stay -1
+                # (always resident).
+                if mesh.feeds_group is not None:
+                    feeds_t = np.where(mesh.feeds_group >= 0,
+                                       mesh.feeds_group + grp_off, -1)
+                    made_t = np.where(mesh.made_group >= 0,
+                                      mesh.made_group + grp_off, -1)
+                    n_grp = int(max(mesh.feeds_group.max(initial=-1),
+                                    mesh.made_group.max(initial=-1))) + 1
+                else:
+                    feeds_t = np.full(ncl_g, -1, np.int32)
+                    made_t = np.full(ncl_g, -1, np.int32)
+                    n_grp = 0
+                if grp_off + n_grp > c.max_groups:
+                    raise ValueError("streaming group capacity exceeded")
+                # Page g belongs to the group its cluster FEEDS (the unit
+                # the streamer loads/evicts together).
+                geom_group[g_off:g_off + ncl_g] = feeds_t
+                grp_off += n_grp
                 g_off += ncl_g
                 template[:, 7] += t_off  # mesh-local -> global tri offsets
                 tcl[t_off:t_off + nt] = mesh.tri_cluster + cl_off  # first inst
@@ -204,18 +234,26 @@ class SceneRenderBridge:
                     vweights[v_off:v_off + nv] = mesh.weights
                     skin_instances.append((r.skeleton_id, joint_off, nj))
                     joint_off += nj
-                mesh_pack[pack_key] = (t_off, template)
+                mesh_pack[pack_key] = (t_off, template, feeds_t, made_t)
                 v_off += nv
                 t_off += nt
-            _toff, template = mesh_pack[pack_key]
+            _toff, template, feeds_t, made_t = mesh_pack[pack_key]
             ncl = len(template)
             if cl_off + ncl > c.max_clusters:
                 raise ValueError("cluster capacity exceeded")
             rows = template.copy()
             rows[:, 9] = r.material_id
             m = self.materials.get(r.material_id)
-            rows[:, 10] = 1.0 if (m.alpha_blend or m.base_color[3] < 0.999) else 0.0
+            # Surface class: 0 opaque, 1 transparent (OIT), 2 alpha-MASK.
+            if m.alpha_blend or m.base_color[3] < 0.999:
+                rows[:, 10] = 1.0
+            elif m.alpha_cutoff >= 0.0:
+                rows[:, 10] = 2.0
+            else:
+                rows[:, 10] = 0.0
             cluster_table[cl_off:cl_off + ncl] = rows
+            cluster_feeds[cl_off:cl_off + ncl] = feeds_t
+            cluster_made[cl_off:cl_off + ncl] = made_t
             cluster_object[cl_off:cl_off + ncl] = obj
             cl_off += ncl
             bc, br = mesh.bounding_sphere()
@@ -227,7 +265,9 @@ class SceneRenderBridge:
                                      v_off, t_off, ent2obj, local_bounds,
                                      tcl, cluster_table, cluster_object, cl_off,
                                      vjoints, vweights, skin_instances,
-                                     cluster_verts, cluster_tri_local)
+                                     cluster_verts, cluster_tri_local,
+                                     cluster_feeds, cluster_made,
+                                     geom_group, grp_off)
         return self.packed
 
     # -- hot path ----------------------------------------------------------
@@ -284,11 +324,15 @@ class SceneRenderBridge:
             row[11] = l.range
             row[12] = np.cos(l.inner_cone)
             row[13] = np.cos(l.outer_cone)
+            # Local shadow slots: SPOT lights only (point lights need a
+            # 6-face cube view — a later tier; the directional light rides
+            # CSM/VSM). Stored as a plain float (bitcast ints break the
+            # one-hot lookup path).
             slot = -1
-            if l.cast_shadows:
+            if l.cast_shadows and l.type == LightType.SPOT:
                 slot = shadow_slot
                 shadow_slot += 1
-            row[14] = np.array([slot], np.int32).view(np.float32)[0]
+            row[14] = float(slot)
             n += 1
         n_dir = int(np.sum(table[:n, 3] == 0.0))
         return table, n, n_dir
@@ -332,6 +376,10 @@ class SceneRenderBridge:
             tri_cluster=jnp.asarray(p.tri_cluster),
             cluster_verts=f32(p.cluster_verts),
             cluster_tri_local=f32(p.cluster_tri_local),
+            cluster_feeds=jnp.asarray(p.cluster_feeds),
+            cluster_made=jnp.asarray(p.cluster_made),
+            geom_slot=jnp.arange(p.cluster_verts.shape[0], dtype=jnp.int32),
+            group_resident=jnp.ones((self.caps.max_groups,), bool),
             cluster_table=f32(p.cluster_table),
             cluster_object=jnp.asarray(p.cluster_object),
             num_clusters=jnp.int32(p.num_clusters),

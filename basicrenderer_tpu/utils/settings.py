@@ -148,6 +148,10 @@ def make_default_settings() -> SettingsManager:
     s.register("maxTrianglePairs", 1 << 20, structural=True,
                description="tile-binning (tile,tri) pair capacity")
     s.register("upscaleMode", "none", structural=True, description="none|taa")
+    s.register("enableStreaming", False, structural=True,
+               description="geometry page streaming (models/streaming.py)")
+    s.register("streamingSlots", 1024, structural=True,
+               description="geometry page pool capacity")
     # Value-only (traced; no recompile)
     s.register("exposure", 1.0)
     s.register("bloomIntensity", 0.04)

@@ -47,28 +47,31 @@ def main() -> None:
     params = FrameParams.default()
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    # All rows shade the 1000-light field through the tiled clustered pass
+    # (the non-clustered loop is O(lights) per pixel — not a usable path at
+    # this light count, and the reference always runs clustered too).
     base = FrameConfig(width=width, height=height, tile_h=32, tile_w=128,
-                       max_pairs=1 << 17, max_tiles_per_tri=8,
-                       enable_clod=True, max_visible_clusters=1024,
+                       max_pairs=1 << 18, max_tiles_per_tri=8,
+                       enable_clod=True, max_visible_clusters=2048,
                        max_phase2_clusters=256, shadow_clusters=512,
-                       use_pallas_raster=on_tpu)
+                       enable_clustered=True, use_pallas_raster=on_tpu)
 
     configs = {
         "config1_minimal": base,
         "config2_manylight": dataclasses.replace(
-            base, enable_clustered=True, enable_ibl=True,
+            base, enable_ibl=True,
             enable_textures=True, tex_channels=("base", "normal", "mr")),
         "config3_shadows": dataclasses.replace(
-            base, enable_vsm=True, enable_occlusion=True,
-            enable_clustered=True),
+            base, enable_vsm=True, enable_occlusion=True),
         "config4_post": dataclasses.replace(
             base, enable_gtao=True, enable_bloom=True, enable_taa=True,
-            enable_auto_exposure=True),
+            enable_auto_exposure=True, enable_ssr=True),
         "full": dataclasses.replace(
-            base, enable_clustered=True, enable_ibl=True,
+            base, enable_ibl=True,
             enable_textures=True, tex_channels=("base", "normal", "mr"),
             enable_vsm=True, enable_occlusion=True, enable_gtao=True,
-            enable_bloom=True, enable_taa=True, enable_auto_exposure=True),
+            enable_bloom=True, enable_taa=True, enable_auto_exposure=True,
+            enable_ssr=True),
     }
 
     matrix = {}
