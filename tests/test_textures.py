@@ -221,6 +221,15 @@ def test_blocked_sampler_matches_reference():
     outn = np.asarray(sample_pyramid_blocked(
         strips, sflags, tid0[None], uv, 1, "nearest"))
     np.testing.assert_allclose(outn[0], refn, atol=0.02)
+    # Two materials meeting INSIDE blocks: both layers must sample
+    # correctly (the second-layer pass; pre-fix the minority side fell
+    # back to white).
+    xsplit = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    tid_mix = jnp.where(xsplit < 37, tid0, tid1)
+    ref_mix = np.where((np.asarray(xsplit) < 37)[..., None], ref0, ref1)
+    out_mix = np.asarray(sample_pyramid_blocked(
+        strips, sflags, tid_mix[None], uv, 1, "bilinear"))
+    np.testing.assert_allclose(out_mix[0], ref_mix, atol=0.02)
 
 
 def test_blocked_sampler_minified_and_untextured():
