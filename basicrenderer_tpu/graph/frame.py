@@ -561,6 +561,19 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                                     localize=localize)
 
     from ..ops import post as post_ops
+    upscaling = (config.output_width > 0
+                 and (config.output_width, config.output_height)
+                 != (config.width, config.height))
+    if upscaling:
+        # TAAU (reference: UpscalingManager render-low/present-high): the
+        # jittered low-res frame upsamples into OUTPUT-res space where the
+        # TAA history accumulates — the sub-pixel jitter sequence is what
+        # recovers detail past the render resolution. Single-chip only
+        # (sharded frames keep native TAA).
+        assert axis is None, "TAAU upscaling is single-chip"
+        assert config.enable_taa, "upscaling requires enable_taa"
+        hdr = jax.image.resize(
+            hdr, (config.output_height, config.output_width, 3), "bilinear")
     if config.enable_taa and taa_history is not None:
         hdr = post_ops.taa_resolve(hdr, taa_history, params.taa_blend)
     taa_out = hdr

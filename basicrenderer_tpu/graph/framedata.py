@@ -124,6 +124,11 @@ class FrameConfig:
     rebuild (Renderer.cpp:1794-1800)."""
     width: int = 1280
     height: int = 720
+    # Upscaled presentation (reference: UpscalingManager.h:23-80 — render
+    # low, accumulate + present high). 0 = native (no upscale). Requires
+    # enable_taa (the jitter accumulation IS the detail recovery).
+    output_width: int = 0
+    output_height: int = 0
     tile_h: int = 32
     tile_w: int = 128
     max_pairs: int = 1 << 20          # (tile, triangle) bin capacity

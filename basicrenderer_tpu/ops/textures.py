@@ -269,67 +269,81 @@ def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     tb = jnp.stack([_blockify(tids[k]) for k in range(K)])  # (K, nb, P)
     nb, P = ub.shape
 
-    live_any = (tb >= 0).any(0)            # (nb, P) any channel textured
+    # One sampling JOB per (channel, layer-rank): rank 0 = the block's
+    # dominant layer for that channel, rank 1 = the runner-up. Every job
+    # gets its OWN mask -> mip -> window -> weights, so a block straddling
+    # two materials samples both at the right detail (shared geometry
+    # blurred the whole block to the union footprint — visible squares).
+    btid = jnp.max(tb, axis=2)                                  # (K, nb)
+    tb2m = jnp.where(tb == btid[:, :, None], -1, tb)
+    btid2 = jnp.max(tb2m, axis=2)                               # (K, nb)
+    jtid = jnp.concatenate([btid, btid2], 0)                    # (J, nb)
+    mask = (tb == btid[:, :, None]) & (tb >= 0)
+    mask2 = (tb == btid2[:, :, None]) & (tb >= 0)
+    jmask = jnp.concatenate([mask, mask2], 0)                   # (J, nb, P)
+    J = 2 * K
+    layer_j = jnp.clip(jtid, 0, N - 1)                          # (J, nb)
+
     inf = jnp.float32(jnp.inf)
-    umin = jnp.min(jnp.where(live_any, ub, inf), axis=1)
-    umax = jnp.max(jnp.where(live_any, ub, -inf), axis=1)
-    vmin = jnp.min(jnp.where(live_any, vb, inf), axis=1)
-    vmax = jnp.max(jnp.where(live_any, vb, -inf), axis=1)
-    any_live = live_any.any(axis=1)
+
+    def jmin(x):   # (nb, P) -> (J, nb) masked min
+        return jnp.min(jnp.where(jmask, x[None], inf), axis=2)
+
+    def jmax(x):
+        return jnp.max(jnp.where(jmask, x[None], -inf), axis=2)
+
+    any_live = jmask.any(axis=2)                                # (J, nb)
     ext = jnp.where(any_live,
-                    jnp.maximum(umax - umin, vmax - vmin), 0.0)
+                    jnp.maximum(jmax(ub) - jmin(ub), jmax(vb) - jmin(vb)),
+                    0.0)
     m_fit = jnp.ceil(jnp.log2(jnp.maximum(ext * R / FIT_TEXELS, 1e-6)))
-    m0 = jnp.max(jnp.where(live_any, mb_px, 0), axis=1)
+    # Robust block mip: the MEAN of the job's pixel mips (rounded up). A
+    # max picks up derivative spikes at silhouette corners (both-sided UV
+    # discontinuities) and flattened whole blocks to the coarsest mip —
+    # the visible square blotches around objects.
+    cnt = jnp.maximum(jnp.sum(jmask, axis=2), 1)
+    m0 = jnp.ceil(jnp.sum(jnp.where(jmask, mb_px[None], 0), axis=2)
+                  / cnt).astype(jnp.int32)
     mb = jnp.clip(jnp.maximum(m0, m_fit.astype(jnp.int32)), 0, M - 1)
 
-    # Static per-mip constants -> per-block values.
-    rm = jnp.zeros((nb,), jnp.int32)
-    off = jnp.zeros((nb,), jnp.int32)
+    # Static per-mip constants -> per-job-block values (J, nb).
+    rm = jnp.zeros((J, nb), jnp.int32)
+    off = jnp.zeros((J, nb), jnp.int32)
     for m, sz in enumerate(sizes):
         rm = jnp.where(mb == m, sz, rm)
         off = jnp.where(mb == m, row_offs[m], off)
     rf = rm.astype(jnp.float32)
     wide = rm > 128                          # phase-strip regime
 
-    txf = ub * rf[:, None] - 0.5             # (nb, P)
-    tyf = vb * rf[:, None] - 0.5
-    txmin = jnp.min(jnp.where(live_any, txf, inf), axis=1)
-    tymin = jnp.min(jnp.where(live_any, tyf, inf), axis=1)
-    txmin = jnp.where(any_live, txmin, 0.0)
-    tymin = jnp.where(any_live, tymin, 0.0)
+    txf = ub[None] * rf[:, :, None] - 0.5    # (J, nb, P)
+    tyf = vb[None] * rf[:, :, None] - 0.5
+    txmin = jnp.where(any_live,
+                      jnp.min(jnp.where(jmask, txf, inf), axis=2), 0.0)
+    tymin = jnp.where(any_live,
+                      jnp.min(jnp.where(jmask, tyf, inf), axis=2), 0.0)
     xb = jnp.clip((jnp.floor(txmin).astype(jnp.int32) // 64) * 64,
                   0, jnp.maximum(rm - 128, 0))
     xb = jnp.where(wide, xb, 0)
     y0 = jnp.floor(tymin).astype(jnp.int32)
 
-    # Window row ids (nb, WROWS) then per-channel layer bases (K, nb, WROWS).
-    j = jnp.arange(WROWS, dtype=jnp.int32)[None, :]
-    yrow = jnp.remainder(y0[:, None] + j, rm[:, None])
+    # Window row ids (J, nb, WROWS) in each job's layer.
+    jrow = jnp.arange(WROWS, dtype=jnp.int32)[None, None, :]
+    yrow = jnp.remainder(y0[:, :, None] + jrow, rm[:, :, None])
     phase_rows = jnp.where(wide, (xb // 64) * rm, 0)
-    row_in_layer = off[:, None] + phase_rows[:, None] + yrow   # (nb, WROWS)
-    # TWO layers per (block, channel): the dominant one and the runner-up —
-    # window geometry and bilinear weights are layer-independent, so the
-    # second layer only adds row fetches + einsum width (measured ~+30%),
-    # and kills the white-fallback squares where a block straddles two
-    # textured materials.
-    btid = jnp.max(tb, axis=2)                                  # (K, nb)
-    tb2 = jnp.where(tb == btid[:, :, None], -1, tb)
-    btid2 = jnp.max(tb2, axis=2)                                # (K, nb)
-    layer = jnp.clip(btid, 0, N - 1)
-    layer2 = jnp.clip(btid2, 0, N - 1)
-    rows_k = jnp.concatenate([layer, layer2], 0)[:, :, None] * RPL \
-        + row_in_layer[None]                                    # (2K, nb, R)
+    rows_k = layer_j[:, :, None] * RPL + off[:, :, None] \
+        + phase_rows[:, :, None] + yrow                         # (J, nb, W)
 
-    # Per-pixel window coordinates + weights.
+    # Per-pixel window coordinates + weights (J, nb, P).
     ix0f = jnp.floor(txf)
     fx = txf - ix0f
     ix0 = ix0f.astype(jnp.int32)
-    ix0 = jnp.where(wide[:, None], jnp.clip(ix0 - xb[:, None], 0, 126),
+    ix0 = jnp.where(wide[:, :, None],
+                    jnp.clip(ix0 - xb[:, :, None], 0, 126),
                     jnp.remainder(ix0, 128))
-    ix1 = jnp.where(wide[:, None], ix0 + 1, jnp.remainder(ix0 + 1, 128))
+    ix1 = jnp.where(wide[:, :, None], ix0 + 1, jnp.remainder(ix0 + 1, 128))
     iy0f = jnp.floor(tyf)
     fy = tyf - iy0f
-    wy0 = jnp.clip(iy0f.astype(jnp.int32) - y0[:, None], 0, WROWS - 2)
+    wy0 = jnp.clip(iy0f.astype(jnp.int32) - y0[:, :, None], 0, WROWS - 2)
 
     if filter == "nearest":
         ixn = jnp.where(fx > 0.5, ix1, ix0)
@@ -339,64 +353,64 @@ def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
         fy = jnp.zeros_like(fy)
 
     flat = strips  # (NR, 128)
-    lanes = jnp.arange(128, dtype=jnp.int32)[None, None, :]
-    jj = jnp.arange(WROWS, dtype=jnp.int32)[None, None, :]
+    lanes = jnp.arange(128, dtype=jnp.int32)[None, None, None, :]
+    jj = jnp.arange(WROWS, dtype=jnp.int32)[None, None, None, :]
     bf16 = jnp.bfloat16   # texel values 0..255 are exact in bf16; weight
     #                       rounding ~0.4% is invisible — single MXU pass.
 
-    K2 = 2 * K
-
     def chunk_fn(args):
         rows_c, ix0c, ix1c, fxc, wy0c, fyc = args
-        # rows_c (2K, cb, WROWS); the rest (cb, P).
-        cb = ix0c.shape[0]
+        # rows_c (J, cb, WROWS); the rest (J, cb, P).
+        cb = ix0c.shape[1]
         wx = ((lanes == ix0c[..., None]).astype(bf16)
               * (1 - fxc)[..., None].astype(bf16)
               + (lanes == ix1c[..., None]).astype(bf16)
-              * fxc[..., None].astype(bf16))            # (cb, P, 128)
+              * fxc[..., None].astype(bf16))            # (J, cb, P, 128)
         win = flat[rows_c.reshape(-1)]                  # row gathers
-        w32 = win.reshape(K2, cb, WROWS, 128).astype(jnp.uint32)
+        w32 = win.reshape(J * cb, WROWS, 128).astype(jnp.uint32)
         ch = jnp.stack([(w32 >> s) & 0xFF for s in (0, 8, 16, 24)],
-                       axis=-1).astype(bf16)           # (2K, cb, WROWS, 128, 4)
-        op = ch.transpose(1, 3, 0, 2, 4).reshape(cb, 128, K2 * WROWS * 4)
-        x_red = jnp.einsum("bpx,bxc->bpc", wx, op,
+                       axis=-1).astype(bf16)            # (J*cb, WROWS, 128, 4)
+        op = ch.transpose(0, 2, 1, 3).reshape(J * cb, 128, WROWS * 4)
+        x_red = jnp.einsum("bpx,bxc->bpc", wx.reshape(J * cb, P, 128), op,
                            precision=jax.lax.Precision.DEFAULT)
-        x_red = x_red.reshape(cb, P, K2, WROWS, 4)      # stays bf16
+        x_red = x_red.reshape(J, cb, P, WROWS, 4)       # stays bf16
         wy = ((jj == wy0c[..., None]).astype(bf16) * (1 - fyc)[..., None]
               .astype(bf16)
               + (jj == (wy0c + 1)[..., None]).astype(bf16)
-              * fyc[..., None].astype(bf16))            # (cb, P, WROWS)
-        return jnp.sum(x_red * wy[:, :, None, :, None], axis=3,
-                       dtype=jnp.float32)               # (cb, P, K, 4)
+              * fyc[..., None].astype(bf16))            # (J, cb, P, WROWS)
+        return jnp.sum(x_red * wy[..., None], axis=3,
+                       dtype=jnp.float32)               # (J, cb, P, 4)
 
     if nb > block_chunk:
         pad_b = (-nb) % block_chunk
         nchunk = (nb + pad_b) // block_chunk
 
-        def padc(x, axis=0):
+        def padc(x):
             cfg = [(0, 0)] * x.ndim
-            cfg[axis] = (0, pad_b)
+            cfg[1] = (0, pad_b)
             return jnp.pad(x, cfg)
 
-        rows_p = padc(rows_k, 1).reshape(K2, nchunk, block_chunk, WROWS) \
+        rows_p = padc(rows_k).reshape(J, nchunk, block_chunk, WROWS) \
             .transpose(1, 0, 2, 3)
-        parts = [padc(x).reshape(nchunk, block_chunk, P)
+        parts = [padc(x).reshape(J, nchunk, block_chunk, P).transpose(1, 0, 2, 3)
                  for x in (ix0, ix1, fx, wy0, fy)]
-        res = jax.lax.map(chunk_fn, (rows_p, *parts))
-        out = res.reshape(nchunk * block_chunk, P, K2, 4)[:nb]
+        res = jax.lax.map(chunk_fn, (rows_p, *parts))   # (nc, J, cb, P, 4)
+        out = res.transpose(1, 0, 2, 3, 4).reshape(
+            J, nchunk * block_chunk, P, 4)[:, :nb]
     else:
         out = chunk_fn((rows_k, ix0, ix1, fx, wy0, fy))
-    out = out / 255.0                                   # (nb, P, 2K, 4)
+    out = out / 255.0                                   # (J, nb, P, 4)
 
-    # sRGB decode (per channel layer) + per-pixel layer select.
-    srgb = ((tex_flags[jnp.concatenate([layer, layer2], 0)] & 1) > 0)
+    # sRGB decode (per job layer) + per-pixel job select.
+    srgb = ((tex_flags[layer_j] & 1) > 0)               # (J, nb)
     dec = jnp.where(out <= 0.04045, out / 12.92,
                     jnp.power(jnp.maximum((out + 0.055) / 1.055, 1e-6), 2.4))
-    out = jnp.where(srgb.T[:, None, :, None],
+    out = jnp.where(srgb[:, :, None, None],
                     jnp.concatenate([dec[..., :3], out[..., 3:]], -1), out)
-    m1 = ((tb == btid[:, :, None]) & (tb >= 0)).transpose(1, 2, 0)[..., None]
-    m2 = ((tb == btid2[:, :, None]) & (tb >= 0)).transpose(1, 2, 0)[..., None]
-    out = jnp.where(m1, out[:, :, :K], jnp.where(m2, out[:, :, K:], 1.0))
+    out = jnp.where(jmask[..., None], out, 0.0)
+    sel = out[:K] + out[K:]                             # masks are disjoint
+    covered = (mask | mask2)[..., None]
+    out = jnp.where(covered, sel, 1.0).transpose(1, 2, 0, 3)  # (nb, P, K, 4)
 
     img = _unblockify(out, hp, wp)[:h, :w]              # (h, w, K, 4)
     img = img.transpose(2, 0, 1, 3)                     # (K, h, w, 4)

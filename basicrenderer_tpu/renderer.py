@@ -116,7 +116,11 @@ class Renderer:
             enable_bloom=s.get("enableBloom"),
             enable_gtao=s.get("enableGTAO"),
             enable_ssr=s.get("enableSSR"),
-            enable_taa=s.get("enableTAA"),
+            enable_taa=s.get("enableTAA") or s.get("upscaleMode") == "taa",
+            output_width=(s.get("outputResolution")[0]
+                          if s.get("upscaleMode") == "taa" else 0),
+            output_height=(s.get("outputResolution")[1]
+                           if s.get("upscaleMode") == "taa" else 0),
             enable_skinning=s.get("enableSkinning"),
             enable_oit=s.get("enableOIT"),
             oit_layers=s.get("oitLayers"),
@@ -242,7 +246,9 @@ class Renderer:
             kwargs["prev_depth"] = self._prev_depth
         if config.enable_taa:
             hist = getattr(self, "_taa_history", None)
-            if hist is None or hist.shape != (config.height, config.width, 3):
+            oh = config.output_height or config.height
+            ow = config.output_width or config.width
+            if hist is None or hist.shape != (oh, ow, 3):
                 hist = None
             kwargs["taa_history"] = hist
         if config.enable_vsm:

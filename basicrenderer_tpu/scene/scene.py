@@ -121,7 +121,14 @@ class Scene:
     # -- camera ------------------------------------------------------------
     def set_camera(self, position=(0, 0, 5), target=(0, 0, 0), up=(0, 1, 0),
                    fov_y=1.0471975512, near=0.1, far=None, aspect=16 / 9) -> int:
-        e = self.create_node(position=position)
+        # Reuse the existing primary camera entity (controllers call this
+        # every tick — creating a node per call would leak entities).
+        e = getattr(self, "_primary_camera", None)
+        if e is None:
+            e = self.create_node(position=position)
+        else:
+            from .components import Position
+            self.world.set(e, Position(np.asarray(position, np.float32)))
         self.world.set(e, Camera(fov_y=fov_y, near=near, far=far, aspect=aspect))
         self.world.set(e, PrimaryCamera())
         # Store look-at target via rotation: compute view matrix on demand.

@@ -122,8 +122,8 @@ def make_default_settings() -> SettingsManager:
     s.register("numShadowCascades", 4, structural=True)
     s.register("shadowResolution", 1024, structural=True)
     s.register("enableClusteredLighting", True, structural=True)
-    s.register("lightClusterGrid", (12, 12, 24), structural=True,
-               description="froxel grid; reference default Renderer.h:157")
+    # (the reference's froxel grid was redesigned into per-raster-tile
+    # light lists — see ops/lighting.py; no grid setting exists)
     s.register("maxLightsPerCluster", 64, structural=True)
     s.register("enableIBL", True, structural=True)
     s.register("enableTextures", False, structural=True)

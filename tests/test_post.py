@@ -82,3 +82,38 @@ def test_frame_with_full_post_stack():
     out2 = f(buffers, vd, params, None, out1["taa_out"])
     img2 = np.asarray(out2["image"])
     assert img2.shape == img1.shape
+
+
+def test_taau_upscaling_renders_and_converges():
+    """Render 128x64, present 256x128 via TAAU (reference:
+    UpscalingManager render-low/present-high)."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_frame_e2e import build_test_scene
+    from basicrenderer_tpu.graph.framedata import FrameConfig, FrameParams, make_view
+    from basicrenderer_tpu.graph.frame import build_frame_fn
+    from basicrenderer_tpu.ops import post as post_ops
+
+    sc, bridge = build_test_scene()
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=2.0)
+    cfg = FrameConfig(width=128, height=64, tile_h=16, tile_w=128,
+                      max_pairs=1 << 12, use_pallas_raster=False,
+                      enable_taa=True, output_width=256, output_height=128)
+    frame = jax.jit(build_frame_fn(cfg))
+    params = FrameParams.default()
+    hist = None
+    img = None
+    for i in range(6):
+        jx, jy = post_ops.taa_jitter(i)
+        pj = proj.copy()
+        pj[0] += (2.0 * jx / cfg.width) * pj[3]
+        pj[1] += (2.0 * jy / cfg.height) * pj[3]
+        out = frame(buffers, make_view(view, pj, pos), params,
+                    taa_history=hist)
+        hist = out["taa_out"]
+        img = np.asarray(out["image"])
+    assert img.shape == (128, 256, 3)
+    assert hist.shape == (128, 256, 3)
+    assert img.std() > 10   # a real scene, not a constant
