@@ -385,5 +385,8 @@ def load_model(path: str, scene: Scene, meshes: MeshRegistry,
                          textures=textures)
     if ext == ".obj":
         return load_obj(path, scene, meshes, materials, parent)
+    if ext in (".usda", ".usd", ".usdc", ".usdz"):
+        from .usd import load_usda
+        return load_usda(path, scene, meshes, materials, parent)
     raise ValueError(f"unsupported model format: {ext} "
-                     "(supported: .gltf, .glb, .obj)")
+                     "(supported: .gltf, .glb, .obj, .usda)")

@@ -151,6 +151,28 @@ def main():
     iio.imwrite(os.path.join(outdir, "config5_full_taa.png"), img)
     print("config5 TAA-converged frame saved", flush=True)
 
+    # Config 6 (round 2) — VSM + SSR + textures + streaming + a
+    # shadow-casting spot light.
+    r = base_renderer(res)
+    built = build_courtyard(grid=10, lod=True, meshes=r.meshes,
+                            materials=r.materials, textures=r.textures)
+    built.scene.create_spot_light(
+        position=(4, 7, 4), direction=(-0.4, -1, -0.4), intensity=120.0,
+        range=24.0, inner_cone=0.4, outer_cone=0.8, cast_shadows=True)
+    built.scene.propagate_transforms()
+    r.settings.set("enableVSM", True)
+    r.settings.set("enableSSR", True)
+    r.settings.set("enableClusteredLighting", True)
+    r.settings.set("enableStreaming", True)
+    r.settings.set("streamingSlots", 2048)
+    r.set_current_scene(built.scene)
+    for _ in range(12):   # stream pages in + converge VSM
+        r.update()
+        img = r.render_to_numpy()
+    iio.imwrite(os.path.join(outdir, "config6_vsm_ssr_streaming.png"), img)
+    print(f"config6 saved (streamed {r._streamer.loads} pages, "
+          f"{r._streamer.resident_groups} groups resident)", flush=True)
+
 
 if __name__ == "__main__":
     main()
