@@ -277,11 +277,14 @@ def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     btid = jnp.max(tb, axis=2)                                  # (K, nb)
     tb2m = jnp.where(tb == btid[:, :, None], -1, tb)
     btid2 = jnp.max(tb2m, axis=2)                               # (K, nb)
-    jtid = jnp.concatenate([btid, btid2], 0)                    # (J, nb)
     mask = (tb == btid[:, :, None]) & (tb >= 0)
     mask2 = (tb == btid2[:, :, None]) & (tb >= 0)
-    jmask = jnp.concatenate([mask, mask2], 0)                   # (J, nb, P)
-    J = 2 * K
+    # Runner-up job for the FIRST channel only (base color): boundary
+    # errors in normal/roughness channels are visually negligible, and
+    # each extra job costs a full fetch+einsum slice.
+    jtid = jnp.concatenate([btid, btid2[:1]], 0)                # (J, nb)
+    jmask = jnp.concatenate([mask, mask2[:1]], 0)               # (J, nb, P)
+    J = K + 1
     layer_j = jnp.clip(jtid, 0, N - 1)                          # (J, nb)
 
     inf = jnp.float32(jnp.inf)
@@ -408,8 +411,9 @@ def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     out = jnp.where(srgb[:, :, None, None],
                     jnp.concatenate([dec[..., :3], out[..., 3:]], -1), out)
     out = jnp.where(jmask[..., None], out, 0.0)
-    sel = out[:K] + out[K:]                             # masks are disjoint
-    covered = (mask | mask2)[..., None]
+    # Channel 0 merges its two disjoint-masked jobs; the rest keep rank 0.
+    sel = out[:K].at[0].add(out[K])
+    covered = mask.at[0].set(mask[0] | mask2[0])[..., None]
     out = jnp.where(covered, sel, 1.0).transpose(1, 2, 0, 3)  # (nb, P, K, 4)
 
     img = _unblockify(out, hp, wp)[:h, :w]              # (h, w, K, 4)
