@@ -456,11 +456,44 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             local = lighting.tiled_shade_ref(
                 shade_in, payload, counts, view.cam_pos, lcfg)
         hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn,
-                                       directional_only=True)
+                                       directional_only=True,
+                                       coat=config.enable_coat)
         hdr = hdr + local[:, :H, :W].transpose(1, 2, 0)
     else:
         light_overflow = jnp.int32(0)
-        hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn)
+        hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn,
+                                       coat=config.enable_coat)
+
+    if config.enable_clustered and config.max_shadow_cubes > 0:
+        # Point-light cube shadows: 6 perspective faces per light rendered
+        # through the shared caster cut; sampling picks the face by the
+        # dominant axis and takes one combined gather (reference:
+        # LightManager omni shadow cameras).
+        import dataclasses as _dc
+        from ..ops import shadows as shadow_ops
+        cvps6, cidx, clive = shadow_ops.point_cube_matrices(
+            scene.lights, config.max_shadow_cubes)
+        cube_cfg = _dc.replace(
+            config, shadow_resolution=config.point_shadow_resolution)
+        cube_tris = clod_compact(scene, view, config, params, frustum=False,
+                                 max_visible=config.shadow_clusters)
+        vdir_c = view.cam_pos[None, None, :] - gb.world_pos
+        vdir_c = vdir_c / jnp.maximum(
+            jnp.linalg.norm(vdir_c, axis=-1, keepdims=True), 1e-12)
+        Lc = scene.lights.shape[0]
+        for c in range(config.max_shadow_cubes):
+            maps = jnp.stack([
+                shadow_ops.render_cascade(scene, cvps6[c, f], cube_cfg,
+                                          compacted=cube_tris)
+                [:config.point_shadow_resolution,
+                 :config.point_shadow_resolution]
+                for f in range(6)])
+            row = scene.lights[jnp.clip(cidx[c], 0, Lc - 1)]
+            term = local_rows(shadow_ops.sample_point_shadow(
+                gather_rows(depth), view, row[0:3], cvps6[c], maps,
+                full_h=full_h))
+            contrib = shade_ops.shade_one_light(gb, row, vdir_c, gb.normal)
+            hdr = hdr + jnp.where(clive[c], contrib * term[..., None], 0.0)
 
     if config.enable_clustered and config.max_shadow_lights > 0:
         # Shadow-casting SPOT lights: excluded from the tiled loop
@@ -537,6 +570,16 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             prefiltered = prefiltered * (1.0 - ssr_wgt[..., None]) \
                 + ssr_col * ssr_wgt[..., None]
         spec_ibl = prefiltered * (f0 * scale[..., None] + bias[..., None])
+        if config.enable_coat:
+            # OpenPBR coat over the environment: a second prefiltered
+            # fetch at the coat roughness, base attenuated by coat Fresnel.
+            cf = shade_ops._f_schlick(ndv[..., None], jnp.float32(0.05))
+            cw = gb.coat_weight[..., None]
+            coat_pref = ibl_ops.runtime_specular_ibl(
+                gb.normal, v, gb.coat_rough, scene.env_specular,
+                downscale=config.ibl_specular_downscale)
+            spec_ibl = spec_ibl * (1.0 - cf * cw) + coat_pref * cf * cw
+            diffuse_ibl = diffuse_ibl * (1.0 - cf * cw)
         ambient = (diffuse_ibl + spec_ibl) * params.ibl_intensity
         if ao is not None:
             ambient = ambient * ao[..., None]

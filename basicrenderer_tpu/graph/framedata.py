@@ -22,7 +22,8 @@ from flax import struct
 # Packed light layout (float lanes), reference: LightInfo ShaderBuffers.h:377-404
 LIGHT_STRIDE = 16
 # 0-2 position, 3 type, 4-6 direction, 7 intensity, 8-10 color, 11 range,
-# 12 cos(inner), 13 cos(outer), 14 shadow slot (-1 none, bitcast), 15 pad
+# 12 cos(inner), 13 cos(outer), 14 spot shadow slot (-1 none, plain float),
+# 15 point cube shadow index (-1 none)
 
 
 @struct.dataclass
@@ -142,6 +143,8 @@ class FrameConfig:
     shadow_clusters: int = 512        # caster cut budget (x128 tris)
     max_shadow_lights: int = 0        # shadow-casting spot-light slots
     spot_shadow_resolution: int = 512
+    max_shadow_cubes: int = 0         # shadow-casting point lights (6 faces)
+    point_shadow_resolution: int = 256
     enable_clustered: bool = False
     max_lights_per_cluster: int = 64
     enable_ibl: bool = False
@@ -164,6 +167,7 @@ class FrameConfig:
     enable_oit: bool = False
     oit_layers: int = 4
     enable_alpha_mask: bool = False   # alpha-cutoff (MASK) material pass
+    enable_coat: bool = False         # OpenPBR clear-coat lobe
     mask_clusters: int = 256          # masked caster cut budget (x128 tris)
     enable_auto_exposure: bool = False
     enable_skinning: bool = False

@@ -97,6 +97,8 @@ def cull_lights_tiles(depth_p: jnp.ndarray, lights: jnp.ndarray,
         # Shadow-casting locals shade through the per-light shadowed pass
         # (graph/frame.py), not the tiled loop.
         live = live & (lights[:, 14] < 0.0)
+    if config.max_shadow_cubes > 0:
+        live = live & (lights[:, 15] < 0.0)
     # Squared distance from light to AABB.
     d = jnp.maximum(mins[:, None, :] - lpos[None, :, :], 0.0) + \
         jnp.maximum(lpos[None, :, :] - maxs[:, None, :], 0.0)  # (NT, L, 3)

@@ -48,6 +48,8 @@ class GBuffer(NamedTuple):
     normal_tex: jnp.ndarray = None  # (H, W) i32 normal texture id (-1 none)
     mr_tex: jnp.ndarray = None      # (H, W) i32 metallic-roughness tex id
     emissive_tex: jnp.ndarray = None  # (H, W) i32 emissive texture id
+    coat_weight: jnp.ndarray = None   # (H, W) f32 OpenPBR coat weight
+    coat_rough: jnp.ndarray = None    # (H, W) f32 coat roughness
 
 
 def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
@@ -178,6 +180,8 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
                          .reshape(H, W), -1),
         emissive_tex=jnp.where(covered, jnp.round(mat[:, 16]).astype(jnp.int32)
                                .reshape(H, W), -1),
+        coat_weight=jnp.where(covered, mat[:, 18].reshape(H, W), 0.0),
+        coat_rough=jnp.clip(mat[:, 19].reshape(H, W), 0.05, 1.0),
     )
 
 
@@ -223,9 +227,29 @@ def eval_brdf(n, v, l, albedo, metallic, roughness):
     return (diffuse + specular) * n_dot_l
 
 
+def apply_coat(base: jnp.ndarray, gb: GBuffer, n: jnp.ndarray,
+               v: jnp.ndarray, l: jnp.ndarray, radiance: jnp.ndarray
+               ) -> jnp.ndarray:
+    """OpenPBR clear-coat: a second GGX lobe at the coat roughness over an
+    attenuated base (reference: OpenPBR canonicalization in
+    MaterialManager.cpp + PerMaterialOpenPBRCB, ShaderBuffers.h:139-361).
+    Coat F0 ~0.05 (ior 1.6); energy: base *= (1 - Fc * weight)."""
+    w = gb.coat_weight[..., None]
+    h = l + v
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    n_dot_l = jnp.maximum(jnp.sum(n * l, -1, keepdims=True), 0.0)
+    n_dot_v = jnp.maximum(jnp.sum(n * v, -1, keepdims=True), 1e-4)
+    n_dot_h = jnp.maximum(jnp.sum(n * h, -1, keepdims=True), 0.0)
+    v_dot_h = jnp.maximum(jnp.sum(v * h, -1, keepdims=True), 0.0)
+    alpha = jnp.maximum(gb.coat_rough[..., None] ** 2, 1e-3)
+    Fc = _f_schlick(v_dot_h, jnp.float32(0.05))
+    spec = _d_ggx(n_dot_h, alpha) * _g_smith(n_dot_v, n_dot_l, alpha) * Fc
+    return base * (1.0 - Fc * w) + spec * n_dot_l * radiance * w
+
+
 def shade_one_light(gb: GBuffer, row: jnp.ndarray, v: jnp.ndarray,
-                    n: jnp.ndarray, directional_only: bool = False
-                    ) -> jnp.ndarray:
+                    n: jnp.ndarray, directional_only: bool = False,
+                    coat: bool = False) -> jnp.ndarray:
     """Full-screen contribution of ONE packed light row (H, W, 3).
     Shared by the deferred loop and the shadowed-local-light pass."""
     lpos, ltype = row[0:3], row[3]
@@ -248,6 +272,8 @@ def shade_one_light(gb: GBuffer, row: jnp.ndarray, v: jnp.ndarray,
     radiance = color[None, None, :] * (intensity * att)
     brdf = eval_brdf(n, v, l, gb.albedo, gb.metallic, gb.roughness)
     out = brdf * radiance
+    if coat and gb.coat_weight is not None:
+        out = apply_coat(out, gb, n, v, l, radiance)
     if directional_only:
         # Local lights are handled by the tiled Pallas pass
         # (ops/lighting.py); only type-0 lights shade here.
@@ -257,8 +283,8 @@ def shade_one_light(gb: GBuffer, row: jnp.ndarray, v: jnp.ndarray,
 
 def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
                    shadow_fn=None, ambient: float = 0.0,
-                   max_lights: int = 0, directional_only: bool = False
-                   ) -> jnp.ndarray:
+                   max_lights: int = 0, directional_only: bool = False,
+                   coat: bool = False) -> jnp.ndarray:
     """Full-screen deferred lighting -> HDR (H, W, 3).
 
     `shadow_fn(light_index, world_pos, normal) -> (H, W) visibility` is
@@ -273,7 +299,7 @@ def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
 
     def light_contrib(i):
         out = shade_one_light(gb, scene.lights[i], v, n,
-                              directional_only=directional_only)
+                              directional_only=directional_only, coat=coat)
         if shadow_fn is not None:
             vis = shadow_fn(i, gb.world_pos, n)
             out = out * vis[..., None]

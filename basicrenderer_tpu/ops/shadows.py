@@ -297,3 +297,107 @@ def sample_spot_shadow(depth: jnp.ndarray, view, vp: jnp.ndarray,
     p = jnp.pad(lit, 1, mode="edge")
     acc = sum(p[dy:dy + H, dx:dx + W] for dy in range(3) for dx in range(3))
     return acc / 9.0
+
+
+# ---------------------------------------------------------------------------
+# Point-light cube shadows (6 perspective faces; reference: LightManager's
+# omni shadow cameras).
+# ---------------------------------------------------------------------------
+
+_CUBE_DIRS = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1),
+              (0, 0, -1)]
+_CUBE_UPS = [(0, 1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1), (0, 1, 0),
+             (0, 1, 0)]
+
+
+def point_cube_matrices(lights: jnp.ndarray, max_cubes: int,
+                        near: float = 0.05):
+    """(max_cubes, 6, 4, 4) face viewprojs + (max_cubes,) light index/live.
+    Cube index lives in light lane 15 (scene/bridge.py)."""
+    vps, idxs, lives = [], [], []
+    for c in range(max_cubes):
+        sel = (jnp.abs(lights[:, 15] - c) < 0.5).astype(jnp.float32)
+        live = jnp.sum(sel) > 0.5
+        row = jnp.matmul(sel[None, :], lights,
+                         precision=jax.lax.Precision.HIGH)[0]
+        pos = row[0:3]
+        rng = jnp.maximum(row[11], near * 2.0)
+        # 90-degree faces with a little overlap for seam-free selection.
+        proj = math3d.perspective(jnp.pi / 2 * 1.02, 1.0, near, rng,
+                                  reverse_z=True)
+        face_vps = []
+        for d, up in zip(_CUBE_DIRS, _CUBE_UPS):
+            d = jnp.asarray(d, jnp.float32)
+            up = jnp.asarray(up, jnp.float32)
+            s = jnp.cross(d, up)
+            s = s / jnp.maximum(jnp.linalg.norm(s), 1e-9)
+            u = jnp.cross(s, d)
+            R = jnp.stack([s, u, -d])
+            t = -R @ pos
+            viewm = jnp.zeros((4, 4), jnp.float32).at[:3, :3].set(R) \
+                .at[:3, 3].set(t).at[3, 3].set(1.0)
+            face_vps.append(proj @ viewm)
+        vps.append(jnp.stack(face_vps))
+        idxs.append(jnp.argmax(sel).astype(jnp.int32))
+        lives.append(live)
+    return jnp.stack(vps), jnp.stack(idxs), jnp.stack(lives)
+
+
+def point_shadow_config(config: FrameConfig) -> FrameConfig:
+    res = config.point_shadow_resolution
+    return dataclasses.replace(
+        config, width=res, height=res, enable_occlusion=False,
+        max_pairs=min(config.max_pairs, 1 << 14),
+        max_tiles_per_tri=min(config.max_tiles_per_tri, 8))
+
+
+def sample_point_shadow(depth: jnp.ndarray, view, light_pos: jnp.ndarray,
+                        face_vps: jnp.ndarray, face_maps: jnp.ndarray,
+                        downscale: int = 4, row0: int = 0,
+                        full_h: int = None) -> jnp.ndarray:
+    """(H, W) visibility for one point light. face_maps (6, R', R');
+    the face is selected per pixel by the dominant axis of (p - light),
+    then ONE combined gather samples all faces (the cascade strategy)."""
+    H, W = depth.shape
+    full_h = full_h or H
+    Rp = face_maps.shape[1]
+    d = downsample2d(depth, downscale)
+    h, w = d.shape
+    ds = downscale
+    ndc_x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * ds + 0.5) \
+        / W * 2.0 - 1.0
+    ndc_y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * ds
+                   + 0.5 + row0) / full_h * 2.0
+    inv_vp = jnp.linalg.inv(view.viewproj)
+    px, py, pz, pw = math3d.mat4_columns(inv_vp, ndc_x, ndc_y, d)
+    iw = 1.0 / jnp.where(jnp.abs(pw) > 1e-12, pw, 1.0)
+    px, py, pz = px * iw, py * iw, pz * iw
+
+    tx = px - light_pos[0]
+    ty = py - light_pos[1]
+    tz = pz - light_pos[2]
+    ax, ay, az = jnp.abs(tx), jnp.abs(ty), jnp.abs(tz)
+    face = jnp.where((ax >= ay) & (ax >= az), jnp.where(tx > 0, 0, 1),
+                     jnp.where(ay >= az, jnp.where(ty > 0, 2, 3),
+                               jnp.where(tz > 0, 4, 5)))
+    sel_idx = jnp.zeros((h, w), jnp.int32)
+    sel_z = jnp.zeros((h, w), jnp.float32)
+    inside_any = jnp.zeros((h, w), bool)
+    for f in range(6):
+        x, y, z, wq = math3d.mat4_columns(face_vps[f], px, py, pz)
+        front = wq > 1e-6
+        qi = 1.0 / jnp.where(front, wq, 1.0)
+        x, y, z = x * qi, y * qi, z * qi
+        use = (face == f) & front & (z > 0) & (z < 1)
+        u = jnp.clip(((x * 0.5 + 0.5) * Rp).astype(jnp.int32), 0, Rp - 1)
+        v = jnp.clip(((0.5 - y * 0.5) * Rp).astype(jnp.int32), 0, Rp - 1)
+        sel_idx = jnp.where(use, (f * Rp + v) * Rp + u, sel_idx)
+        sel_z = jnp.where(use, z, sel_z)
+        inside_any = inside_any | use
+    smp = face_maps.reshape(-1)[sel_idx]
+    lit = ((sel_z >= smp * 0.96) | (smp <= 0.0)).astype(jnp.float32)
+    lit = jnp.where(inside_any & (d > 0), lit, 1.0)
+    lit = jax.image.resize(lit, (H, W), method="bilinear")
+    p = jnp.pad(lit, 1, mode="edge")
+    acc = sum(p[dy:dy + H, dx:dx + W] for dy in range(3) for dx in range(3))
+    return acc / 9.0

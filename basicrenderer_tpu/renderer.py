@@ -127,6 +127,9 @@ class Renderer:
             enable_alpha_mask=any(m.alpha_cutoff >= 0.0
                                   for m in self.materials.materials),
             max_shadow_lights=self._count_shadow_spots(),
+            max_shadow_cubes=self._count_shadow_points(),
+            enable_coat=any(m.coat_weight > 0.0
+                            for m in self.materials.materials),
             enable_auto_exposure=s.get("enableAutoExposure"),
             enable_vsm=s.get("enableVSM"),
             enable_culling=s.get("enableFrustumCulling", True),
@@ -147,6 +150,16 @@ class Renderer:
         n = sum(1 for _e, (l,) in self._scene.world.query(Light)
                 if l.type == LightType.SPOT and l.cast_shadows)
         return min(n, 4)
+
+    def _count_shadow_points(self) -> int:
+        """Shadow-casting point lights (capped at 2 cubes — 6 face renders
+        + a full-screen shadowed shade each)."""
+        if self._scene is None:
+            return 0
+        from .scene.components import Light, LightType
+        n = sum(1 for _e, (l,) in self._scene.world.query(Light)
+                if l.type == LightType.POINT and l.cast_shadows)
+        return min(n, 2)
 
     def _live_tex_channels(self) -> tuple:
         """Channel samples the frame actually needs (unused ones cost

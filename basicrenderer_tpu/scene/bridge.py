@@ -304,6 +304,7 @@ class SceneRenderBridge:
         table = np.zeros((c.max_lights, LIGHT_STRIDE), np.float32)
         n = 0
         shadow_slot = 0
+        cube_slot = 0
         entries = sorted(
             self.scene.world.query(Light),
             key=lambda e: 0 if e[1][0].type == LightType.DIRECTIONAL else 1)
@@ -324,15 +325,20 @@ class SceneRenderBridge:
             row[11] = l.range
             row[12] = np.cos(l.inner_cone)
             row[13] = np.cos(l.outer_cone)
-            # Local shadow slots: SPOT lights only (point lights need a
-            # 6-face cube view — a later tier; the directional light rides
-            # CSM/VSM). Stored as a plain float (bitcast ints break the
-            # one-hot lookup path).
+            # Local shadow slots (plain floats — bitcast ints break the
+            # one-hot lookup path): lane 14 = spot view slot, lane 15 =
+            # point cube index (6 faces each). The directional light rides
+            # CSM/VSM.
             slot = -1
+            cube = -1
             if l.cast_shadows and l.type == LightType.SPOT:
                 slot = shadow_slot
                 shadow_slot += 1
+            if l.cast_shadows and l.type == LightType.POINT:
+                cube = cube_slot
+                cube_slot += 1
             row[14] = float(slot)
+            row[15] = float(cube)
             n += 1
         n_dir = int(np.sum(table[:n, 3] == 0.0))
         return table, n, n_dir

@@ -119,3 +119,49 @@ def test_cascade_matrices_cover_frustum_slices():
     p = jnp.array([0.0, 0.0, 8.0, 1.0])
     ls = np.asarray(vps[0] @ p)
     assert abs(ls[0]) <= 1.0 and abs(ls[1]) <= 1.0 and 0.0 <= ls[2] <= 1.0
+
+
+def test_openpbr_coat_adds_sharp_highlight():
+    """A rough base with a smooth clear coat gains a tight specular lobe
+    (OpenPBR coat: second GGX layer + base attenuation)."""
+    import dataclasses
+    from basicrenderer_tpu.models import procedural
+    from basicrenderer_tpu.models.materials import Material, MaterialRegistry
+    from basicrenderer_tpu.models.mesh import MeshRegistry
+    from basicrenderer_tpu.scene.bridge import BridgeCapacities, SceneRenderBridge
+    from basicrenderer_tpu.scene.scene import Scene
+    from basicrenderer_tpu.graph.framedata import FrameConfig, FrameParams, make_view
+    from basicrenderer_tpu.graph.frame import build_frame_fn
+
+    def build(coat):
+        meshes, mats = MeshRegistry(), MaterialRegistry()
+        sphere = meshes.add(procedural.make_uv_sphere(1.0, rings=24, sectors=48))
+        m = mats.add(Material(base_color=np.array([0.6, 0.1, 0.1, 1], np.float32),
+                              roughness=0.9, coat_weight=coat,
+                              coat_roughness=0.08))
+        sc = Scene()
+        sc.create_renderable(sphere, m)
+        sc.create_directional_light(direction=(-0.5, -0.8, -0.4), intensity=5.0)
+        sc.set_camera(position=(0, 0.8, 3), target=(0, 0, 0), aspect=1.0)
+        sc.propagate_transforms()
+        caps = BridgeCapacities(max_vertices=1 << 12, max_triangles=1 << 12,
+                                max_objects=4, max_materials=4, max_lights=2,
+                                max_clusters=32, max_geom_clusters=32)
+        bridge = SceneRenderBridge(sc, meshes, mats, caps)
+        return bridge.build_scene_buffers(), sc
+
+    cfg = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                      max_pairs=1 << 12, use_pallas_raster=False,
+                      enable_coat=True)
+    imgs = {}
+    for coat in (0.0, 1.0):
+        buffers, sc = build(coat)
+        view, proj, pos = sc.camera_matrices(aspect=1.0)
+        out = jax.jit(build_frame_fn(cfg))(buffers, make_view(view, proj, pos),
+                                           FrameParams.default())
+        imgs[coat] = np.asarray(out["image"]).astype(np.float32)
+    lum0 = imgs[0.0].mean(-1)
+    lum1 = imgs[1.0].mean(-1)
+    # Coat concentrates energy: the brightest pixels get brighter.
+    assert np.sort(lum1.ravel())[-50:].mean() > \
+        np.sort(lum0.ravel())[-50:].mean() + 5

@@ -66,3 +66,40 @@ def test_spot_shadow_darkens_occluded_ground():
     assert shadowed.sum() > 30, shadowed.sum()
     # Most lit surface unchanged (the spot still lights the rest).
     assert (ratio[(vis > 0)] > 0.8).mean() > 0.5
+
+
+def test_point_light_cube_shadow():
+    """A shadow-casting POINT light: the cube blocks light from reaching
+    the ground beneath it (6-face cube map, face-selected sampling)."""
+    meshes, mats = MeshRegistry(), MaterialRegistry()
+    cube = meshes.add(procedural.make_cube(0.8))
+    plane = meshes.add(procedural.make_plane(12.0, 4))
+    white = mats.add(Material(base_color=np.array([1, 1, 1, 1], np.float32),
+                              roughness=0.9))
+    sc = Scene()
+    sc.create_renderable(plane, white)
+    sc.create_renderable(cube, white, position=(0, 1.0, 0))
+    sc.create_point_light(position=(1.2, 3.5, 0.8), intensity=60.0,
+                          range=14.0, cast_shadows=True)
+    sc.set_camera(position=(4, 4, 5), target=(0, 0.5, 0), aspect=1.0)
+    sc.propagate_transforms()
+    caps = BridgeCapacities(max_vertices=1 << 10, max_triangles=1 << 10,
+                            max_objects=8, max_materials=4, max_lights=8,
+                            max_clusters=16, max_geom_clusters=16)
+    bridge = SceneRenderBridge(sc, meshes, mats, caps)
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    vd = make_view(view, proj, pos)
+    cfg = dataclasses.replace(CFG, max_shadow_lights=0, max_shadow_cubes=1,
+                              point_shadow_resolution=128)
+    params = FrameParams.default()
+    out = jax.jit(build_frame_fn(cfg))(buffers, vd, params)
+    img = np.asarray(out["image"]).astype(np.float32)
+    cfg0 = dataclasses.replace(cfg, max_shadow_cubes=0)
+    base = np.asarray(jax.jit(build_frame_fn(cfg0))(
+        buffers, vd, params)["image"]).astype(np.float32)
+    ratio = (img.mean(-1) + 1) / (base.mean(-1) + 1)
+    vis = np.asarray(out["vis"])
+    shadowed = (ratio < 0.7) & (vis > 0)
+    assert shadowed.sum() > 30, shadowed.sum()
+    assert (ratio[(vis > 0)] > 0.8).mean() > 0.5
