@@ -83,7 +83,15 @@ def bloom(hdr: jnp.ndarray, threshold, intensity, mips: int = 5) -> jnp.ndarray:
     lum = hdr[..., 0] * 0.2126 + hdr[..., 1] * 0.7152 + hdr[..., 2] * 0.0722
     scale = jnp.clip((lum - threshold) / jnp.maximum(threshold, 1e-3), 0.0, 1e3)
     bright = hdr * scale[..., None]
-    chain = [_down2_p(bright.transpose(2, 0, 1))]
+    # First downsample stays in channel-minor with CONTIGUOUS reads (row
+    # point-slice + column pair-mean), and the plane transpose happens at
+    # quarter size — transposing/downsampling the full-res (H, W, 3) image
+    # profiled at 6.4 ms.
+    H0, W0 = bright.shape[:2]
+    h2, w2 = H0 // 2, W0 // 2
+    rows = bright[:h2 * 2].reshape(h2, 2, W0, 3)[:, 0]
+    half = rows[:, :w2 * 2].reshape(h2, w2, 2, 3).mean(2)
+    chain = [half.transpose(2, 0, 1)]
     for _ in range(mips - 2):
         chain.append(_blur3_p(_down2_p(chain[-1])))
     up = chain[-1]

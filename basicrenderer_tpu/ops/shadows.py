@@ -133,13 +133,16 @@ def render_cascade(scene: SceneBuffers, cascade_vp: jnp.ndarray,
 
 def downsample2d(x: jnp.ndarray, ds: int) -> jnp.ndarray:
     """(H, W) -> (H//ds, W//ds) point sample. Profiled: `x[::ds, ::ds]`
-    compiles to a GATHER fusion on TPU (~5-6 ms at 1080p/3-chan); the
-    reshape+static-index form lowers to a plain slice (~2.3 ms 2D). Only
-    2D planes should ever be downsampled — never (H, W, 3) images."""
+    compiles to a GATHER fusion on TPU (~5-6 ms at 1080p/3-chan); one
+    combined reshape-index is ~2.3 ms; splitting into a ROW slice (fully
+    contiguous) then a column select on the quarter-size result is
+    ~1.05 ms. Only 2D planes should ever be downsampled — never (H, W, 3)
+    images."""
     if ds == 1:
         return x
     h, w = x.shape
-    return x.reshape(h // ds, ds, w // ds, ds)[:, 0, :, 0]
+    rows = x.reshape(h // ds, ds, w)[:, 0]
+    return rows.reshape(h // ds, w // ds, ds)[:, :, 0]
 
 
 def sample_shadow_cascades(depth: jnp.ndarray, view, cascade_vps: jnp.ndarray,

@@ -232,12 +232,32 @@ def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     tex_flags: (N,) i32; tex_ids: (K, H, W) i32 (-1 = none -> white);
     uv: (H, W, 2). Returns (K, H, W, 4) f32 linear.
 
-    Block limitations (documented contract): one layer per (block, channel) —
-    minority pixels of a block that straddles two textured materials fall
-    back to white for that channel; blocks straddling UV wrap seams or with
-    >20-texel footprints sample a coarser mip (blur, never wrong memory).
+    TPU note: when downscale > 1 prefer sample_pyramid_blocked_planes —
+    strided `[::ds]` slices of channel-minor images compile to gather
+    fusions (~8 ms at 1080p; the planes entry point slices cheap 2-D
+    arrays instead).
+
+    Block limitations (documented contract): two layers per block for the
+    first channel, one for the rest; blocks straddling UV wrap seams or
+    with oversized footprints sample a coarser mip (blur, never wrong
+    memory).
     """
-    K = tex_ids.shape[0]
+    ds = downscale
+    st = uv[::ds, ::ds]
+    tids = tex_ids[:, ::ds, ::ds]
+    return sample_pyramid_blocked_planes(
+        strips, tex_flags, tids, st[..., 0], st[..., 1],
+        uv.shape[0], uv.shape[1], ds, filter, block_chunk)
+
+
+def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
+                                  tids: jnp.ndarray, u_ds: jnp.ndarray,
+                                  v_ds: jnp.ndarray, H: int, W: int,
+                                  ds: int = 1, filter: str = "bilinear",
+                                  block_chunk: int = 2048) -> jnp.ndarray:
+    """Plane-input variant: tids (K, h, w), u_ds/v_ds (h, w) ALREADY at the
+    sampling rate (h = H//ds). Returns (K, H, W, 4) upsampled to full res."""
+    K = tids.shape[0]
     N = tex_flags.shape[0]
     NR, _sw = strips.shape
     RPL_total = NR // N
@@ -245,14 +265,11 @@ def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     sizes, _ = mip_layout(R)
     M = len(sizes)
     row_offs, RPL = strip_layout(R)
-    H, W = uv.shape[:2]
-    ds = downscale
-    h, w = H // ds, W // ds
+    h, w = u_ds.shape
     ph = (-h) % BLOCK
     pw = (-w) % BLOCK
 
-    st = uv[::ds, ::ds]
-    tids = tex_ids[:, ::ds, ::ds]
+    st = jnp.stack([u_ds, v_ds], axis=-1)
     mipf = compute_mip(st, R, M)
     if ph or pw:
         st = jnp.pad(st, ((0, ph), (0, pw), (0, 0)), mode="edge")

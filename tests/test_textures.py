@@ -249,3 +249,38 @@ def test_blocked_sampler_minified_and_untextured():
     out2 = np.asarray(sample_pyramid_blocked(
         strips, sflags, jnp.full((1, H, W), -1, jnp.int32), uv))
     assert (out2 == 1.0).all()
+
+
+def test_textured_frame_planes_path_ds2():
+    """texture_downscale=2 rides the channels-planes sampler path; the
+    checker must still resolve (vs the ds1 reference)."""
+    meshes, mats = MeshRegistry(), MaterialRegistry()
+    tex = TextureRegistry(resolution=64)
+    checker = tex.checkerboard(a=(1, 1, 1), b=(0.05, 0.05, 0.05), squares=8)
+    plane = meshes.add(procedural.make_plane(8.0, 1))
+    m = mats.add(Material(base_color=np.array([1, 1, 1, 1], np.float32),
+                          roughness=0.9, base_color_texture=checker))
+    sc = Scene()
+    sc.create_renderable(plane, m)
+    sc.create_directional_light(direction=(0, -1, 0), intensity=3.0)
+    sc.set_camera(position=(0, 6, 0.1), target=(0, 0, 0), aspect=1.0)
+    sc.propagate_transforms()
+    caps = BridgeCapacities(max_vertices=64, max_triangles=64, max_objects=4,
+                            max_materials=4, max_lights=2, max_clusters=8)
+    bridge = SceneRenderBridge(sc, meshes, mats, caps, textures=tex)
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    import dataclasses
+    cfg1 = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                       max_pairs=256, use_pallas_raster=False,
+                       enable_textures=True, texture_downscale=1)
+    cfg2 = dataclasses.replace(cfg1, texture_downscale=2)
+    vd = make_view(view, proj, pos)
+    img1 = np.asarray(jax.jit(build_frame_fn(cfg1))(
+        buffers, vd, FrameParams.default())["image"]).astype(np.float32)
+    img2 = np.asarray(jax.jit(build_frame_fn(cfg2))(
+        buffers, vd, FrameParams.default())["image"]).astype(np.float32)
+    # ds2 is a softened version of ds1 — structurally similar.
+    assert np.abs(img1 - img2).mean() < 12, np.abs(img1 - img2).mean()
+    lum = img2[..., 0]
+    assert lum.std() > 25   # checker still visible at ds2
