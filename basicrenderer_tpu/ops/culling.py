@@ -54,8 +54,11 @@ def build_hzb(depth: jnp.ndarray, levels: int = 8) -> List[jnp.ndarray]:
         h, w = d.shape
         h2, w2 = max(h // 2, 1), max(w // 2, 1)
         if h >= 2 and w >= 2:
-            d4 = d[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
-            d = jnp.min(jnp.min(d4, axis=3), axis=1)
+            # Two-stage reduce (rows, then columns on the half-size
+            # result): contiguous reads — ~2x faster than one 4-D
+            # reshape-min at 1080p (see shadows.downsample2d).
+            rows = jnp.min(d[:h2 * 2].reshape(h2, 2, w), axis=1)
+            d = jnp.min(rows[:, :w2 * 2].reshape(h2, w2, 2), axis=2)
         mips.append(d)
     return mips
 
