@@ -92,26 +92,33 @@ def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         # soup except the cluster table and the compaction gather.
         comp = clod_compact(scene, view, config, params)
         cl_overflow = comp.overflow
-        lanes, bbox, valid = raster_setup.setup_from_compacted(
+        lanes, bbox, valid, clip_ovf = raster_setup.setup_from_compacted(
             scene, comp, view.viewproj, config)
         pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
-        return None, None, None, cl_overflow, pairs
+        return None, None, None, cl_overflow + clip_ovf, pairs
     clip, world_pos, world_normals = raster_setup.transform_geometry(
         scene.positions, scene.normals, scene.vert_object, scene.object_mats,
         scene.object_normal_mats, view.viewproj)
     clip, world_pos, world_normals = jax.lax.optimization_barrier(
         (clip, world_pos, world_normals))
     tri_valid = scene.tri_object >= 0
-    lanes, bbox, valid = raster_setup.triangle_setup_packed(
+    lanes, bbox, valid, clip_ovf = raster_setup.triangle_setup_packed(
         clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
-        scene.tri_material)
+        scene.tri_material, scene.tri_object)
     if config.enable_culling:
         obj_vis = culling.frustum_cull_spheres(
             view.viewproj, scene.object_bounds[:, :3],
             scene.object_bounds[:, 3], scene.object_valid)
-        valid = valid & object_mask_to_tris(obj_vis, scene.tri_object)
+        tri_mask = object_mask_to_tris(obj_vis, scene.tri_object)
+        if valid.shape[0] != tri_mask.shape[0]:
+            # Near-clip rows were appended past the soup (cannot belong to
+            # a frustum-culled object: they intersect the camera plane).
+            tri_mask = jnp.pad(
+                tri_mask, (0, valid.shape[0] - tri_mask.shape[0]),
+                constant_values=True)
+        valid = valid & tri_mask
     pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
-    return clip, world_pos, world_normals, jnp.int32(0), pairs
+    return clip, world_pos, world_normals, clip_ovf, pairs
 
 
 def geometry_setup(scene: SceneBuffers, view: ViewData, config: FrameConfig):
@@ -126,9 +133,9 @@ def geometry_setup(scene: SceneBuffers, view: ViewData, config: FrameConfig):
     clip, world_pos, world_normals = jax.lax.optimization_barrier(
         (clip, world_pos, world_normals))
     tri_valid = scene.tri_object >= 0
-    lanes, bbox, valid = raster_setup.triangle_setup_packed(
+    lanes, bbox, valid, _clip_ovf = raster_setup.triangle_setup_packed(
         clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
-        scene.tri_material)
+        scene.tri_material, scene.tri_object)
     return clip, world_pos, world_normals, lanes, bbox, valid
 
 
@@ -156,7 +163,9 @@ def visibility_pass(pairs, lcfg: FrameConfig, init=None, tile_row0=0):
 def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                  prev_depth: Optional[jnp.ndarray],
                  taa_history: Optional[jnp.ndarray],
-                 vsm_state=None,
+                 vsm_state=None, prev_viewproj: Optional[jnp.ndarray] = None,
+                 moving_rel: Optional[jnp.ndarray] = None,
+                 moving_ids: Optional[jnp.ndarray] = None,
                  *, config: FrameConfig, lcfg: FrameConfig,
                  row0_tiles, axis: Optional[str]) -> Dict[str, jnp.ndarray]:
     """The frame program — ONE implementation for single-chip and sharded
@@ -223,15 +232,23 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                                            config.width, full_h)
 
         def raster_cut(c, budget, init=None):
+            import dataclasses as _dc
             comp = clod_ops.compact_visible_tris(
                 cut=c, scene=scene, max_visible=budget)
             ovf = comp.overflow
-            lanes, bboxt, valid = raster_setup.setup_from_compacted(
+            lanes, bboxt, valid, clip_ovf = raster_setup.setup_from_compacted(
                 scene, comp, view.viewproj, config)
-            prs = raster_setup.bin_pairs(lanes, bboxt, valid, config)
+            # Pair capacity sized to the pass's own triangle budget (2 tile
+            # slots/tri average): the binned-pair gather + raster feed cost
+            # scales with capacity, and the phase-2 replay budget is ~8x
+            # smaller than phase 1 — binning it at the full max_pairs wastes
+            # ~2.5 ms/frame. Overflow still surfaces via pairs.overflow.
+            bcfg = _dc.replace(config, max_pairs=min(
+                config.max_pairs, max(budget * 256, 1 << 14)))
+            prs = raster_setup.bin_pairs(lanes, bboxt, valid, bcfg)
             d, v, ch = visibility_pass(localize(prs), lcfg, init=init,
                                        tile_row0=row0_tiles)
-            return d, v, ch, prs, ovf
+            return d, v, ch, prs, ovf + clip_ovf
 
         depth_p, vis_p, channels, pairs, ovf1 = raster_cut(
             cut & unocc, config.max_visible_clusters)
@@ -254,7 +271,17 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         vis1, cand = culling.two_phase_object_cull(
             view.viewproj, centers, radii, scene.object_valid, prev_hzb,
             config.width, config.height)
-        valid1 = valid & object_mask_to_tris(vis1, scene.tri_object)
+
+        def obj_tri_mask(ov):
+            m = object_mask_to_tris(ov, scene.tri_object)
+            if valid.shape[0] != m.shape[0]:
+                # Appended near-clip rows (always kept — they cross the
+                # camera plane, so their object cannot be culled/occluded).
+                m = jnp.pad(m, (0, valid.shape[0] - m.shape[0]),
+                            constant_values=True)
+            return m
+
+        valid1 = valid & obj_tri_mask(vis1)
         pairs = raster_setup.bin_pairs(lanes, bbox, valid1, config)
         depth_p, vis_p, channels = visibility_pass(
             localize(pairs), lcfg, tile_row0=row0_tiles)
@@ -264,7 +291,7 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             view.viewproj, centers, radii, config.width, config.height)
         vis2 = cand & culling.occlusion_test_hzb(
             hzb_now, bb2, zn2, behind2, config.width, config.height)
-        valid2 = valid & object_mask_to_tris(vis2, scene.tri_object)
+        valid2 = valid & obj_tri_mask(vis2)
         pairs2 = raster_setup.bin_pairs(lanes, bbox, valid2, config)
         depth_p, vis_p, channels = visibility_pass(
             localize(pairs2), lcfg, init=(depth_p, vis_p, channels),
@@ -291,15 +318,17 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         cut_m = base_cut & (scene.cluster_table[:, 10] > 1.5)
         comp_m = clod_ops.compact_visible_tris(
             cut=cut_m, scene=scene, max_visible=config.mask_clusters)
-        lanes_m, bbox_m, valid_m = raster_setup.setup_from_compacted(
-            scene, comp_m, view.viewproj, config)
+        lanes_m, bbox_m, valid_m, _mask_clip_ovf = \
+            raster_setup.setup_from_compacted(
+                scene, comp_m, view.viewproj, config)
         pairs_m = raster_setup.bin_pairs(lanes_m, bbox_m, valid_m, config)
         dm, vm, chm = visibility_pass(localize(pairs_m), lcfg,
                                       tile_row0=row0_tiles)
         # Alpha evaluation: uv + material from the masked channels.
         iwm = jnp.where(jnp.abs(chm[0]) > 1e-12, chm[0], 1.0)
         uv_m = jnp.stack([chm[4] / iwm, chm[5] / iwm], axis=-1)[:H, :W]
-        mid_m = jnp.round(chm[6]).astype(jnp.int32)[:H, :W]
+        mid_m = (jnp.round(chm[6]).astype(jnp.int32)
+                 % raster_setup.OBJ_COMBO)[:H, :W]
         mrow = raster_setup.gather_rows_onehot(
             scene.material_table, jnp.clip(
                 mid_m.reshape(-1), 0, scene.material_table.shape[0] - 1))
@@ -347,7 +376,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             v_ds = downsample2d(channels[5][:H, :W], ds) / iwm
             mid_ds = jnp.clip(
                 jnp.round(downsample2d(channels[6][:H, :W], ds))
-                .astype(jnp.int32), 0, scene.material_table.shape[0] - 1)
+                .astype(jnp.int32) % raster_setup.OBJ_COMBO,
+                0, scene.material_table.shape[0] - 1)
             covered_ds = downsample2d(vis, ds) > 0
             trow = raster_setup.gather_rows_onehot(
                 scene.material_table[:, 13:17], mid_ds.reshape(-1))
@@ -384,7 +414,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         if "normal" in s_of:
             rep["normal"] = tex_ops.apply_normal_map_sampled(
                 gb.normal, gb.world_pos, gb.uv, s_of["normal"],
-                gb.normal_tex)
+                gb.normal_tex,
+                normal_scale=gb.normal_scale[..., None])
         if "mr" in s_of:
             rep["roughness"] = gb.roughness * s_of["mr"][..., 1]
             rep["metallic"] = gb.metallic * s_of["mr"][..., 2]
@@ -643,7 +674,46 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         hdr = jax.image.resize(
             hdr, (config.output_height, config.output_width, 3), "bilinear")
     if config.enable_taa and taa_history is not None:
-        hdr = post_ops.taa_resolve(hdr, taa_history, params.taa_blend)
+        if prev_viewproj is not None and axis is None:
+            # Motion-vector reprojection (reference: UpscalingManager
+            # motion-vector tagging, UpscalingManager.h:23-80): per-pixel
+            # motion from depth + object ids (ops/motion.py), history
+            # warped per tile (ops/taa_warp.py), disagreeing pixels reject
+            # history. The sharded path keeps the camera-jitter resolve
+            # (its history is row-sharded; warps cross shard rows).
+            from ..ops import motion as motion_ops
+            if moving_rel is None:
+                moving_rel = jnp.zeros((motion_ops.MAX_MOVING, 4, 4),
+                                       jnp.float32)
+                moving_ids = jnp.full((motion_ops.MAX_MOVING,), -1,
+                                      jnp.int32)
+            du, dv, mvalid, mds = motion_ops.motion_field(
+                depth_p, channels[6], view, prev_viewproj,
+                moving_rel, moving_ids, config, row0=row0_px, full_h=full_h,
+                full_w=config.width)
+            tdy, tdx, resid = motion_ops.tile_motion(du, dv, mvalid,
+                                                     config, mds)
+            oh, ow = hdr.shape[:2]
+            if (oh, ow) != (H, W):
+                # TAAU: motion computed at render res; rescale the tile
+                # maps to the output-res tile grid and pixel units.
+                oty = -(-oh // config.tile_h)
+                otx = -(-ow // config.tile_w)
+                sy_s, sx_s = oh / H, ow / W
+                tdy = jax.image.resize(
+                    tdy.reshape(config.tiles_y, config.tiles_x) * sy_s,
+                    (oty, otx), "nearest").reshape(-1)
+                tdx = jax.image.resize(
+                    tdx.reshape(config.tiles_y, config.tiles_x) * sx_s,
+                    (oty, otx), "nearest").reshape(-1)
+                resid = resid * jnp.float32(max(sy_s, sx_s))
+            hdr = post_ops.taa_resolve_mv(
+                hdr, taa_history, params.taa_blend, tdy, tdx, resid,
+                config.tile_h, config.tile_w,
+                use_kernel=lcfg.use_pallas_raster,
+                interpret=lcfg.pallas_interpret)
+        else:
+            hdr = post_ops.taa_resolve(hdr, taa_history, params.taa_blend)
     taa_out = hdr
     if config.enable_bloom:
         hdr = local_rows(post_ops.bloom(gather_rows(hdr),
@@ -691,6 +761,17 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                if vsm_state_out is not None else {}),
         }
 
+    if config.wireframe and hdr.shape[:2] == vis.shape:
+        # Triangle-edge overlay from the visibility buffer: a pixel whose
+        # vis id differs from its left/up neighbor sits on a triangle edge
+        # (reference: the wireframe PSO toggle, PSOKey{..., wireframe}
+        # PSOManager.h:24-49 — here a post overlay, same visual intent).
+        edge = (vis != jnp.pad(vis, ((0, 0), (1, 0)))[:, :-1]) \
+            | (vis != jnp.pad(vis, ((1, 0), (0, 0)))[:-1, :])
+        edge = edge & (vis > 0)
+        hdr = jnp.where(edge[..., None],
+                        jnp.array([0.05, 1.0, 0.25], jnp.float32), hdr)
+
     ldr = shade_ops.aces_tonemap(hdr * exposure)
     srgb = shade_ops.linear_to_srgb(ldr)
     image = (srgb * 255.0 + 0.5).astype(jnp.uint8)
@@ -730,9 +811,12 @@ def build_frame_fn(config: FrameConfig) -> Callable[..., Dict[str, jnp.ndarray]]
     def frame(scene: SceneBuffers, view: ViewData, params: FrameParams,
               prev_depth: jnp.ndarray = None,
               taa_history: jnp.ndarray = None,
-              vsm_state=None) -> Dict[str, jnp.ndarray]:
+              vsm_state=None, prev_viewproj: jnp.ndarray = None,
+              moving_rel: jnp.ndarray = None,
+              moving_ids: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
         return _render_body(scene, view, params, prev_depth, taa_history,
-                            vsm_state, config=config, lcfg=config,
+                            vsm_state, prev_viewproj, moving_rel, moving_ids,
+                            config=config, lcfg=config,
                             row0_tiles=0, axis=None)
 
     return frame

@@ -25,6 +25,14 @@ LIGHT_STRIDE = 16
 # 12 cos(inner), 13 cos(outer), 14 spot shadow slot (-1 none, plain float),
 # 15 point cube shadow index (-1 none)
 
+# Hard caps on per-light shadow slots: each slot costs a dedicated shadow
+# render + shadowed shade pass. Lights beyond the cap keep slot -1 and ride
+# the tiled clustered loop unshadowed (bridge.snapshot_lights enforces this;
+# the caps here and renderer._count_shadow_* must agree or capped lights
+# would be dropped from shading entirely).
+MAX_SHADOW_SPOT_SLOTS = 4
+MAX_SHADOW_CUBE_SLOTS = 2
+
 
 @struct.dataclass
 class SceneBuffers:
@@ -137,6 +145,9 @@ class FrameConfig:
     max_big_tris: int = 256           # global large-triangle list capacity
     #                                   (span > max_tiles_per_tri tiles;
     #                                   multiple of 128 — raster DMA slabs)
+    near_clip_tris: int = 256         # near-plane clip budget per pass
+    #                                   (crossing tris -> up to 2 outputs;
+    #                                   0 disables -> guard-band reject)
     enable_shadows: bool = False
     num_cascades: int = 4
     shadow_resolution: int = 1024
@@ -159,8 +170,11 @@ class FrameConfig:
     enable_bloom: bool = False
     enable_gtao: bool = False
     enable_ssr: bool = False
-    ssr_steps: int = 8
-    ssr_downscale: int = 4
+    # SSR cost = steps x (W/ds x H/ds) x ~7ns (per-element gather floor):
+    # ds8/steps12 = ~2.7 ms at 1080p; ds4/steps8 was ~7 ms for little
+    # visible gain after the bilinear upsample + roughness fade.
+    ssr_steps: int = 12
+    ssr_downscale: int = 8
     ssr_max_distance: float = 30.0
     ssr_thickness: float = 0.03
     enable_taa: bool = False
@@ -173,10 +187,12 @@ class FrameConfig:
     enable_skinning: bool = False
     enable_vsm: bool = False            # virtual shadow maps (ops/vsm.py)
     vsm_pages_per_frame: int = 4        # dirty-page render budget
-    vsm_sample_downscale: int = 2
+    vsm_sample_downscale: int = 3   # atlas gather ~7ns/px: ds3 = ~1.6 ms
     vsm_mark_downscale: int = 4
     vsm_page_pairs: int = 1 << 15       # raster bin capacity per page
     vsm_page_clusters: int = 512        # cluster budget per page
+    vsm_filter_taps: int = 1            # 1 = point, 4 = 2x2 PCF (SMRT tier;
+    #                                     each tap costs a per-pixel gather)
     enable_culling: bool = True
     enable_clod: bool = False        # cluster-LOD cut selection (ops/clod.py)
     enable_streaming: bool = False   # geometry page streaming feedback
@@ -185,6 +201,7 @@ class FrameConfig:
     enable_occlusion: bool = False   # two-phase HZB occlusion culling
     hzb_levels: int = 8
     debug_view: str = "none"
+    wireframe: bool = False           # overlay triangle edges on the image
     use_pallas_raster: bool = True
     pallas_interpret: bool = False   # interpret-mode Pallas (CPU tests)
 

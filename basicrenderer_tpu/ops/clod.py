@@ -203,11 +203,12 @@ def touched_groups(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     live = jnp.arange(C) < scene.num_clusters
     wanted = live & (self_px <= tau_px) & (parent_px > tau_px)
 
-    out = jnp.zeros((GR + 1,), bool)
+    # Scatter-free mark (scatter serializes ~100 ns/row on TPU — several ms
+    # at 32k clusters): broadcast-compare one-hot reduction over the small
+    # group axis, same pattern as the VSM page mark (ops/vsm.py).
     feeds = jnp.where(wanted & (scene.cluster_feeds >= 0),
-                      scene.cluster_feeds, GR)
+                      scene.cluster_feeds, -1)
     made = jnp.where(wanted & (scene.cluster_made >= 0),
-                     scene.cluster_made, GR)
-    out = out.at[feeds].set(True)
-    out = out.at[made].set(True)    # one level finer: prefetch
-    return out[:GR]
+                     scene.cluster_made, -1)     # one level finer: prefetch
+    gids = jnp.arange(GR, dtype=jnp.int32)[None, :]
+    return ((feeds[:, None] == gids) | (made[:, None] == gids)).any(axis=0)

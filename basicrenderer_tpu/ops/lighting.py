@@ -94,11 +94,15 @@ def cull_lights_tiles(depth_p: jnp.ndarray, lights: jnp.ndarray,
     lrange = lights[:, 11]
     live = (jnp.arange(L) < num_lights) & (ltype != 0.0)
     if config.max_shadow_lights > 0:
-        # Shadow-casting locals shade through the per-light shadowed pass
-        # (graph/frame.py), not the tiled loop.
-        live = live & (lights[:, 14] < 0.0)
+        # Shadow-casting locals with a live slot shade through the per-light
+        # shadowed pass (graph/frame.py), not the tiled loop. Lights whose
+        # slot exceeds the config's pass count still shade here (unshadowed)
+        # rather than vanishing.
+        live = live & ~((lights[:, 14] >= 0.0) &
+                        (lights[:, 14] < float(config.max_shadow_lights)))
     if config.max_shadow_cubes > 0:
-        live = live & (lights[:, 15] < 0.0)
+        live = live & ~((lights[:, 15] >= 0.0) &
+                        (lights[:, 15] < float(config.max_shadow_cubes)))
     # Squared distance from light to AABB.
     d = jnp.maximum(mins[:, None, :] - lpos[None, :, :], 0.0) + \
         jnp.maximum(lpos[None, :, :] - maxs[:, None, :], 0.0)  # (NT, L, 3)

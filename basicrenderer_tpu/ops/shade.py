@@ -50,6 +50,8 @@ class GBuffer(NamedTuple):
     emissive_tex: jnp.ndarray = None  # (H, W) i32 emissive texture id
     coat_weight: jnp.ndarray = None   # (H, W) f32 OpenPBR coat weight
     coat_rough: jnp.ndarray = None    # (H, W) f32 coat roughness
+    normal_scale: jnp.ndarray = None  # (H, W) f32 glTF normalTexture.scale
+    object_id: jnp.ndarray = None     # (H, W) i32 owning object (-1 = sky)
 
 
 def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
@@ -136,7 +138,12 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
     nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm = nrm / jnp.maximum(nlen, 1e-12)
     uv = jnp.stack([channels[4] / safe_iw, channels[5] / safe_iw], axis=-1)
-    mat_id = jnp.round(channels[6]).astype(jnp.int32)
+    # Lane 13 carries material + OBJ_COMBO * object (ops/raster_setup.py);
+    # the object id rides along for the motion-vector pass.
+    from .raster_setup import OBJ_COMBO
+    combo = jnp.round(channels[6]).astype(jnp.int32)
+    mat_id = combo % OBJ_COMBO
+    object_id = combo // OBJ_COMBO
 
     # World position from depth (reverse-Z NDC) + inverse viewproj
     # (column math — see math3d.mat4_columns TPU note).
@@ -182,6 +189,8 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
                                .reshape(H, W), -1),
         coat_weight=jnp.where(covered, mat[:, 18].reshape(H, W), 0.0),
         coat_rough=jnp.clip(mat[:, 19].reshape(H, W), 0.05, 1.0),
+        normal_scale=jnp.where(covered, mat[:, 9].reshape(H, W), 1.0),
+        object_id=jnp.where(covered, object_id, -1),
     )
 
 

@@ -36,6 +36,7 @@ def shadow_config(config: FrameConfig) -> FrameConfig:
     res = config.shadow_resolution
     return dataclasses.replace(
         config, width=res, height=res, enable_occlusion=False,
+        near_clip_tris=0,   # ortho cascades: w == 1, nothing ever crosses
         max_pairs=min(config.max_pairs, 1 << 17),
         # Ortho shadow views bin the budgeted caster set; capping the
         # per-triangle span keeps the bin sort at ~0.5M keys per cascade
@@ -114,14 +115,15 @@ def render_cascade(scene: SceneBuffers, cascade_vp: jnp.ndarray,
     reverse-style depth (1 = nearest to light)."""
     scfg = shadow_config(config)
     if compacted is not None:
-        lanes, bbox, valid = raster_setup.setup_from_compacted(
+        lanes, bbox, valid, _ovf = raster_setup.setup_from_compacted(
             scene, compacted, cascade_vp, scfg)
     else:
         clip, _ = raster_setup.transform_vertices(
             scene.positions, scene.vert_object, scene.object_mats, cascade_vp)
         clip = jax.lax.optimization_barrier(clip)
-        lanes, bbox, valid = raster_setup.triangle_setup_packed(
-            clip, scene.indices, scene.tri_object >= 0, scfg, None, None, None)
+        lanes, bbox, valid, _ovf = raster_setup.triangle_setup_packed(
+            clip, scene.indices, scene.tri_object >= 0, scfg, None, None,
+            None)
     pairs = raster_setup.bin_pairs(lanes, bbox, valid, scfg)
     if config.use_pallas_raster:
         depth, _, _ = raster_tiles_pallas(pairs, scfg,

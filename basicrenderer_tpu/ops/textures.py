@@ -28,6 +28,8 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 MIN_MIP = 4  # coarsest mip edge in texels
 
@@ -225,7 +227,8 @@ def _unblockify(blocks: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
                            tex_ids: jnp.ndarray, uv: jnp.ndarray,
                            downscale: int = 1, filter: str = "bilinear",
-                           block_chunk: int = 2048) -> jnp.ndarray:
+                           block_chunk: int = 2048, kernel: bool = None,
+                           interpret: bool = False) -> jnp.ndarray:
     """Full-rate sampling of K channel layers sharing one UV image.
 
     strips: (N * rows_per_layer, 128) uint32 (models/textures.strip_pyramid)
@@ -247,14 +250,17 @@ def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     tids = tex_ids[:, ::ds, ::ds]
     return sample_pyramid_blocked_planes(
         strips, tex_flags, tids, st[..., 0], st[..., 1],
-        uv.shape[0], uv.shape[1], ds, filter, block_chunk)
+        uv.shape[0], uv.shape[1], ds, filter, block_chunk,
+        kernel=kernel, interpret=interpret)
 
 
 def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
                                   tids: jnp.ndarray, u_ds: jnp.ndarray,
                                   v_ds: jnp.ndarray, H: int, W: int,
                                   ds: int = 1, filter: str = "bilinear",
-                                  block_chunk: int = 2048) -> jnp.ndarray:
+                                  block_chunk: int = 2048,
+                                  kernel: bool = None,
+                                  interpret: bool = False) -> jnp.ndarray:
     """Plane-input variant: tids (K, h, w), u_ds/v_ds (h, w) ALREADY at the
     sampling rate (h = H//ds). Returns (K, H, W, 4) upsampled to full res."""
     K = tids.shape[0]
@@ -373,52 +379,69 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
         fy = jnp.zeros_like(fy)
 
     flat = strips  # (NR, 128)
-    lanes = jnp.arange(128, dtype=jnp.int32)[None, None, None, :]
-    jj = jnp.arange(WROWS, dtype=jnp.int32)[None, None, None, :]
     bf16 = jnp.bfloat16   # texel values 0..255 are exact in bf16; weight
     #                       rounding ~0.4% is invisible — single MXU pass.
 
-    def chunk_fn(args):
-        rows_c, ix0c, ix1c, fxc, wy0c, fyc = args
-        # rows_c (J, cb, WROWS); the rest (J, cb, P).
-        cb = ix0c.shape[1]
-        wx = ((lanes == ix0c[..., None]).astype(bf16)
-              * (1 - fxc)[..., None].astype(bf16)
-              + (lanes == ix1c[..., None]).astype(bf16)
-              * fxc[..., None].astype(bf16))            # (J, cb, P, 128)
-        win = flat[rows_c.reshape(-1)]                  # row gathers
-        w32 = win.reshape(J * cb, WROWS, 128).astype(jnp.uint32)
-        ch = jnp.stack([(w32 >> s) & 0xFF for s in (0, 8, 16, 24)],
-                       axis=-1).astype(bf16)            # (J*cb, WROWS, 128, 4)
-        op = ch.transpose(0, 2, 1, 3).reshape(J * cb, 128, WROWS * 4)
-        x_red = jnp.einsum("bpx,bxc->bpc", wx.reshape(J * cb, P, 128), op,
-                           precision=jax.lax.Precision.DEFAULT)
-        x_red = x_red.reshape(J, cb, P, WROWS, 4)       # stays bf16
-        wy = ((jj == wy0c[..., None]).astype(bf16) * (1 - fyc)[..., None]
-              .astype(bf16)
-              + (jj == (wy0c + 1)[..., None]).astype(bf16)
-              * fyc[..., None].astype(bf16))            # (J, cb, P, WROWS)
-        return jnp.sum(x_red * wy[..., None], axis=3,
-                       dtype=jnp.float32)               # (J, cb, P, 4)
-
-    if nb > block_chunk:
-        pad_b = (-nb) % block_chunk
-        nchunk = (nb + pad_b) // block_chunk
-
-        def padc(x):
-            cfg = [(0, 0)] * x.ndim
-            cfg[1] = (0, pad_b)
-            return jnp.pad(x, cfg)
-
-        rows_p = padc(rows_k).reshape(J, nchunk, block_chunk, WROWS) \
-            .transpose(1, 0, 2, 3)
-        parts = [padc(x).reshape(J, nchunk, block_chunk, P).transpose(1, 0, 2, 3)
-                 for x in (ix0, ix1, fx, wy0, fy)]
-        res = jax.lax.map(chunk_fn, (rows_p, *parts))   # (nc, J, cb, P, 4)
-        out = res.transpose(1, 0, 2, 3, 4).reshape(
-            J, nchunk * block_chunk, P, 4)[:, :nb]
+    use_kernel = (jax.default_backend() == "tpu") if kernel is None else kernel
+    if use_kernel or interpret:
+        # Fused Mosaic path: the XLA pipeline below materializes ~600 MB of
+        # one-hot/unpack intermediates in HBM per frame (measured ~9 ms at
+        # 1080p ds2); the kernel keeps everything per-job in VMEM (~2.5 ms).
+        # The hat-function identity builds both bilinear one-hots on the
+        # VPU: hat(l - x) = max(0, 1-|l-x|) IS the two-tap weight row, and
+        # hat(l - x + 128) covers the lane-127 -> 0 wrap. The mapped ix0/fx
+        # already encode the filter (nearest zeroes fx) and the window
+        # clamp/wrap, so the fractional tap center is just their sum.
+        x_hat = ix0.astype(jnp.float32) + fx
+        yf = wy0.astype(jnp.float32) + fy
+        out = _blocked_kernel_eval(flat, rows_k, x_hat, yf, P,
+                                   interpret=interpret)   # (J, nb, P, 4)
     else:
-        out = chunk_fn((rows_k, ix0, ix1, fx, wy0, fy))
+        lanes = jnp.arange(128, dtype=jnp.int32)[None, None, None, :]
+        jj = jnp.arange(WROWS, dtype=jnp.int32)[None, None, None, :]
+
+        def chunk_fn(args):
+            rows_c, ix0c, ix1c, fxc, wy0c, fyc = args
+            # rows_c (J, cb, WROWS); the rest (J, cb, P).
+            cb = ix0c.shape[1]
+            wx = ((lanes == ix0c[..., None]).astype(bf16)
+                  * (1 - fxc)[..., None].astype(bf16)
+                  + (lanes == ix1c[..., None]).astype(bf16)
+                  * fxc[..., None].astype(bf16))            # (J, cb, P, 128)
+            win = flat[rows_c.reshape(-1)]                  # row gathers
+            w32 = win.reshape(J * cb, WROWS, 128).astype(jnp.uint32)
+            ch = jnp.stack([(w32 >> s) & 0xFF for s in (0, 8, 16, 24)],
+                           axis=-1).astype(bf16)        # (J*cb, WROWS, 128, 4)
+            op = ch.transpose(0, 2, 1, 3).reshape(J * cb, 128, WROWS * 4)
+            x_red = jnp.einsum("bpx,bxc->bpc", wx.reshape(J * cb, P, 128), op,
+                               precision=jax.lax.Precision.DEFAULT)
+            x_red = x_red.reshape(J, cb, P, WROWS, 4)       # stays bf16
+            wy = ((jj == wy0c[..., None]).astype(bf16) * (1 - fyc)[..., None]
+                  .astype(bf16)
+                  + (jj == (wy0c + 1)[..., None]).astype(bf16)
+                  * fyc[..., None].astype(bf16))            # (J, cb, P, WROWS)
+            return jnp.sum(x_red * wy[..., None], axis=3,
+                           dtype=jnp.float32)               # (J, cb, P, 4)
+
+        if nb > block_chunk:
+            pad_b = (-nb) % block_chunk
+            nchunk = (nb + pad_b) // block_chunk
+
+            def padc(x):
+                cfg = [(0, 0)] * x.ndim
+                cfg[1] = (0, pad_b)
+                return jnp.pad(x, cfg)
+
+            rows_p = padc(rows_k).reshape(J, nchunk, block_chunk, WROWS) \
+                .transpose(1, 0, 2, 3)
+            parts = [padc(x).reshape(J, nchunk, block_chunk, P)
+                     .transpose(1, 0, 2, 3)
+                     for x in (ix0, ix1, fx, wy0, fy)]
+            res = jax.lax.map(chunk_fn, (rows_p, *parts))   # (nc, J, cb, P, 4)
+            out = res.transpose(1, 0, 2, 3, 4).reshape(
+                J, nchunk * block_chunk, P, 4)[:, :nb]
+        else:
+            out = chunk_fn((rows_k, ix0, ix1, fx, wy0, fy))
     out = out / 255.0                                   # (J, nb, P, 4)
 
     # sRGB decode (per job layer) + per-pixel job select.
@@ -438,6 +461,81 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     if ds > 1:
         img = jax.image.resize(img, (K, H, W, 4), method="bilinear")
     return img
+
+
+def _tex_block_kernel(win_ref, wt_ref, out_ref, *, js: int):
+    """Fused window evaluation for `js` block jobs per grid step.
+
+    win_ref: (js, WROWS, 128) u32 gathered window rows;
+    wt_ref:  (js, 8, P) f32 — row 0 = fractional x tap center in window
+             lanes, row 1 = fractional y tap center in window rows;
+    out_ref: (js, 4, P) f32 RGBA in [0, 255].
+
+    Per job: unpack the 4 byte channels to bf16, build the two-tap bilinear
+    weight rows with the hat identity, contract lanes on the MXU
+    ((WROWS, 128) @ (128, P) per channel), then the y two-tap select +
+    24-row group sums on the VPU. Everything stays in VMEM — the XLA
+    formulation of the same math moves ~600 MB of intermediates through HBM.
+    """
+    # Mosaic iota must be integer-typed; cast after.
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0).astype(
+        jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (WROWS, 1), 0).astype(
+        jnp.float32)
+    for j in range(js):
+        w32 = win_ref[j]                               # (WROWS, 128) u32
+        x = wt_ref[j, 0:1, :]                          # (1, P)
+        d = lanes - x                                  # (128, P)
+        wx = (jnp.maximum(1.0 - jnp.abs(d), 0.0)
+              + jnp.maximum(1.0 - jnp.abs(d + 128.0), 0.0)).astype(
+                  jnp.bfloat16)
+        yf = wt_ref[j, 1:2, :]                         # (1, P)
+        wy = jnp.maximum(1.0 - jnp.abs(jj - yf), 0.0)  # (WROWS, P)
+        outs = []
+        for s in (0, 8, 16, 24):
+            # Mosaic has no u32->bf16 cast; hop through i32/f32.
+            bc = ((w32 >> s) & 0xFF).astype(jnp.int32).astype(
+                jnp.float32).astype(jnp.bfloat16)           # (WROWS, 128)
+            xr = jax.lax.dot_general(
+                bc, wx, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,   # bf16 operands: the
+                # package-wide 'highest' default would ask for an fp32
+                # contract on bf16 vectors — Mosaic rejects that.
+                preferred_element_type=jnp.float32)    # (WROWS, P)
+            outs.append(jnp.sum(xr * wy, axis=0, keepdims=True))
+        out_ref[j] = jnp.concatenate(outs, axis=0)     # (4, P)
+
+
+def _blocked_kernel_eval(strips: jnp.ndarray, rows_k: jnp.ndarray,
+                         x_hat: jnp.ndarray, yf: jnp.ndarray, P: int,
+                         js: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """Gather window rows (XLA row gather — cheap) and run the fused Mosaic
+    evaluator. rows_k (J, nb, WROWS); x_hat/yf (J, nb, P).
+    Returns (J, nb, P, 4) f32 in [0, 255]."""
+    J, nb, _ = rows_k.shape
+    JN = J * nb
+    pad = (-JN) % js
+    win = strips[rows_k.reshape(-1)].reshape(JN, WROWS, 128)
+    wt = jnp.stack([x_hat.reshape(JN, P), yf.reshape(JN, P)], axis=1)
+    wt = jnp.pad(wt, ((0, pad), (0, 6), (0, 0)))       # (JN', 8, P)
+    win = jnp.pad(win, ((0, pad), (0, 0), (0, 0)))
+    steps = (JN + pad) // js
+
+    out = pl.pallas_call(
+        functools.partial(_tex_block_kernel, js=js),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((js, WROWS, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((js, 8, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((js, 4, P), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((JN + pad, 4, P), jnp.float32),
+        interpret=interpret,
+    )(win, wt)
+    return out[:JN].transpose(0, 2, 1).reshape(J, nb, P, 4)
 
 
 @functools.lru_cache(maxsize=None)

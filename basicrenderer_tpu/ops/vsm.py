@@ -94,9 +94,12 @@ def _level_of_point(lx, ly, cx, cy):
     """Clipmap level per light-space point, from the camera-centred window
     hierarchy (marking and sampling MUST agree — shared helper)."""
     m = jnp.maximum(jnp.abs(lx - cx), jnp.abs(ly - cy))
-    # Level l window half-extent: BASE_EXTENT * 2^l / 2; pick the smallest
-    # level containing the point with a 10% margin.
-    lev = jnp.ceil(jnp.log2(jnp.maximum(m / (BASE_EXTENT * 0.45), 1e-6)))
+    # Level l window half-extent: BASE_EXTENT * 2^l / 2. Margin must keep a
+    # level's live footprint strictly under PAGES page widths or two needed
+    # pages 8 apart alias to the same toroidal cell (one loses the wanted-id
+    # max and renders unshadowed). 7/16 -> span = 2*0.4375*2^l*B = exactly 7
+    # page widths -> straddles at most 8 integer columns -> no aliasing.
+    lev = jnp.ceil(jnp.log2(jnp.maximum(m / (BASE_EXTENT * 0.4375), 1e-6)))
     return jnp.clip(lev, 0, LEVELS - 1).astype(jnp.int32)
 
 
@@ -113,6 +116,43 @@ def _abs_id(ix, iy):
     ix = jnp.clip(ix, -512, 511)
     iy = jnp.clip(iy, -512, 511)
     return (iy + 512) * 1024 + (ix + 512)
+
+
+def invalidate_pages(state: VsmState, spheres: jnp.ndarray,
+                     light_dir: jnp.ndarray) -> VsmState:
+    """Per-page invalidation for moved objects (reference: the
+    RenderTransformUpdated-tag invalidation pass, Renderer.cpp:1889-1895 +
+    VirtualShadowMapInvalidatePass) — replaces the round-2 whole-cache drop.
+
+    spheres: (K, 4) world-space [center xyz, radius] bounds covering each
+    moved object's old+new placement (rows with radius < 0 are unused).
+    Cells whose absolute-page footprint overlaps a sphere's light-space XY
+    AABB get their id tag cleared: the next mark pass sees them mismatched
+    and re-renders just those pages within the per-frame budget. A
+    directional light's shadow translates along the light axis only, so the
+    light-space XY extent fully bounds every page the object can affect.
+    """
+    R = light_basis(light_dir)
+    n = LEVELS * PAGES * PAGES
+    lev = jnp.arange(n, dtype=jnp.int32) // (PAGES * PAGES)
+    aid = state.abs_of_cell
+    ix = aid % 1024 - 512
+    iy = aid // 1024 - 512
+    pw = _page_world(lev)
+    stale = jnp.zeros((n,), bool)
+    for k in range(spheres.shape[0]):
+        c = spheres[k, :3]
+        r = spheres[k, 3]
+        lx = R[0] @ c
+        ly = R[1] @ c
+        x0 = jnp.floor((lx - r) / pw).astype(jnp.int32)
+        x1 = jnp.floor((lx + r) / pw).astype(jnp.int32)
+        y0 = jnp.floor((ly - r) / pw).astype(jnp.int32)
+        y1 = jnp.floor((ly + r) / pw).astype(jnp.int32)
+        hit = (ix >= x0) & (ix <= x1) & (iy >= y0) & (iy <= y1) \
+            & (r >= 0.0) & (aid >= 0)
+        stale = stale | hit
+    return state.replace(abs_of_cell=jnp.where(stale, -1, aid))
 
 
 def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
@@ -144,6 +184,8 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         iw = 1.0 / jnp.where(jnp.abs(pw) > 1e-12, pw, 1.0)
         return px * iw, py * iw, pz * iw, d > 0.0
     ds = config.vsm_sample_downscale
+    while ds > 1 and (H % ds or W % ds):   # downsample2d needs exact tiling
+        ds -= 1
     R = light_basis(scene.lights[0, 4:7])
     n_cells = LEVELS * PAGES * PAGES
 
@@ -204,6 +246,7 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     page_cfg = dataclasses.replace(
         config, width=PAGE, height=PAGE, tile_h=32, tile_w=128,
         enable_occlusion=False, max_pairs=config.vsm_page_pairs,
+        near_clip_tris=0,   # ortho pages: w == 1 never crosses
         max_tiles_per_tri=8, max_big_tris=128)
     atlas = state.atlas
     slot_of_cell = state.slot_of_cell
@@ -235,7 +278,7 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
             Rw = jnp.zeros((4, 4), jnp.float32).at[:3, :3].set(R).at[3, 3].set(1.0)
             vp = proj @ Rw
             comp = shadow_compact_fn(vp)
-            lanes, bbox, tvalid2 = raster_setup.setup_from_compacted(
+            lanes, bbox, tvalid2, _ovf = raster_setup.setup_from_compacted(
                 scene, comp, vp, page_cfg)
             pairs = raster_setup.bin_pairs(lanes, bbox, tvalid2, page_cfg)
             if config.use_pallas_raster:
@@ -307,15 +350,38 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     # Texel within page.
     fx = lx / pw - ix.astype(jnp.float32)
     fy = ly / pw - iy.astype(jnp.float32)
-    tx = jnp.clip((fx * PAGE).astype(jnp.int32), 0, PAGE - 1)
-    ty = jnp.clip(((1.0 - fy) * PAGE).astype(jnp.int32), 0, PAGE - 1)
+    txf = fx * PAGE - 0.5
+    tyf = (1.0 - fy) * PAGE - 0.5
     flat = atlas.reshape(-1)
-    smp = flat[(jnp.clip(slot, 0, SLOTS - 1) * PAGE + ty) * PAGE + tx]
     zref = (lz - z0) / jnp.maximum(z1 - z0, 1e-6)
     bias = params.shadow_bias * (2.0 ** lev.astype(jnp.float32))
-    lit = (zref + bias >= smp) | (smp <= 0.0)
-    lit = (jnp.where(mapped, lit, True).reshape(h, w)
-           | ~smask).astype(jnp.float32)
+    sbase = jnp.clip(slot, 0, SLOTS - 1) * PAGE
+
+    def tap(txi, tyi):
+        txi = jnp.clip(txi, 0, PAGE - 1)
+        tyi = jnp.clip(tyi, 0, PAGE - 1)
+        smp = flat[(sbase + tyi) * PAGE + txi]
+        return ((zref + bias >= smp) | (smp <= 0.0)).astype(jnp.float32)
+
+    if config.vsm_filter_taps >= 4:
+        # SMRT-analogue filtered visibility (reference: the SMRT ray-sample
+        # params in PerFrameCB, ShaderBuffers.h:92-96): 2x2 taps with
+        # bilinear weights on the VISIBILITY results — smooth penumbrae at
+        # page-texel granularity. Taps clamp at page edges (neighbor texels
+        # live in other physical pages); the post-upsample 3x3 smooth hides
+        # the residual page-border seam.
+        x0i = jnp.floor(txf).astype(jnp.int32)
+        y0i = jnp.floor(tyf).astype(jnp.int32)
+        wxf = txf - x0i.astype(jnp.float32)
+        wyf = tyf - y0i.astype(jnp.float32)
+        lit = (tap(x0i, y0i) * (1 - wxf) * (1 - wyf)
+               + tap(x0i + 1, y0i) * wxf * (1 - wyf)
+               + tap(x0i, y0i + 1) * (1 - wxf) * wyf
+               + tap(x0i + 1, y0i + 1) * wxf * wyf)
+    else:
+        lit = tap(jnp.round(txf).astype(jnp.int32),
+                  jnp.round(tyf).astype(jnp.int32))
+    lit = jnp.where(smask, jnp.where(mapped, lit, 1.0).reshape(h, w), 1.0)
 
     lit = jax.image.resize(lit, (H, W), method="bilinear")
     p = jnp.pad(lit, 1, mode="edge")

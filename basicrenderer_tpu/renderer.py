@@ -138,6 +138,7 @@ class Renderer:
             max_visible_clusters=s.get("maxVisibleClusters"),
             enable_occlusion=s.get("enableOcclusionCulling"),
             debug_view=s.get("debugView"),
+            wireframe=s.get("wireframe", False),
             use_pallas_raster=on_tpu,
         )
 
@@ -146,20 +147,22 @@ class Renderer:
         shadow render + a full-screen shadowed shade)."""
         if self._scene is None:
             return 0
+        from .graph.framedata import MAX_SHADOW_SPOT_SLOTS
         from .scene.components import Light, LightType
         n = sum(1 for _e, (l,) in self._scene.world.query(Light)
                 if l.type == LightType.SPOT and l.cast_shadows)
-        return min(n, 4)
+        return min(n, MAX_SHADOW_SPOT_SLOTS)
 
     def _count_shadow_points(self) -> int:
         """Shadow-casting point lights (capped at 2 cubes — 6 face renders
         + a full-screen shadowed shade each)."""
         if self._scene is None:
             return 0
+        from .graph.framedata import MAX_SHADOW_CUBE_SLOTS
         from .scene.components import Light, LightType
         n = sum(1 for _e, (l,) in self._scene.world.query(Light)
                 if l.type == LightType.POINT and l.cast_shadows)
-        return min(n, 2)
+        return min(n, MAX_SHADOW_CUBE_SLOTS)
 
     def _live_tex_channels(self) -> tuple:
         """Channel samples the frame actually needs (unused ones cost
@@ -220,16 +223,43 @@ class Renderer:
         # Auto-enable skinning when any packed instance is skinned.
         if self._bridge.packed and self._bridge.packed.skin_instances:
             self.settings.set("enableSkinning", True)
-        # VSM page cache: conservative whole-cache invalidation when any
-        # transform or light changes (per-page object tracking is a later
-        # milestone; reference invalidates per page on transform updates).
+        # VSM page cache invalidation (reference: RenderTransformUpdated-tag
+        # per-page invalidation, Renderer.cpp:1889-1895): moved objects dirty
+        # only the clipmap pages their light-space footprint overlaps
+        # (ops/vsm.invalidate_pages); light changes still drop the whole
+        # cache (the light basis moves every page).
         if self.settings.get("enableVSM"):
-            mats, _n, _b, _v = self._bridge.snapshot_objects()
+            from .ops.motion import MAX_MOVING
+            from .ops import vsm as vsm_ops
+            mats, _n, bounds, _v = self._bridge.snapshot_objects()
             lights, _, _ = self._bridge.snapshot_lights()
-            h = hash((mats.tobytes(), lights.tobytes()))
-            if h != getattr(self, "_vsm_scene_hash", None):
+            lh = hash(lights.tobytes())
+            if lh != getattr(self, "_vsm_light_hash", None):
                 self._vsm_state = None
-            self._vsm_scene_hash = h
+            self._vsm_light_hash = lh
+            pm = getattr(self, "_vsm_prev_mats", None)
+            pb = getattr(self, "_vsm_prev_bounds", None)
+            if pm is not None and pm.shape == mats.shape and \
+                    getattr(self, "_vsm_state", None) is not None:
+                moved = np.nonzero(
+                    np.abs(mats - pm).max(axis=(1, 2)) > 1e-7)[0]
+                if len(moved) > MAX_MOVING:
+                    self._vsm_state = None   # mass motion: full drop
+                elif len(moved):
+                    spheres = np.full((MAX_MOVING, 4), -1.0, np.float32)
+                    for i, o in enumerate(moved):
+                        c0, r0 = pb[o, :3], pb[o, 3]
+                        c1, r1 = bounds[o, :3], bounds[o, 3]
+                        mid = (c0 + c1) * 0.5
+                        rad = float(np.linalg.norm(c1 - c0)) * 0.5 \
+                            + max(float(r0), float(r1))
+                        spheres[i] = [*mid, rad]
+                    import jax.numpy as jnp
+                    self._vsm_state = vsm_ops.invalidate_pages(
+                        self._vsm_state, jnp.asarray(spheres),
+                        jnp.asarray(lights[0, 4:7]))
+            self._vsm_prev_mats = mats.copy()
+            self._vsm_prev_bounds = bounds.copy()
 
     def render(self) -> Dict[str, Any]:
         """Dispatch the frame program (reference Renderer::Render,
@@ -239,6 +269,7 @@ class Renderer:
         view_np, proj_np, cam_pos = self.scene.camera_matrices(
             aspect=config.width / config.height)
         import jax.numpy as jnp
+        vp_unjit = (proj_np @ view_np).astype(np.float32)
         if config.enable_taa:
             # Sub-pixel projection jitter (reference: m_jitter Renderer.h:223).
             from .ops import post as post_ops
@@ -264,6 +295,33 @@ class Renderer:
             if hist is None or hist.shape != (oh, ow, 3):
                 hist = None
             kwargs["taa_history"] = hist
+            # Motion-vector reprojection inputs (ops/motion.py): previous
+            # camera + a budgeted list of objects whose transforms changed,
+            # each with prev_viewproj @ prev_model @ inv(cur_model).
+            from .ops.motion import MAX_MOVING
+            prev_vp = getattr(self, "_prev_viewproj", None)
+            cur_mats, _nm, _b, _v = self._bridge.snapshot_objects()
+            prev_mats = getattr(self, "_prev_object_mats", None)
+            if prev_vp is not None and prev_mats is not None \
+                    and prev_mats.shape == cur_mats.shape:
+                rel = np.zeros((MAX_MOVING, 4, 4), np.float32)
+                ids = np.full((MAX_MOVING,), -1, np.int32)
+                moved = np.nonzero(
+                    np.abs(cur_mats - prev_mats).max(axis=(1, 2)) > 1e-7)[0]
+                for i, o in enumerate(moved[:MAX_MOVING]):
+                    try:
+                        inv_cur = np.linalg.inv(cur_mats[o])
+                    except np.linalg.LinAlgError:
+                        continue
+                    rel[i] = prev_vp @ prev_mats[o] @ inv_cur
+                    ids[i] = o
+                kwargs["prev_viewproj"] = jnp.asarray(prev_vp)
+                kwargs["moving_rel"] = jnp.asarray(rel)
+                kwargs["moving_ids"] = jnp.asarray(ids)
+            # Motion uses UN-jittered matrices both frames (the jitter is a
+            # supersampling offset, not scene motion).
+            self._prev_viewproj = vp_unjit
+            self._prev_object_mats = cur_mats.copy()
         if config.enable_vsm:
             from .ops import vsm as vsm_ops
             if getattr(self, "_vsm_state", None) is None:

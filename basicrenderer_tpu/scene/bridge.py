@@ -331,10 +331,14 @@ class SceneRenderBridge:
             # CSM/VSM.
             slot = -1
             cube = -1
-            if l.cast_shadows and l.type == LightType.SPOT:
+            from ..graph.framedata import (MAX_SHADOW_CUBE_SLOTS,
+                                           MAX_SHADOW_SPOT_SLOTS)
+            if l.cast_shadows and l.type == LightType.SPOT and \
+                    shadow_slot < MAX_SHADOW_SPOT_SLOTS:
                 slot = shadow_slot
                 shadow_slot += 1
-            if l.cast_shadows and l.type == LightType.POINT:
+            if l.cast_shadows and l.type == LightType.POINT and \
+                    cube_slot < MAX_SHADOW_CUBE_SLOTS:
                 cube = cube_slot
                 cube_slot += 1
             row[14] = float(slot)

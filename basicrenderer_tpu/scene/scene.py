@@ -56,7 +56,7 @@ class Scene:
         self.root = self.world.entity()
         self.world.add_tag(self.root, "SceneRoot")
         self.world.set(self.root, WorldMatrix())
-        self._primary_camera: int = 0
+        self._primary_camera: Optional[int] = None
 
     # -- node creation -----------------------------------------------------
     def create_node(self, parent: Optional[int] = None, position=(0, 0, 0),

@@ -138,8 +138,11 @@ def make_default_settings() -> SettingsManager:
     s.register("enableFrustumCulling", True, structural=True)
     s.register("enableOcclusionCulling", False, structural=True,
                description="two-phase HZB occlusion culling (object granular)")
-    s.register("enableMeshletCulling", True, structural=True)
-    s.register("wireframe", False, structural=True)
+    # (the reference's per-meshlet AS cone/frustum culling has no separate
+    # switch here: the cluster cut + frustum mask IS meshlet culling in the
+    # TPU design — see ops/clod.select_cluster_cut)
+    s.register("wireframe", False, structural=True,
+               description="overlay triangle edges (vis-buffer edge detect)")
     s.register("debugView", "none", structural=True)
     s.register("enableClod", False, structural=True,
                description="cluster-LOD (virtualized geometry) cut selection")

@@ -1,14 +1,21 @@
 """Benchmark matrix: steady-state ms/frame at 1920x1080 on one TPU chip
-across the BASELINE.md-style configs, on a Bistro-class scene.
+across the BASELINE.md-style configs, on REAL imported content.
+
+Scene: the authored city block (assets/city.glb — tools/make_city.py),
+ingested through the actual importer + cluster-LOD pipeline
+(models/city.py): multi-MB binary glTF, embedded PNG textures, alpha-MASK
+foliage, instanced architecture, ~3M instanced source triangles, 1000
+dynamic point lights. (The reference's Bistro/San-Miguel content is not
+redistributable; this is the same content class through the same code
+paths.)
 
 Prints ONE JSON line. `value` is the FULL config (every subsystem on) —
-the honest headline; per-config rows ride in `matrix`.
+the honest headline; per-config rows ride in `matrix`, plus `rmse` rows
+comparing the production sampling rates against a maximum-quality render
+of the same frame (texture/SSR/VSM/IBL at full rate) — the self-referenced
+stand-in for the DX12-reference RMSE metric (BASELINE.md) until a DX12 rig
+exists here.
 vs_baseline = 16.0 / value (>1 = faster than the 16 ms target).
-
-Scene: dense procedural courtyard (models/scenes.py) — ~2.4M source
-triangles (Bistro-class; the reference's demo content is not
-redistributable), 1000 dynamic point lights, textured + normal-mapped
-materials, cluster-LOD DAGs on every curved mesh.
 """
 
 from __future__ import annotations
@@ -23,22 +30,58 @@ import numpy as np
 BASELINE_MS = 16.0
 
 
-def main() -> None:
+def _state_call(frame, cfg, buffers, vd, params, state):
+    import jax.numpy as jnp
+    from basicrenderer_tpu.ops import vsm as vsm_ops
+    kwargs = {}
+    if cfg.enable_occlusion or cfg.enable_taa:
+        pd = state.get("prev_depth")
+        if pd is None:
+            pd = jnp.zeros((cfg.padded_height, cfg.padded_width), jnp.float32)
+        kwargs["prev_depth"] = pd
+    if cfg.enable_taa:
+        kwargs["taa_history"] = state.get("taa_history")
+    if cfg.enable_vsm:
+        if state.get("vsm_state") is None:
+            state["vsm_state"] = vsm_ops.init_state()
+        kwargs["vsm_state"] = state["vsm_state"]
+    out = frame(buffers, vd, params, **kwargs)
+    if cfg.enable_occlusion or cfg.enable_taa:
+        state["prev_depth"] = out["depth_padded"]
+    if cfg.enable_taa:
+        state["taa_history"] = out["taa_out"]
+    if cfg.enable_vsm:
+        state["vsm_state"] = out["vsm_state"]
+    return out
+
+
+def _converged_image(cfg, buffers, vd, params, warm=20):
     import jax
     from basicrenderer_tpu.graph.frame import build_frame_fn
-    from basicrenderer_tpu.graph.framedata import FrameConfig, FrameParams, make_view
-    from basicrenderer_tpu.models.scenes import build_courtyard
+    frame = jax.jit(build_frame_fn(cfg))
+    state = {}
+    out = _state_call(frame, cfg, buffers, vd, params, state)
+    for _ in range(warm):
+        out = _state_call(frame, cfg, buffers, vd, params, state)
+    img = np.asarray(out["image"]).astype(np.float32) / 255.0
+    return img, frame, state, out
+
+
+def main() -> None:
+    import jax
+    from basicrenderer_tpu.graph.framedata import (FrameConfig, FrameParams,
+                                                   make_view)
+    from basicrenderer_tpu.models.city import load_city
     from basicrenderer_tpu.models.textures import TextureRegistry
-    from basicrenderer_tpu.ops import vsm as vsm_ops
-    from basicrenderer_tpu.scene.bridge import BridgeCapacities, SceneRenderBridge
+    from basicrenderer_tpu.scene.bridge import (BridgeCapacities,
+                                                SceneRenderBridge)
 
     width, height = 1920, 1080
     tex = TextureRegistry(resolution=256)
-    built = build_courtyard(grid=14, lod=True, dense=True, textures=tex,
-                            num_point_lights=1000)
-    caps = BridgeCapacities(max_vertices=1 << 21, max_triangles=1 << 21,
+    built = load_city(lod=True, textures=tex, num_point_lights=1000 - 12)
+    caps = BridgeCapacities(max_vertices=1 << 22, max_triangles=1 << 22,
                             max_objects=512, max_materials=64,
-                            max_lights=1024 + 8, max_clusters=1 << 15)
+                            max_lights=1024 + 8, max_clusters=1 << 16)
     bridge = SceneRenderBridge(built.scene, built.meshes, built.materials,
                                caps, textures=tex)
     buffers = bridge.build_scene_buffers()
@@ -47,14 +90,12 @@ def main() -> None:
     params = FrameParams.default()
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    # All rows shade the 1000-light field through the tiled clustered pass
-    # (the non-clustered loop is O(lights) per pixel — not a usable path at
-    # this light count, and the reference always runs clustered too).
     base = FrameConfig(width=width, height=height, tile_h=32, tile_w=128,
                        max_pairs=1 << 18, max_tiles_per_tri=8,
-                       enable_clod=True, max_visible_clusters=2048,
-                       max_phase2_clusters=256, shadow_clusters=512,
-                       enable_clustered=True, use_pallas_raster=on_tpu)
+                       enable_clod=True, max_visible_clusters=3072,
+                       max_phase2_clusters=256, shadow_clusters=768,
+                       enable_clustered=True, enable_alpha_mask=True,
+                       use_pallas_raster=on_tpu)
 
     configs = {
         "config1_minimal": base,
@@ -76,38 +117,10 @@ def main() -> None:
 
     matrix = {}
     counters = {}
+    frames = {}
     for name, cfg in configs.items():
-        frame = jax.jit(build_frame_fn(cfg))
-
-        def call(state):
-            kwargs = {}
-            if cfg.enable_occlusion or cfg.enable_taa:
-                kwargs["prev_depth"] = state.get("prev_depth")
-            if cfg.enable_taa:
-                kwargs["taa_history"] = state.get("taa_history")
-            if cfg.enable_vsm:
-                kwargs["vsm_state"] = state.get("vsm_state")
-            if "prev_depth" in kwargs and kwargs["prev_depth"] is None:
-                import jax.numpy as jnp
-                kwargs["prev_depth"] = jnp.zeros(
-                    (cfg.padded_height, cfg.padded_width), jnp.float32)
-            out = frame(buffers, vd, params, **kwargs)
-            if cfg.enable_occlusion or cfg.enable_taa:
-                state["prev_depth"] = out["depth_padded"]
-            if cfg.enable_taa:
-                state["taa_history"] = out["taa_out"]
-            if cfg.enable_vsm:
-                state["vsm_state"] = out["vsm_state"]
-            return out
-
-        state = {}
-        if cfg.enable_vsm:
-            state["vsm_state"] = vsm_ops.init_state()
-        out = call(state)
-        np.asarray(out["image"][0, 0])          # compile + warmup
-        for _ in range(24):                     # converge caches (VSM, TAA)
-            out = call(state)
-        np.asarray(out["image"][0, 0])
+        img, frame, state, out = _converged_image(cfg, buffers, vd, params)
+        frames[name] = (cfg, img)
         counters[name] = {
             "bin_overflow": int(out["bin_overflow"]),
             "cluster_overflow": int(out["cluster_overflow"]),
@@ -118,7 +131,7 @@ def main() -> None:
             t0 = time.perf_counter()
             o = None
             for _ in range(n):
-                o = call(state)
+                o = _state_call(frame, cfg, buffers, vd, params, state)
             np.asarray(o["image"][0, 0])
             return time.perf_counter() - t0
 
@@ -130,15 +143,31 @@ def main() -> None:
         print(f"# {name}: {matrix[name]} ms {counters[name]}",
               file=sys.stderr, flush=True)
 
+    # RMSE vs the maximum-quality render of the same frame (all sampling
+    # rates at full resolution) for the headline + minimal configs.
+    rmse = {}
+    for name in ("full", "config1_minimal"):
+        cfg, img = frames[name]
+        hq = dataclasses.replace(
+            cfg, texture_downscale=1, ibl_specular_downscale=1,
+            ssr_downscale=2, ssr_steps=32, vsm_sample_downscale=1,
+            vsm_mark_downscale=2, vsm_filter_taps=4, near_clip_tris=512)
+        img_hq, *_ = _converged_image(hq, buffers, vd, params)
+        rmse[name] = round(float(np.sqrt(np.mean((img - img_hq) ** 2))), 5)
+        print(f"# rmse[{name}] vs max-quality: {rmse[name]}",
+              file=sys.stderr, flush=True)
+
     ms = matrix["full"]
     print(json.dumps({
-        "metric": "ms/frame 1080p dense courtyard FULL config (clod+occlusion"
-                  "+1k clustered lights+VSM+IBL+textures+GTAO+bloom+TAA+"
-                  f"auto-exposure; {built.num_triangles} source tris)",
+        "metric": "ms/frame 1080p imported city (glTF+PNG+alpha-MASK via "
+                  "importer; clod+occlusion+1k clustered lights+VSM+IBL+"
+                  "textures+GTAO+bloom+TAA+auto-exposure+SSR; "
+                  f"{built.num_triangles} source tris)",
         "value": ms,
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 4),
         "matrix": matrix,
+        "rmse_vs_max_quality": rmse,
         "counters": counters,
     }))
 
