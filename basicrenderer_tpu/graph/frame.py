@@ -650,14 +650,14 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         hdr = hdr + jnp.where(gb.valid[..., None],
                               ssr_col * ssr_wgt[..., None] * f0, 0.0)
 
+    oit_overflow = jnp.int32(0)
     if config.enable_oit and config.enable_clod:
         # K-layer depth-peeled OIT (reference: deep-visibility /
         # AVBOIT transparency; ops/oit.py for the TPU variant).
         from ..ops import oit as oit_ops
-        hdr = oit_ops.composite_oit(scene, view, config, params,
-                                    depth_p, hdr, lcfg=lcfg,
-                                    row0_tiles=row0_tiles,
-                                    localize=localize)
+        hdr, oit_overflow = oit_ops.composite_oit(
+            scene, view, config, params, depth_p, hdr, lcfg=lcfg,
+            row0_tiles=row0_tiles, localize=localize)
 
     from ..ops import post as post_ops
     upscaling = (config.output_width > 0
@@ -792,6 +792,7 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         "num_pairs": pairs.num_pairs,
         "cluster_overflow": cluster_overflow,
         "light_overflow": light_overflow,
+        "oit_overflow": oit_overflow,
         "taa_out": taa_out,
         **({"vsm_state": vsm_state_out, "vsm_stats": vsm_stats}
            if vsm_state_out is not None else {}),

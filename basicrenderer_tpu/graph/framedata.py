@@ -180,6 +180,10 @@ class FrameConfig:
     enable_taa: bool = False
     enable_oit: bool = False
     oit_layers: int = 4
+    oit_clusters: int = 256           # transparent caster cut budget (x128)
+    oit_overflow_probe: bool = True   # count beyond-K fragments (1 extra
+    #                                   pass) + estimated transmittance
+    oit_overflow_alpha: float = 0.5   # alpha estimate for beyond-K fade
     enable_alpha_mask: bool = False   # alpha-cutoff (MASK) material pass
     enable_coat: bool = False         # OpenPBR clear-coat lobe
     mask_clusters: int = 256          # masked caster cut budget (x128 tris)

@@ -46,9 +46,8 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     flag = scene.cluster_table[:, 10]
     transparent = (flag > 0.5) & (flag < 1.5)  # 2 = alpha-MASK
     cut = cut & transparent
-    budget = max(config.max_visible_clusters // 4, 64)
     comp = clod_ops.compact_visible_tris(
-        cut=cut, scene=scene, max_visible=budget)
+        cut=cut, scene=scene, max_visible=config.oit_clusters)
     lanes, bbox, valid, _clip_ovf = raster_setup.setup_from_compacted(
         scene, comp, view.viewproj, config)
     pairs = localize(raster_setup.bin_pairs(lanes, bbox, valid, config))
@@ -69,7 +68,36 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                                     peel=(opaque_depth_p, peel_bound))
             ch = resolve_attributes_ref(pairs, v, lcfg, tile_row0=row0_tiles)
         layers.append((d, v, ch))
-        peel_bound = jnp.where(v > 0, d, 0.0)  # next layer strictly farther
+        # Next layer strictly farther. The relative epsilon absorbs
+        # duplicate fragments from shared triangle edges: adjacent
+        # triangles evaluate slightly different plane equations at the
+        # same pixel, so a mesh-internal edge would otherwise peel as a
+        # phantom extra layer (z a few ulps below the real one).
+        peel_bound = jnp.where(v > 0, d * (1.0 - 1e-4), 0.0)
+
+    # Beyond-K fragment accounting (reference: the AVBOIT tier's role —
+    # CLodCommon.h:82-86 — bounded-memory handling of deep transparency).
+    # One count-only pass tallies fragments farther than the K-th layer;
+    # those pixels (a) surface in the `oit_overflow` counter and (b) get an
+    # estimated extra transmittance (1 - alpha_est)^count applied to the
+    # background, so deep glass stacks darken plausibly instead of the
+    # overflow being silently dropped.
+    overflow = jnp.int32(0)
+    if config.oit_overflow_probe:
+        if lcfg.use_pallas_raster:
+            _, _, chx = raster_tiles_pallas(
+                pairs, lcfg, peel=(opaque_depth_p, peel_bound),
+                interpret=lcfg.pallas_interpret, tile_row0=row0_tiles,
+                accum=True)
+            count = chx[7]
+        else:
+            _, cnt = raster_tiles_ref(pairs, lcfg, tile_row0=row0_tiles,
+                                      peel=(opaque_depth_p, peel_bound),
+                                      accum=True)
+            count = cnt.astype(jnp.float32)
+        count = count[:H, :W]
+        overflow = jnp.sum(count > 0.5).astype(jnp.int32)
+        hdr = hdr * (1.0 - config.oit_overflow_alpha) ** count[..., None]
 
     # Composite back-to-front (farthest layer first).
     out = hdr
@@ -81,4 +109,4 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         a = jnp.clip(gb.alpha, 0.0, 1.0)[..., None]
         covered = (v[:H, :W] > 0)[..., None]
         out = jnp.where(covered, col * a + out * (1.0 - a), out)
-    return out
+    return out, overflow

@@ -38,7 +38,8 @@ NUM_CHANNELS = 8  # [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
 
 
 def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
-                   tiles_x: int, seeded: bool, peeled: bool = False):
+                   tiles_x: int, seeded: bool, peeled: bool = False,
+                   accum: bool = False):
     if peeled:
         # Depth-peeling pass (OIT): fragments must be nearer than the seed
         # depth AND strictly farther than the previous peel layer.
@@ -113,6 +114,12 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
         passd = inside & (z > depth_ref[:])
         if peeled:
             passd = passd & (z < peel_z)
+        if accum:
+            # Count-only mode (OIT overflow probe): accumulate how many
+            # fragments fall in the peel band; no depth/vis/attr resolve.
+            # depth_ref stays at its seed so the band is stable.
+            chan_ref[7] = chan_ref[7] + jnp.where(passd, 1.0, 0.0)
+            return slot_base
 
         # (Measured: gating these writes on a per-triangle any(passd)
         # reduce SLOWED the loop 3x — the cross-lane reduce + branch stall
@@ -183,7 +190,7 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
 
 def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
                         interpret: bool = False, init=None, peel=None,
-                        tile_row0=0
+                        tile_row0=0, accum: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused raster + attribute resolve on the padded tile grid.
 
@@ -207,7 +214,8 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
         "max_big_tris must be a multiple of the raster DMA slab"
 
     kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw,
-                               tiles_x=tiles_x, seeded=seeded, peeled=peeled)
+                               tiles_x=tiles_x, seeded=seeded, peeled=peeled,
+                               accum=accum)
     img_spec = pl.BlockSpec((th, tw), lambda i, j, *_: (i, j),
                             memory_space=pltpu.VMEM)
     chan_spec = pl.BlockSpec((NUM_CHANNELS, th, tw), lambda i, j, *_: (0, i, j),

@@ -23,8 +23,8 @@ from .raster_setup import BinnedPairs, SETUP_LANES
 
 
 def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
-                     max_iters: int = None, tile_row0=0, init=None, peel=None
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     max_iters: int = None, tile_row0=0, init=None, peel=None,
+                     accum: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (depth (H', W') f32, vis (H', W') i32) on the padded grid.
 
     `max_iters` bounds the per-tile pair walk (tests keep scenes small).
@@ -70,6 +70,10 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
             passd = inside & (z > zbuf)
             if peel_z is not None:
                 passd = passd & (z < peel_z)
+            if accum:
+                # Count-only mode (OIT overflow probe): vis accumulates the
+                # in-band fragment count; zbuf stays at its seed.
+                return zbuf, vis + passd.astype(jnp.int32)
             zbuf = jnp.where(passd, z, zbuf)
             vis = jnp.where(passd, tri_id_f.astype(jnp.int32), vis)
             return zbuf, vis

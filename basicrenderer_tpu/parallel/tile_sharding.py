@@ -53,7 +53,8 @@ AXIS = "sp"
 _SHARDED_KEYS = ("image", "hdr", "depth", "depth_padded", "vis", "taa_out")
 
 _OUT_KEYS = ("image", "hdr", "depth", "depth_padded", "vis", "bin_overflow",
-             "num_pairs", "cluster_overflow", "light_overflow", "taa_out")
+             "num_pairs", "cluster_overflow", "light_overflow", "oit_overflow",
+             "taa_out")
 
 
 def build_sharded_frame_fn(config: FrameConfig, mesh: Mesh, axis: str = AXIS):

@@ -81,7 +81,8 @@ def main() -> None:
     built = load_city(lod=True, textures=tex, num_point_lights=1000 - 12)
     caps = BridgeCapacities(max_vertices=1 << 22, max_triangles=1 << 22,
                             max_objects=512, max_materials=64,
-                            max_lights=1024 + 8, max_clusters=1 << 16)
+                            max_lights=1024 + 8, max_clusters=1 << 16,
+                            max_geom_clusters=1 << 15, max_groups=1 << 13)
     bridge = SceneRenderBridge(built.scene, built.meshes, built.materials,
                                caps, textures=tex)
     buffers = bridge.build_scene_buffers()

@@ -2,6 +2,10 @@
 
 Usage: python examples/showcase.py [outdir] [--small]
 (--small renders at 640x360 for quick CPU checks; default 1920x1080.)
+`--serve [port]` instead starts a LIVE renderer behind the headless UI
+(utils/ui_server.py — the reference Menu.h analogue): open the printed URL
+to flip settings (structural ones recompile on the next frame), switch
+debug views, and watch telemetry; a telemetry JSON dump is written on exit.
 
 Scene stand-ins are procedural (the reference's Bistro/San Miguel/Zorah
 content is not redistributable); each config exercises the same feature set
@@ -49,7 +53,34 @@ def base_renderer(res, lights_cap=1024):
     return r
 
 
+def serve(port: int = 0):
+    """Live mode: courtyard scene + headless settings/telemetry UI."""
+    from basicrenderer_tpu.utils.ui_server import UIServer
+    r = base_renderer((640, 360))
+    built = build_courtyard(grid=6, lod=True, meshes=r.meshes,
+                            materials=r.materials, textures=r.textures)
+    built.scene.propagate_transforms()
+    r.settings.set("enableBloom", True)
+    r.settings.set("enableClusteredLighting", True)
+    r.set_current_scene(built.scene)
+    ui = UIServer(r, port=port).start()
+    print(f"live UI at {ui.url} — ctrl-C to stop", flush=True)
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        r.telemetry.dump_json("/tmp/showcase_telemetry.json")
+        print("telemetry dumped to /tmp/showcase_telemetry.json", flush=True)
+        ui.stop()
+
+
 def main():
+    if "--serve" in sys.argv:
+        i = sys.argv.index("--serve")
+        port = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 0
+        return serve(port)
     outdir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
         else "/tmp/showcase"
     small = "--small" in sys.argv

@@ -109,11 +109,18 @@ def test_taa_no_ghost_moving_object():
     from basicrenderer_tpu.models.materials import Material
     from basicrenderer_tpu.models.procedural import make_cube, make_plane
     from basicrenderer_tpu.renderer import Renderer
+    from basicrenderer_tpu.scene.bridge import BridgeCapacities
     from basicrenderer_tpu.scene.components import Position
     from basicrenderer_tpu.scene.scene import Scene
 
-    r = Renderer()
+    # Small capacities: the Renderer's defaults budget for million-triangle
+    # scenes and dominate CPU test time (the frame cost scales with
+    # CAPACITY, not content — the whole fixed-shape design).
+    r = Renderer(caps=BridgeCapacities(
+        max_vertices=1 << 10, max_triangles=1 << 10, max_objects=8,
+        max_materials=4, max_lights=4, max_clusters=32))
     scene = Scene()
+    r.settings.set("maxTrianglePairs", 1 << 12)
     r.settings.set("renderResolution", (256, 128))
     r.settings.set("enableTAA", True)
     r.settings.set("taaBlend", 0.1)

@@ -71,3 +71,61 @@ def test_oit_blends_two_layers():
     center2 = img2[64, 64]
     # Nearest (blue) quad wins the depth test; no red contribution.
     assert center2[2] > center2[0] * 2
+
+
+def _glass_stack(n_layers):
+    """n parallel glass quads in front of a white floor."""
+    meshes = MeshRegistry()
+    mats = MaterialRegistry()
+    plane = meshes.add(procedural.make_plane(8.0, 1))
+    white = mats.add(Material(base_color=np.array([1, 1, 1, 1], np.float32),
+                              roughness=1.0))
+    glass = mats.add(Material(
+        base_color=np.array([0.2, 0.9, 0.3, 0.4], np.float32),
+        alpha_blend=True, roughness=0.5))
+    sc = Scene()
+    import basicrenderer_tpu.utils.math3d as m3
+    q = np.asarray(m3.quat_from_axis_angle([1, 0, 0], np.pi / 2))
+    sc.create_renderable(plane, white, position=(0, 0, -2), rotation=q)
+    for k in range(n_layers):
+        sc.create_renderable(plane, glass, position=(0, 0, -1 + 0.2 * k),
+                             rotation=q, scale=(0.4, 1, 0.4))
+    sc.create_directional_light(direction=(0, -0.3, -1), intensity=3.0)
+    sc.set_camera(position=(0, 0, 5), target=(0, 0, 0), aspect=1.0)
+    sc.propagate_transforms()
+    caps = BridgeCapacities(max_vertices=1 << 9, max_triangles=1 << 9,
+                            max_objects=16, max_materials=8, max_lights=4,
+                            max_clusters=64)
+    return sc, SceneRenderBridge(sc, meshes, mats, caps)
+
+
+def test_oit_overflow_observable_and_attenuated():
+    """8 glass layers through a K=4 peel: the overflow counter reports the
+    beyond-K pixels, and the background behind the stack is darker than
+    with the probe disabled (estimated transmittance applied) — deep
+    stacks are accounted, not silently dropped (reference: AVBOIT's role,
+    CLodCommon.h:82-86)."""
+    import dataclasses
+    sc, bridge = _glass_stack(8)
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    vd = make_view(view, proj, pos)
+    cfg = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                      max_pairs=1 << 11, use_pallas_raster=False,
+                      enable_clod=True, max_visible_clusters=64,
+                      enable_oit=True, oit_layers=4, oit_clusters=64)
+    out = jax.jit(build_frame_fn(cfg))(buffers, vd, FrameParams.default())
+    assert int(out["oit_overflow"]) > 100      # stack center: 4 extra layers
+    cfg_np = dataclasses.replace(cfg, oit_overflow_probe=False)
+    out2 = jax.jit(build_frame_fn(cfg_np))(buffers, vd,
+                                           FrameParams.default())
+    c = np.asarray(out["hdr"])[64, 64]
+    c2 = np.asarray(out2["hdr"])[64, 64]
+    assert c.mean() < c2.mean()                # extra transmittance darkens
+    # A 4-layer stack fits the peel budget exactly: no overflow.
+    sc4, bridge4 = _glass_stack(4)
+    buffers4 = bridge4.build_scene_buffers()
+    v4, p4, pos4 = sc4.camera_matrices(aspect=1.0)
+    out4 = jax.jit(build_frame_fn(cfg))(buffers4, make_view(v4, p4, pos4),
+                                        FrameParams.default())
+    assert int(out4["oit_overflow"]) == 0
