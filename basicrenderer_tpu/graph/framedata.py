@@ -71,8 +71,11 @@ class SceneBuffers:
     # Profiled: gathering (V, 10)-row corners costs ~33 ns/row (narrow
     # unaligned rows); fetching whole slabs as wide rows + extracting
     # corners with a one-hot MXU einsum is ~10x cheaper.
-    cluster_verts: jnp.ndarray     # (S, SLAB*10) f32 wide rows (pool slab
-    #                                 when streaming; full table otherwise)
+    cluster_verts: jnp.ndarray     # (S, SLAB*3) u32 QUANTIZED planar wide
+    #                                 rows [px|py, pz|oct, u|v blocks]
+    #                                 (models/pageblob.py; pool slab when
+    #                                 streaming; full table otherwise)
+    cluster_dequant: jnp.ndarray   # (S, 8) f32 per-page AABB min3 + ext3
     cluster_tri_local: jnp.ndarray  # (S, 384) f32 corner slab indices
     #                                 (t*3+c order; ids < SLAB, f32-exact)
     # Streaming (ops/clod.py residency patching + models/streaming.py):

@@ -176,6 +176,22 @@ class StreamingWorker:
                     self._completed.append(key)
 
 
+class _StagingPool:
+    """Adapter so StreamingWorker can stage loaded group blobs into a host
+    dict: the worker thread does the DISK read (the slow part); the device
+    upload happens on the frame thread in GeometryStreamer.update."""
+
+    def __init__(self, staged: Dict[int, np.ndarray]):
+        self._staged = staged
+
+    def is_resident(self, key: int) -> bool:
+        return key in self._staged
+
+    def upload(self, key: int, rows: np.ndarray) -> int:
+        self._staged[key] = rows
+        return 0
+
+
 class GeometryStreamer:
     """Frame-integrated geometry streaming: cluster vertex PAGES move
     between the host-side container and a fixed device slab, driven by the
@@ -188,18 +204,35 @@ class GeometryStreamer:
     can always fall back to them, so streaming misses coarsen, never hole.
     """
 
-    def __init__(self, packed, max_groups: int, num_slots: int,
-                 loads_per_update: int = 16):
-        self.v_full = packed.cluster_verts          # (G, SLAB*10) host
-        self.l_full = packed.cluster_tri_local      # (G, 384) host
-        self.geom_group = packed.geom_group         # (G,) host
+    def __init__(self, packed=None, max_groups: int = 0, num_slots: int = 0,
+                 loads_per_update: int = 16, container=None):
+        """Source is EITHER `packed` (host-RAM PackedGeometry arrays) or
+        `container` (a pageblob.PageBlobContainer — pages pulled from DISK
+        on a background IO thread, the DirectStorage-analogue path)."""
+        from .pageblob import DEQUANT_LANES
+        self.container = container
+        if container is not None:
+            self.geom_group = container.geom_group
+            self.l_full = container.tri_local.astype(np.float32)
+            self.dq_full = container.dequant
+            self.v_full = None                      # pages live on disk
+            v_lanes = container.page_lanes
+            G = container.header.num_pages
+            self.group_pages = dict(container.group_pages)
+        else:
+            self.v_full = packed.cluster_verts      # (G, SLAB*3) u32 host
+            self.l_full = packed.cluster_tri_local  # (G, 384) host
+            self.dq_full = packed.cluster_dequant   # (G, 8) f32 host
+            self.geom_group = packed.geom_group     # (G,) host
+            v_lanes = self.v_full.shape[1]
+            G = self.v_full.shape[0]
+            self.group_pages = {}
+            for g in np.unique(self.geom_group):
+                if g >= 0:
+                    self.group_pages[int(g)] = \
+                        np.nonzero(self.geom_group == g)[0]
         self.max_groups = max_groups
         self.loads_per_update = loads_per_update
-        G = self.v_full.shape[0]
-        self.group_pages: Dict[int, np.ndarray] = {}
-        for g in np.unique(self.geom_group):
-            if g >= 0:
-                self.group_pages[int(g)] = np.nonzero(self.geom_group == g)[0]
         pinned = np.nonzero(self.geom_group == -1)[0]
         if len(pinned) > num_slots:
             raise ValueError(
@@ -214,35 +247,72 @@ class GeometryStreamer:
         self.loads = 0
         self.evictions = 0
         self._free = list(range(num_slots))[::-1]
-        self.slab_v = jnp.zeros((num_slots, self.v_full.shape[1]), jnp.float32)
+        self.slab_v = jnp.zeros((num_slots, v_lanes), jnp.uint32)
         self.slab_l = jnp.zeros((num_slots, self.l_full.shape[1]), jnp.float32)
+        self.slab_dq = jnp.zeros((num_slots, DEQUANT_LANES), jnp.float32)
         self._upd_v = jax.jit(lambda s, rows, at: jax.lax.dynamic_update_slice(
             s, rows, (at, 0)))
-        # Pin the always-resident pages.
+        # Disk mode: an IO worker prefetches requested groups' page bytes
+        # into a host staging dict; update() uploads staged groups. The
+        # frame loop never blocks on disk (reference: StreamingWorkerMain).
+        self._staged: Dict[int, np.ndarray] = {}
+        self._io: Optional[StreamingWorker] = None
+        if container is not None:
+            pool = _StagingPool(self._staged)
+            self._io = StreamingWorker(
+                pool, self._read_group_pages, budget_per_tick=16)
+        # Pin the always-resident pages (disk mode reads them synchronously
+        # once at init — cold-start, before any frame runs).
         for p in pinned:
             s = self._free.pop()
             self.geom_slot[p] = s
             self._upload(int(p), s)
 
-    def _upload(self, page: int, slot: int) -> None:
+    def _read_group_pages(self, g: int) -> np.ndarray:
+        """IO-thread loader: (n_pages, lanes) u32 for group g from disk."""
+        pages = self.group_pages[g]
+        return np.stack([self.container.read_page(int(p)) for p in pages])
+
+    def _page_rows(self, page: int) -> np.ndarray:
+        if self.v_full is not None:
+            return self.v_full[page:page + 1]
+        return self.container.read_page(page)[None, :]
+
+    def _upload(self, page: int, slot: int, rows: np.ndarray = None) -> None:
+        if rows is None:
+            rows = self._page_rows(page)
         self.slab_v = self._upd_v(self.slab_v,
-                                  jnp.asarray(self.v_full[page:page + 1]), slot)
+                                  jnp.asarray(rows, dtype=jnp.uint32), slot)
         self.slab_l = self._upd_v(self.slab_l,
-                                  jnp.asarray(self.l_full[page:page + 1]), slot)
+                                  jnp.asarray(self.l_full[page:page + 1],
+                                              dtype=jnp.float32), slot)
+        self.slab_dq = self._upd_v(self.slab_dq,
+                                   jnp.asarray(self.dq_full[page:page + 1],
+                                               dtype=jnp.float32), slot)
         self.loads += 1
 
     def _load_group(self, g: int) -> bool:
         pages = self.group_pages.get(g)
         if pages is None:
             return False
+        rows_stack = None
+        if self.container is not None:
+            # Disk mode: only consume groups the IO thread has staged;
+            # otherwise queue the read and come back next frame.
+            rows_stack = self._staged.pop(g, None)
+            if rows_stack is None:
+                self._io.request(g, priority=-float(self.tick))
+                return False
         while len(self._free) < len(pages):
             if not self._evict_one(protect=g):
                 return False
         slots = []
-        for p in pages:
+        for j, p in enumerate(pages):
             s = self._free.pop()
             self.geom_slot[p] = s
-            self._upload(int(p), s)
+            self._upload(int(p), s,
+                         rows=None if rows_stack is None
+                         else rows_stack[j:j + 1])
             slots.append(s)
         self.group_slots[g] = np.asarray(slots, np.int32)
         self.resident[g] = True
@@ -264,7 +334,7 @@ class GeometryStreamer:
 
     def update(self, touched: np.ndarray):
         """Feed one frame's touched-group bits; returns the device-side
-        (slab_v, slab_l, geom_slot, group_resident) to splice into
+        (slab_v, slab_l, slab_dq, geom_slot, group_resident) to splice into
         SceneBuffers."""
         self.tick += 1
         want = np.nonzero(touched[:self.max_groups])[0]
@@ -278,8 +348,12 @@ class GeometryStreamer:
                 break
             if self._load_group(int(g)):
                 budget -= 1
-        return (self.slab_v, self.slab_l,
+        return (self.slab_v, self.slab_l, self.slab_dq,
                 jnp.asarray(self.geom_slot), jnp.asarray(self.resident))
+
+    def stop(self) -> None:
+        if self._io is not None:
+            self._io.stop()
 
     @property
     def resident_groups(self) -> int:

@@ -432,12 +432,12 @@ def triangle_setup_compacted(vertex_table: jnp.ndarray, object_mats: jnp.ndarray
     return jax.lax.optimization_barrier((lanes, bbox, valid)) + (ovf,)
 
 
-def _transform_corner_rows(raw, objid, mat_table, viewproj):
-    """Raw corner rows [pos3, nrm3, uv2, ...] + per-tri object ids ->
-    g rows [clip4 | wnormal3 | uv2] (all column math, one one-hot MXU
-    matrix lookup)."""
+def _transform_corner_cols(px, py, pz, nx0, ny0, nz0, u, v, objid,
+                           mat_table, viewproj):
+    """Object-space corner columns + per-tri object ids -> g rows
+    [clip4 | wnormal3 | uv2] (all column math, one one-hot MXU matrix
+    lookup)."""
     m = gather_rows_onehot(mat_table, objid)          # (Kt, 25) MXU
-    px, py, pz = raw[:, 0], raw[:, 1], raw[:, 2]
     # world = M @ [p, 1] (column math; no rank-3 intermediates)
     wx = m[:, 0] * px + m[:, 1] * py + m[:, 2] * pz + m[:, 3]
     wy = m[:, 4] * px + m[:, 5] * py + m[:, 6] * pz + m[:, 7]
@@ -447,12 +447,46 @@ def _transform_corner_rows(raw, objid, mat_table, viewproj):
     cy = vp[1, 0] * wx + vp[1, 1] * wy + vp[1, 2] * wz + vp[1, 3]
     cz = vp[2, 0] * wx + vp[2, 1] * wy + vp[2, 2] * wz + vp[2, 3]
     cw = vp[3, 0] * wx + vp[3, 1] * wy + vp[3, 2] * wz + vp[3, 3]
-    nx0, ny0, nz0 = raw[:, 3], raw[:, 4], raw[:, 5]
     nx = m[:, 16] * nx0 + m[:, 17] * ny0 + m[:, 18] * nz0
     ny = m[:, 19] * nx0 + m[:, 20] * ny0 + m[:, 21] * nz0
     nz = m[:, 22] * nx0 + m[:, 23] * ny0 + m[:, 24] * nz0
-    return jnp.stack([cx, cy, cz, cw, nx, ny, nz, raw[:, 6], raw[:, 7]],
-                     axis=1)
+    return jnp.stack([cx, cy, cz, cw, nx, ny, nz, u, v], axis=1)
+
+
+def _transform_corner_rows(raw, objid, mat_table, viewproj):
+    """Raw corner rows [pos3, nrm3, uv2, ...] -> g rows (column form)."""
+    return _transform_corner_cols(
+        raw[:, 0], raw[:, 1], raw[:, 2], raw[:, 3], raw[:, 4], raw[:, 5],
+        raw[:, 6], raw[:, 7], objid, mat_table, viewproj)
+
+
+def _dequantized_corner_cols(q6, dq, meshlet_tris):
+    """Quantized corner value columns (Kt, 6) [px16, py16, pz16, oct16,
+    uh16, vh16] + per-cluster dequant rows (Kc, 8) -> object-space columns
+    (px, py, pz, nx, ny, nz, u, v). All 16-bit VALUES are f32-exact, so
+    the one-hot extraction einsum upstream is lossless; this is the only
+    place quantization is undone (models/pageblob.py layout)."""
+    def rep(col):
+        return jnp.repeat(col, meshlet_tris)          # (Kc,) -> (Kt,)
+    inv = 1.0 / 65535.0
+    px = rep(dq[:, 0]) + q6[:, 0] * (rep(dq[:, 3]) * inv)
+    py = rep(dq[:, 1]) + q6[:, 1] * (rep(dq[:, 4]) * inv)
+    pz = rep(dq[:, 2]) + q6[:, 2] * (rep(dq[:, 5]) * inv)
+    # Octahedral normal decode (2 x u8 in one 16-bit value).
+    o = q6[:, 3].astype(jnp.int32)
+    a = (o & 255).astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    b = (o >> 8).astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    z = 1.0 - jnp.abs(a) - jnp.abs(b)
+    t = jnp.clip(-z, 0.0, 1.0)
+    x = a + jnp.where(a >= 0, -t, t)
+    y = b + jnp.where(b >= 0, -t, t)
+    rl = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+    # Half-float UVs: value -> u16 bits -> f16.
+    u = jax.lax.bitcast_convert_type(
+        q6[:, 4].astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    v = jax.lax.bitcast_convert_type(
+        q6[:, 5].astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    return px, py, pz, x * rl, y * rl, z * rl, u, v
 
 
 def setup_from_compacted(scene, comp, viewproj: jnp.ndarray,
@@ -491,19 +525,32 @@ def triangle_setup_clustered(scene, comp, viewproj: jnp.ndarray,
     G = scene.geom_slot.shape[0]
     slots = scene.geom_slot[jnp.clip(comp.geom, 0, G - 1)]
     gids = jnp.clip(slots, 0, scene.cluster_verts.shape[0] - 1)
-    slabs = scene.cluster_verts[gids]                  # (Kc, SLAB*10) rows
+    slabs = scene.cluster_verts[gids]                  # (Kc, SLAB*3) u32
     locals_ = scene.cluster_tri_local[gids]            # (Kc, 384) f32
+    dq = scene.cluster_dequant[gids]                   # (Kc, 8) f32
     Kc = gids.shape[0]
-    slabs = slabs.reshape(Kc, SLAB_VERTS, 10)
+    # Quantized planar unpack (models/pageblob.py): three contiguous
+    # SLAB-lane u32 blocks, each holding two 16-bit values. The unpacked
+    # VALUES (<= 65535) are f32-exact, so corner extraction stays the
+    # one-hot MXU einsum; dequantization runs AFTER extraction on (Kt,)
+    # columns (_dequantized_corner_cols).
+    w0 = slabs[:, 0:SLAB_VERTS]
+    w1 = slabs[:, SLAB_VERTS:2 * SLAB_VERTS]
+    w2 = slabs[:, 2 * SLAB_VERTS:3 * SLAB_VERTS]
+    planes = jnp.stack(
+        [w0 & 0xFFFF, w0 >> 16, w1 & 0xFFFF, w1 >> 16,
+         w2 & 0xFFFF, w2 >> 16], axis=-1).astype(jnp.float32)
     li = locals_.astype(jnp.int32)                     # (Kc, 384)
     oh = (li[:, :, None]
           == jnp.arange(SLAB_VERTS, dtype=jnp.int32)[None, None, :]
           ).astype(jnp.float32)
-    corners = jnp.einsum("kcs,ksd->kcd", oh, slabs,
+    corners = jnp.einsum("kcs,ksd->kcd", oh, planes,
                          precision=jax.lax.Precision.HIGH)  # exact f32
-    corners = corners.reshape(Kc, MESHLET_TRIS, 3, 10)
-    gs = [_transform_corner_rows(
-        corners[:, :, c, :].reshape(Kc * MESHLET_TRIS, 10),
+    corners = corners.reshape(Kc, MESHLET_TRIS, 3, 6)
+    gs = [_transform_corner_cols(
+        *_dequantized_corner_cols(
+            corners[:, :, c, :].reshape(Kc * MESHLET_TRIS, 6), dq,
+            MESHLET_TRIS),
         comp.object, mat_table, viewproj) for c in range(3)]
     setup = _setup_from_corners(gs[0], gs[1], gs[2], comp.valid, config,
                                 has_normals=True, has_uvs=True)

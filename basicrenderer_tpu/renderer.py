@@ -212,14 +212,19 @@ class Renderer:
                 self._bridge.packed is not None and \
                 getattr(self, "_streamer", None) is None:
             from .models.streaming import GeometryStreamer
+            container = None
+            cpath = self.settings.get("streamingContainer", "")
+            if cpath:
+                from .models.pageblob import PageBlobContainer
+                container = PageBlobContainer(cpath)
             self._streamer = GeometryStreamer(
                 self._bridge.packed, self.caps.max_groups,
-                self.settings.get("streamingSlots"))
-            sv, sl, gs, gr = self._streamer.update(
+                self.settings.get("streamingSlots"), container=container)
+            sv, sl, sdq, gs, gr = self._streamer.update(
                 np.zeros(self.caps.max_groups, bool))
             self._buffers = self._buffers.replace(
-                cluster_verts=sv, cluster_tri_local=sl, geom_slot=gs,
-                group_resident=gr)
+                cluster_verts=sv, cluster_tri_local=sl, cluster_dequant=sdq,
+                geom_slot=gs, group_resident=gr)
         # Auto-enable skinning when any packed instance is skinned.
         if self._bridge.packed and self._bridge.packed.skin_instances:
             self.settings.set("enableSkinning", True)
@@ -333,10 +338,11 @@ class Renderer:
             # splice the pool state into this frame's buffers.
             t_prev = getattr(self, "_touched_dev", None)
             if t_prev is not None:
-                sv, sl, gs, gr = self._streamer.update(np.asarray(t_prev))
+                sv, sl, sdq, gs, gr = self._streamer.update(
+                    np.asarray(t_prev))
                 self._buffers = self._buffers.replace(
-                    cluster_verts=sv, cluster_tri_local=sl, geom_slot=gs,
-                    group_resident=gr)
+                    cluster_verts=sv, cluster_tri_local=sl,
+                    cluster_dequant=sdq, geom_slot=gs, group_resident=gr)
                 args[0] = self._buffers
         with self.telemetry.stage("dispatch"):
             out = frame_fn(*args, **kwargs)

@@ -64,7 +64,9 @@ class PackedGeometry:
     vert_joints: np.ndarray = None   # (V, 4) i32 global palette slots
     vert_weights: np.ndarray = None  # (V, 4) f32
     skin_instances: list = None      # [(skeleton_id, palette_offset, J)]
-    cluster_verts: np.ndarray = None      # (G, SLAB*10) f32 vertex pages
+    cluster_verts: np.ndarray = None      # (G, SLAB*3) u32 quantized planar
+    #                                       vertex pages (models/pageblob.py)
+    cluster_dequant: np.ndarray = None    # (G, 8) f32 per-page AABB min/ext
     cluster_tri_local: np.ndarray = None  # (G, 384) f32 corner slab ids
     cluster_feeds: np.ndarray = None      # (C,) i32 streaming group of c
     cluster_made: np.ndarray = None       # (C,) i32 group c was built from
@@ -117,9 +119,15 @@ class SceneRenderBridge:
         cluster_table = np.zeros((c.max_clusters, _CS), np.float32)
         cluster_object = np.zeros((c.max_clusters,), np.int32)
         # Cluster-local vertex pages (framedata.SceneBuffers docstring):
-        # built ONCE per geometry cluster; instances share them.
-        cluster_verts = np.zeros((c.max_geom_clusters, SLAB_VERTS * 10),
-                                 np.float32)
+        # built ONCE per geometry cluster; instances share them. Stored
+        # QUANTIZED (pos16-in-bounds / oct normals / half UVs — see
+        # models/pageblob.py; reference: ClusterLODUtilities.cpp:1194-1330).
+        from ..models.pageblob import DEQUANT_LANES, quantize_page
+        cluster_verts = np.zeros((c.max_geom_clusters, SLAB_VERTS * 3),
+                                 np.uint32)
+        cluster_dequant = np.zeros((c.max_geom_clusters, DEQUANT_LANES),
+                                   np.float32)
+        cluster_dequant[:, 3:6] = 1.0
         cluster_tri_local = np.zeros((c.max_geom_clusters, MESHLET_TRIS * 3),
                                      np.float32)
         cluster_feeds = np.full((c.max_clusters,), -1, np.int32)
@@ -198,7 +206,8 @@ class SceneRenderBridge:
                         [mesh.positions[uniq], mesh.normals[uniq],
                          mesh.uvs[uniq], np.zeros((len(uniq), 2), np.float32)],
                         axis=1)
-                    cluster_verts[g, :len(uniq) * 10] = rows10.reshape(-1)
+                    cluster_verts[g], cluster_dequant[g] = \
+                        quantize_page(rows10, SLAB_VERTS)
                     cluster_tri_local[g, :cnt * 3] = inv.reshape(-1)
                 template[:, 11] = g_off + np.arange(ncl_g)
                 # Streaming groups: offset this mesh's group ids into the
@@ -265,10 +274,21 @@ class SceneRenderBridge:
                                      v_off, t_off, ent2obj, local_bounds,
                                      tcl, cluster_table, cluster_object, cl_off,
                                      vjoints, vweights, skin_instances,
-                                     cluster_verts, cluster_tri_local,
+                                     cluster_verts, cluster_dequant,
+                                     cluster_tri_local,
                                      cluster_feeds, cluster_made,
                                      geom_group, grp_off)
         return self.packed
+
+    def save_page_container(self, path: str) -> None:
+        """Serialize the packed scene's quantized geometry pages to a disk
+        page-blob container the streamer can cold-start from (reference:
+        CLodCache.h:17-110 page blobs + locators)."""
+        from ..models.pageblob import write_container
+        p = self.packed if self.packed is not None else self.pack_geometry()
+        write_container(path, p.cluster_verts,
+                        p.cluster_tri_local.astype(np.uint16),
+                        p.geom_group, p.cluster_dequant, p.num_groups)
 
     # -- hot path ----------------------------------------------------------
     def snapshot_objects(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -384,7 +404,8 @@ class SceneRenderBridge:
                 [p.positions, p.normals, p.uvs,
                  p.vert_object[:, None].astype(np.float32)], axis=1)),
             tri_cluster=jnp.asarray(p.tri_cluster),
-            cluster_verts=f32(p.cluster_verts),
+            cluster_verts=jnp.asarray(p.cluster_verts),
+            cluster_dequant=f32(p.cluster_dequant),
             cluster_tri_local=f32(p.cluster_tri_local),
             cluster_feeds=jnp.asarray(p.cluster_feeds),
             cluster_made=jnp.asarray(p.cluster_made),

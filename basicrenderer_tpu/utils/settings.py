@@ -155,6 +155,9 @@ def make_default_settings() -> SettingsManager:
                description="geometry page streaming (models/streaming.py)")
     s.register("streamingSlots", 1024, structural=True,
                description="geometry page pool capacity")
+    s.register("streamingContainer", "", structural=True,
+               description="disk page-blob container path ('' = host RAM; "
+                           "see models/pageblob.py)")
     # Value-only (traced; no recompile)
     s.register("exposure", 1.0)
     s.register("bloomIntensity", 0.04)
