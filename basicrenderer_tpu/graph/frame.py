@@ -94,7 +94,7 @@ def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         cl_overflow = comp.overflow
         lanes, bbox, valid, clip_ovf = raster_setup.setup_from_compacted(
             scene, comp, view.viewproj, config)
-        pairs = raster_setup.bin_pairs(lanes, bbox, valid, config)
+        pairs = raster_setup.bin_clustered(lanes, bbox, valid, config)
         return None, None, None, cl_overflow + clip_ovf, pairs
     clip, world_pos, world_normals = raster_setup.transform_geometry(
         scene.positions, scene.normals, scene.vert_object, scene.object_mats,
@@ -248,9 +248,13 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             # scales with capacity, and the phase-2 replay budget is ~8x
             # smaller than phase 1 — binning it at the full max_pairs wastes
             # ~2.5 ms/frame. Overflow still surfaces via pairs.overflow.
-            bcfg = _dc.replace(config, max_pairs=min(
-                config.max_pairs, max(budget * 256, 1 << 14)))
-            prs = raster_setup.bin_pairs(lanes, bboxt, valid, bcfg)
+            bcfg = _dc.replace(
+                config,
+                max_pairs=min(config.max_pairs,
+                              max(budget * 256, 1 << 14)),
+                max_group_pairs=min(config.max_group_pairs,
+                                    max(budget * 32, 1 << 12)))
+            prs = raster_setup.bin_clustered(lanes, bboxt, valid, bcfg)
             d, v, ch = visibility_pass(localize(prs), lcfg, init=init,
                                        tile_row0=row0_tiles)
             return d, v, ch, prs, ovf + clip_ovf
@@ -327,7 +331,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         lanes_m, bbox_m, valid_m, _mask_clip_ovf = \
             raster_setup.setup_from_compacted(
                 scene, comp_m, view.viewproj, config)
-        pairs_m = raster_setup.bin_pairs(lanes_m, bbox_m, valid_m, config)
+        pairs_m = raster_setup.bin_clustered(lanes_m, bbox_m, valid_m,
+                                             config)
         dm, vm, chm = visibility_pass(localize(pairs_m), lcfg,
                                       tile_row0=row0_tiles)
         # Alpha evaluation: uv + material from the masked channels.

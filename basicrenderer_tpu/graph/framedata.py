@@ -151,6 +151,19 @@ class FrameConfig:
     near_clip_tris: int = 256         # near-plane clip budget per pass
     #                                   (crossing tris -> up to 2 outputs;
     #                                   0 disables -> guard-band reject)
+    # Group (sub-cluster) binning for clustered paths: pairs are
+    # (32-row group, tile) instead of (triangle, tile) — the bin sort
+    # shrinks ~GR x and the raster kernel DMAs each group's contiguous
+    # setup rows straight from the lane table (no materialized pair
+    # gather), skipping non-overlapping rows with a scalar bbox test
+    # (ops/raster_setup.bin_groups, ops/raster_pallas group kernel).
+    group_binning: bool = True
+    group_rows: int = 32              # rows per group (divides MESHLET_TRIS)
+    max_group_pairs: int = 1 << 15    # (group, tile) bin capacity
+    max_tiles_per_group: int = 16     # small-group bin span cap
+    max_big_groups: int = 256         # global large-group list capacity
+    #                                   (every tile box-tests each entry;
+    #                                   slab DMA only on overlap)
     enable_shadows: bool = False
     num_cascades: int = 4
     shadow_resolution: int = 1024

@@ -50,7 +50,8 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         cut=cut, scene=scene, max_visible=config.oit_clusters)
     lanes, bbox, valid, _clip_ovf = raster_setup.setup_from_compacted(
         scene, comp, view.viewproj, config)
-    pairs = localize(raster_setup.bin_pairs(lanes, bbox, valid, config))
+    pairs = localize(raster_setup.bin_clustered(lanes, bbox, valid,
+                                                config))
 
     H, W = lcfg.height, config.width
     Hp, Wp = lcfg.padded_height, lcfg.padded_width

@@ -31,10 +31,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..graph.framedata import FrameConfig
-from .raster_setup import BinnedPairs, SETUP_LANES
+from .raster_setup import BinnedPairs, GroupBinnedPairs, SETUP_LANES
 
 CHUNK = 128  # pairs per DMA slab
 NUM_CHANNELS = 8  # [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
+
+
+def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
+                   peel_z, peeled: bool, accum: bool):
+    """The shared per-triangle vector evaluation: edge/depth planes over the
+    tile, masked writes of depth/vis + fused attribute resolve. Identical in
+    the per-triangle and group kernels (pixel-exact parity)."""
+
+    def tri_body(j, slot_base):
+        base = slot_base + j * SETUP_LANES
+        e0 = (buf_ref[base + 0] * px + buf_ref[base + 1] * py
+              + buf_ref[base + 2])
+        e1 = (buf_ref[base + 3] * px + buf_ref[base + 4] * py
+              + buf_ref[base + 5])
+        # Barycentric planes sum to 1 identically — deriving e2 saves three
+        # SMEM loads + two vector FMAs in the hottest loop of the frame
+        # (the ref twin derives it the same way: pixel-exact parity).
+        e2 = 1.0 - e0 - e1
+        z = (buf_ref[base + 9] * px + buf_ref[base + 10] * py
+             + buf_ref[base + 11])
+        tri_id_f = buf_ref[base + 12]
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
+        passd = inside & (z > depth_ref[:])
+        if peeled:
+            passd = passd & (z < peel_z)
+        if accum:
+            # Count-only mode (OIT overflow probe): accumulate how many
+            # fragments fall in the peel band; no depth/vis/attr resolve.
+            # depth_ref stays at its seed so the band is stable.
+            chan_ref[7] = chan_ref[7] + jnp.where(passd, 1.0, 0.0)
+            return slot_base
+
+        # (Measured: gating these writes on a per-triangle any(passd)
+        # reduce SLOWED the loop 3x — the cross-lane reduce + branch stall
+        # the issue pipeline. Unconditional masked writes win.)
+        depth_ref[:] = jnp.where(passd, z, depth_ref[:])
+        vis_ref[:] = jnp.where(passd, tri_id_f.astype(jnp.int32), vis_ref[:])
+        # Fused attribute resolve: write the perspective-correct channel
+        # planes under the same pass mask (reference VisUtilEvaluate
+        # equivalent, done during raster — overdrawn writes are later
+        # overwritten by closer triangles, exactly like a GBuffer raster).
+        for ch in range(6):
+            val = (buf_ref[base + 14 + ch * 3] * px
+                   + buf_ref[base + 15 + ch * 3] * py
+                   + buf_ref[base + 16 + ch * 3])
+            chan_ref[ch] = jnp.where(passd, val, chan_ref[ch])
+        chan_ref[6] = jnp.where(passd, buf_ref[base + 13], chan_ref[6])
+        return slot_base
+
+    return tri_body
 
 
 def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
@@ -97,46 +147,8 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
             sem_ref.at[slot],
         )
 
-    def tri_body(j, slot_base):
-        base = slot_base + j * SETUP_LANES
-        e0 = (buf_ref[base + 0] * px + buf_ref[base + 1] * py
-              + buf_ref[base + 2])
-        e1 = (buf_ref[base + 3] * px + buf_ref[base + 4] * py
-              + buf_ref[base + 5])
-        # Barycentric planes sum to 1 identically — deriving e2 saves three
-        # SMEM loads + two vector FMAs in the hottest loop of the frame
-        # (the ref twin derives it the same way: pixel-exact parity).
-        e2 = 1.0 - e0 - e1
-        z = (buf_ref[base + 9] * px + buf_ref[base + 10] * py
-             + buf_ref[base + 11])
-        tri_id_f = buf_ref[base + 12]
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
-        passd = inside & (z > depth_ref[:])
-        if peeled:
-            passd = passd & (z < peel_z)
-        if accum:
-            # Count-only mode (OIT overflow probe): accumulate how many
-            # fragments fall in the peel band; no depth/vis/attr resolve.
-            # depth_ref stays at its seed so the band is stable.
-            chan_ref[7] = chan_ref[7] + jnp.where(passd, 1.0, 0.0)
-            return slot_base
-
-        # (Measured: gating these writes on a per-triangle any(passd)
-        # reduce SLOWED the loop 3x — the cross-lane reduce + branch stall
-        # the issue pipeline. Unconditional masked writes win.)
-        depth_ref[:] = jnp.where(passd, z, depth_ref[:])
-        vis_ref[:] = jnp.where(passd, tri_id_f.astype(jnp.int32), vis_ref[:])
-        # Fused attribute resolve: write the perspective-correct channel
-        # planes under the same pass mask (reference VisUtilEvaluate
-        # equivalent, done during raster — overdrawn writes are later
-        # overwritten by closer triangles, exactly like a GBuffer raster).
-        for ch in range(6):
-            val = (buf_ref[base + 14 + ch * 3] * px
-                   + buf_ref[base + 15 + ch * 3] * py
-                   + buf_ref[base + 16 + ch * 3])
-            chan_ref[ch] = jnp.where(passd, val, chan_ref[ch])
-        chan_ref[6] = jnp.where(passd, buf_ref[base + 13], chan_ref[6])
-        return slot_base
+    tri_body = _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
+                              peel_z if peeled else None, peeled, accum)
 
     def big_body(j, slot_base):
         # Global-list rows carry their tile bbox in lanes 6-7: a SCALAR
@@ -188,6 +200,130 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
     walk(0, misc_ref[1], big_body)
 
 
+def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
+                          bigx_ref, bigy_ref, *refs,
+                          tile_h: int, tile_w: int, tiles_x: int,
+                          group_rows: int, seeded: bool, peeled: bool = False,
+                          accum: bool = False):
+    """Group-binned raster: the pair stream is (group, tile) ids; each
+    group's `group_rows` contiguous setup rows are DMA'd straight from the
+    lane table (raster_setup.bin_groups — no materialized per-pair payload).
+    Rows whose lane-6/7 tile bbox misses this tile are skipped with a
+    scalar test before any vector work (invalid rows carry inverted boxes).
+    The vector evaluation is _make_tri_body — pixel-exact parity with the
+    per-triangle kernel and the jnp twin."""
+    if peeled:
+        (flat_ref, seed_ref, peel_ref,
+         depth_ref, vis_ref, chan_ref, buf_ref, sem_ref) = refs
+    elif seeded:
+        (flat_ref, depth0_ref, vis0_ref, chan0_ref,
+         depth_ref, vis_ref, chan_ref, buf_ref, sem_ref) = refs
+    else:
+        flat_ref, depth_ref, vis_ref, chan_ref, buf_ref, sem_ref = refs
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * tiles_x + tx
+    start = tile_off_ref[tile]
+    end = tile_off_ref[tile + 1]
+    n = end - start
+
+    if peeled:
+        depth_ref[:] = seed_ref[:]
+        vis_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
+        chan_ref[:] = jnp.zeros((NUM_CHANNELS, tile_h, tile_w), jnp.float32)
+        peel_z = peel_ref[:]
+    elif seeded:
+        depth_ref[:] = depth0_ref[:]
+        vis_ref[:] = vis0_ref[:]
+        chan_ref[:] = chan0_ref[:]
+    else:
+        depth_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        vis_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
+        chan_ref[:] = jnp.zeros((NUM_CHANNELS, tile_h, tile_w), jnp.float32)
+
+    px = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+          .astype(jnp.float32) + (tx * tile_w).astype(jnp.float32) + 0.5)
+    py = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+          .astype(jnp.float32)
+          + ((ty + misc_ref[0]) * tile_h).astype(jnp.float32) + 0.5)
+
+    GSLAB = group_rows * SETUP_LANES       # floats per group slab (mult 128)
+
+    tri_body = _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
+                              peel_z if peeled else None, peeled, accum)
+
+    def row_body(j, slot_base):
+        # Scalar per-row bbox containment: skips backfaced/invalid rows
+        # (inverted boxes) and rows of this group that don't touch this
+        # tile — ~8 cycles vs ~70-140 for the vector evaluation.
+        base = slot_base + j * SETUP_LANES
+        bx = buf_ref[base + 6].astype(jnp.int32)
+        by = buf_ref[base + 7].astype(jnp.int32)
+        tyg = ty + misc_ref[0]
+        hit = ((tx >= bx // 2048) & (tx <= bx % 2048)
+               & (tyg >= by // 2048) & (tyg <= by % 2048))
+
+        @pl.when(hit)
+        def _():
+            tri_body(j, slot_base)
+        return slot_base
+
+    def get_dma(slot, gid):
+        off = pl.multiple_of(gid * GSLAB, GSLAB)
+        dst = pl.multiple_of(slot * GSLAB, GSLAB)
+        return pltpu.make_async_copy(
+            flat_ref.at[pl.ds(off, GSLAB)],
+            buf_ref.at[pl.ds(dst, GSLAB)],
+            sem_ref.at[slot],
+        )
+
+    def walk(nitems):
+        """Double-buffered group-slab DMA + row walk of this tile's own
+        (group, tile) pairs at gid_ref[start:start+nitems]."""
+
+        @pl.when(nitems > 0)
+        def _():
+            get_dma(0, gid_ref[start]).start()
+
+        def pair_body(p, _):
+            slot = p % 2
+
+            @pl.when(p + 1 < nitems)
+            def _():
+                get_dma((p + 1) % 2, gid_ref[start + p + 1]).start()
+
+            get_dma(slot, gid_ref[start + p]).wait()
+            jax.lax.fori_loop(0, group_rows, row_body, slot * GSLAB)
+            return 0
+
+        jax.lax.fori_loop(0, nitems, pair_body, 0)
+
+    walk(n)
+
+    # Global large-group list: groups spanning more tiles than the bin slot
+    # cap. Every tile SCANS the list, but the slab DMA + row walk run only
+    # when the group's tile box overlaps this tile — without the pre-DMA
+    # box test every tile pulled every big slab (measured ~75 ms/frame on
+    # the city bench vs ~1 ms with it). Hits are rare, so the DMA here is
+    # synchronous (start+wait on slot 0).
+    def big_body(p, _):
+        bx = bigx_ref[p]
+        by = bigy_ref[p]
+        tyg = ty + misc_ref[0]
+        hit = ((tx >= bx // 2048) & (tx <= bx % 2048)
+               & (tyg >= by // 2048) & (tyg <= by % 2048))
+
+        @pl.when(hit)
+        def _():
+            dma = get_dma(0, big_ref[p])
+            dma.start()
+            dma.wait()
+            jax.lax.fori_loop(0, group_rows, row_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, misc_ref[1], big_body, 0)
+
+
 def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
                         interpret: bool = False, init=None, peel=None,
                         tile_row0=0, accum: bool = False
@@ -205,17 +341,28 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
     local slice."""
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
-    # Pad by one slab so ceil-rounded chunk reads stay in bounds; padded
-    # rows carry tri id 0 and never rasterize.
-    flat = jnp.pad(pairs.pair_data, ((0, CHUNK), (0, 0))).reshape(-1)
     seeded = init is not None
     peeled = peel is not None
-    assert config.max_big_tris % CHUNK == 0, \
-        "max_big_tris must be a multiple of the raster DMA slab"
-
-    kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw,
-                               tiles_x=tiles_x, seeded=seeded, peeled=peeled,
-                               accum=accum)
+    grouped = isinstance(pairs, GroupBinnedPairs)
+    if grouped:
+        # Group mode: the lane table itself IS the payload (no pad/gather);
+        # the id streams ride as scalar-prefetch operands in SMEM.
+        flat = pairs.lanes.reshape(-1)
+        kernel = functools.partial(
+            _raster_kernel_groups, tile_h=th, tile_w=tw, tiles_x=tiles_x,
+            group_rows=config.group_rows, seeded=seeded, peeled=peeled,
+            accum=accum)
+        scratch_floats = 2 * config.group_rows * SETUP_LANES
+    else:
+        # Pad by one slab so ceil-rounded chunk reads stay in bounds; padded
+        # rows carry tri id 0 and never rasterize.
+        flat = jnp.pad(pairs.pair_data, ((0, CHUNK), (0, 0))).reshape(-1)
+        assert config.max_big_tris % CHUNK == 0, \
+            "max_big_tris must be a multiple of the raster DMA slab"
+        kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw,
+                                   tiles_x=tiles_x, seeded=seeded,
+                                   peeled=peeled, accum=accum)
+        scratch_floats = 2 * CHUNK * SETUP_LANES
     img_spec = pl.BlockSpec((th, tw), lambda i, j, *_: (i, j),
                             memory_space=pltpu.VMEM)
     chan_spec = pl.BlockSpec((NUM_CHANNELS, th, tw), lambda i, j, *_: (0, i, j),
@@ -228,13 +375,19 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
     elif seeded:
         in_specs += [img_spec, img_spec, chan_spec]
         inputs += [init[0], init[1], init[2]]
+    misc = jnp.stack([jnp.asarray(tile_row0, jnp.int32).reshape(()),
+                      pairs.big_count.astype(jnp.int32)])
+    prefetch = (pairs.tile_offsets, misc)
+    if grouped:
+        prefetch += (pairs.group_ids, pairs.big_ids,
+                     pairs.big_bx, pairs.big_by)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(tiles_y, tiles_x),
         in_specs=in_specs,
         out_specs=[img_spec, img_spec, chan_spec],
         scratch_shapes=[
-            pltpu.SMEM((2 * CHUNK * SETUP_LANES,), jnp.float32),
+            pltpu.SMEM((scratch_floats,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -251,7 +404,5 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(pairs.tile_offsets,
-      jnp.stack([jnp.asarray(tile_row0, jnp.int32).reshape(()),
-                 pairs.big_count.astype(jnp.int32)]), *inputs)
+    )(*prefetch, *inputs)
     return depth, vis, channels

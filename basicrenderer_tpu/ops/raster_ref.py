@@ -19,7 +19,23 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.framedata import FrameConfig
-from .raster_setup import BinnedPairs, SETUP_LANES
+from .raster_setup import BinnedPairs, GroupBinnedPairs, SETUP_LANES
+
+
+def _group_walk(pairs: GroupBinnedPairs, config: FrameConfig, start, n,
+                raster_row, carry):
+    """Group-binned walk order (matches the Pallas group kernel): this
+    tile's (group, tile) pairs' rows, then the global large-group list."""
+    GR = config.group_rows
+
+    def rows_of(gid, c):
+        return jax.lax.fori_loop(
+            0, GR, lambda j, cc: raster_row(gid * GR + j, cc), c)
+
+    carry = jax.lax.fori_loop(
+        0, n, lambda p, c: rows_of(pairs.group_ids[start + p], c), carry)
+    return jax.lax.fori_loop(
+        0, pairs.big_count, lambda p, c: rows_of(pairs.big_ids[p], c), carry)
 
 
 def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
@@ -34,7 +50,8 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
     """
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
-    pair_data = pairs.pair_data  # (P, SETUP_LANES)
+    grouped = isinstance(pairs, GroupBinnedPairs)
+    pair_data = pairs.lanes if grouped else pairs.pair_data
 
     col = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
     row = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
@@ -79,6 +96,9 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
             return zbuf, vis
 
         def walk(carry):
+            if grouped:
+                return _group_walk(pairs, config, start, n, raster_row,
+                                   carry)
             carry = jax.lax.fori_loop(
                 0, n, lambda j, c: raster_row(start + j, c), carry)
             # Global large-triangle list (rows [0, max_big_tris)): every

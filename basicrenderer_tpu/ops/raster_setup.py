@@ -269,10 +269,19 @@ def _lane_columns(e0, e1, zplane_c, plane_cols, valid, tx0, ty0, tx1, ty1):
     Lanes 6-7 carry the tile bbox (see layout above); the kernels derive
     edge2 from the barycentric identity."""
     T = valid.shape[0]
-    tri_ids = (jnp.arange(T, dtype=jnp.int32) + 1).astype(jnp.float32)
+    # Invalid rows are masked IN the table (id 0 + inverted bbox): the
+    # group-binned raster kernel reads raw lane rows (no per-pair gather),
+    # so its scalar bbox skip and the id>0.5 gate must reject dead rows
+    # without ever seeing their garbage planes.
+    tri_ids = jnp.where(valid,
+                        (jnp.arange(T, dtype=jnp.int32) + 1).astype(
+                            jnp.float32), 0.0)
+    inv_box = jnp.float32(2047 * 2048)                    # x0=2047 > x1=0
     cols = list(e0) + list(e1)
-    cols.append((tx0 * 2048 + tx1).astype(jnp.float32))   # lane 6
-    cols.append((ty0 * 2048 + ty1).astype(jnp.float32))   # lane 7
+    cols.append(jnp.where(valid, (tx0 * 2048 + tx1).astype(jnp.float32),
+                          inv_box))                       # lane 6
+    cols.append(jnp.where(valid, (ty0 * 2048 + ty1).astype(jnp.float32),
+                          inv_box))                       # lane 7
     cols.append(jnp.zeros((T,), jnp.float32))             # lane 8 (unused)
     cols += list(zplane_c)
     cols.append(tri_ids)                      # lane 12
@@ -645,8 +654,15 @@ def bin_pairs(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
     ntiles_small = jnp.where(big, 0, ntiles)
 
     ks = jnp.arange(K, dtype=jnp.int32)[None, :]         # (1, K)
-    kx = ks % jnp.maximum(spanx, 1)[:, None]
-    ky = ks // jnp.maximum(spanx, 1)[:, None]
+    # ks // spanx via f32 reciprocal: integer div by a VARIABLE is a
+    # multi-instruction VPU sequence (~4 ms/frame over (T, K) at city
+    # scale). (ks + 0.5) * (1/spanx) floors to exactly ks // spanx for
+    # ks < K <= 8 (margin 0.5/spanx >= 1/16 dwarfs f32 rounding); slots of
+    # big/invalid triangles are dead (live_kt false) so huge spans only
+    # need to stay finite.
+    inv_spanx = 1.0 / jnp.maximum(spanx, 1).astype(jnp.float32)[:, None]
+    ky = jnp.floor((ks.astype(jnp.float32) + 0.5) * inv_spanx).astype(jnp.int32)
+    kx = ks - ky * jnp.maximum(spanx, 1)[:, None]
     tile_kt = (ty0[:, None] + ky) * config.tiles_x + (tx0[:, None] + kx)
     live_kt = ks < ntiles_small[:, None]
     tile_kt = jnp.where(live_kt, tile_kt, num_tiles)     # sentinel sorts last
@@ -706,3 +722,142 @@ def bin_triangles(setup: TriangleSetup, config: FrameConfig,
     """Compat/test wrapper: bin from an unpacked TriangleSetup."""
     lanes = pack_setup_lanes(setup, tri_material)
     return bin_pairs(lanes, setup.bbox, setup.valid, config)
+
+
+class GroupBinnedPairs(NamedTuple):
+    """Group-granular bin output (clustered paths; config.group_binning).
+
+    Pairs are (GR-row group, tile): the raster kernel DMAs each group's
+    contiguous rows straight out of `lanes`, so there is NO materialized
+    per-pair payload — binning shrinks from a (T*K)-key sort + (P, 32) row
+    gather (~10 ms/frame at city scale) to a (T/GR*K)-key sort over group
+    ids. Groups are sub-cluster row windows (Morton-ordered cluster tris
+    are spatially coherent, so a 32-row window has a tight tile bbox).
+    """
+    lanes: jnp.ndarray         # (T, SETUP_LANES) f32 raw setup rows (HBM)
+    group_ids: jnp.ndarray     # (Pc,) i32 group ids sorted by tile
+    tile_offsets: jnp.ndarray  # (num_tiles + 1,) i32 pair ranges per tile
+    num_pairs: jnp.ndarray     # () i32 live (group, tile) pairs
+    overflow: jnp.ndarray      # () i32 pairs/big groups dropped (capacity)
+    big_ids: jnp.ndarray       # (Bg,) i32 global large-group list
+    big_count: jnp.ndarray     # () i32 live rows in big_ids
+    big_bx: jnp.ndarray        # (Bg,) i32 group tile bbox tx0*2048+tx1 —
+    #                            the kernel box-tests each big entry per
+    #                            tile BEFORE the slab DMA (without this,
+    #                            every tile DMA'd every big slab: measured
+    #                            ~75 ms/frame on the city bench)
+    big_by: jnp.ndarray        # (Bg,) i32 ty0*2048+ty1
+
+
+def bin_groups(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
+               config: FrameConfig) -> GroupBinnedPairs:
+    """Bin GR-row groups of consecutive setup rows to tiles.
+
+    Same sort-based scatter-free scheme as bin_pairs, over T/GR groups
+    instead of T triangles. A group's bbox is the union of its valid rows'
+    tile bboxes; groups spanning more than max_tiles_per_group tiles go to
+    the global list every tile walks (the HW-raster bucket analogue —
+    reference: RasterBucket* passes, CLodExtension.cpp:1580-1650). Invalid
+    rows were masked in the lane table itself (_lane_columns: id 0 +
+    inverted bbox), so the kernel's scalar skip rejects them.
+
+    CONTRACT: `valid` must be the SAME validity that was baked into
+    `lanes` at setup time — the kernels derive row rejection from the lane
+    table, so extra caller-side masking (e.g. the soup path's per-phase
+    object-occlusion masks) silently would NOT apply. Such paths must use
+    bin_pairs.
+    """
+    GR = config.group_rows
+    T = valid.shape[0]
+    assert T % GR == 0, (T, GR)
+    NG = T // GR
+    Kg = config.max_tiles_per_group
+    Pc = config.max_group_pairs
+    Bg = config.max_big_groups
+    num_tiles = config.num_tiles
+
+    huge = jnp.int32(1 << 20)
+    vx0 = jnp.where(valid, bbox[:, 0], huge).reshape(NG, GR).min(axis=1)
+    vy0 = jnp.where(valid, bbox[:, 1], huge).reshape(NG, GR).min(axis=1)
+    vx1 = jnp.where(valid, bbox[:, 2], -huge).reshape(NG, GR).max(axis=1)
+    vy1 = jnp.where(valid, bbox[:, 3], -huge).reshape(NG, GR).max(axis=1)
+    gvalid = jnp.any(valid.reshape(NG, GR), axis=1)
+
+    spanx = vx1 - vx0 + 1
+    spany = vy1 - vy0 + 1
+    ntiles = jnp.where(gvalid, spanx * spany, 0)
+    big = ntiles > Kg
+    ntiles_small = jnp.where(big, 0, ntiles)
+
+    ks = jnp.arange(Kg, dtype=jnp.int32)[None, :]
+    # f32-reciprocal integer div (see bin_pairs): exact for ks < Kg <= 16.
+    inv_spanx = 1.0 / jnp.maximum(spanx, 1).astype(jnp.float32)[:, None]
+    ky = jnp.floor((ks.astype(jnp.float32) + 0.5) * inv_spanx).astype(
+        jnp.int32)
+    kx = ks - ky * jnp.maximum(spanx, 1)[:, None]
+    tile_kg = (vy0[:, None] + ky) * config.tiles_x + (vx0[:, None] + kx)
+    live_kg = ks < ntiles_small[:, None]
+    tile_kg = jnp.where(live_kg, tile_kg, num_tiles)
+
+    slots = NG * Kg
+    if (num_tiles + 1) * slots < 2**31:
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (NG, Kg), 0) * Kg \
+            + jax.lax.broadcasted_iota(jnp.int32, (NG, Kg), 1)
+        key = tile_kg.reshape(-1) * slots + slot_ids.reshape(-1)
+        key = jax.lax.sort(key)
+        flat_tile = key // slots
+        flat_gid = (key % slots) // Kg
+    else:
+        gid_kg = jnp.broadcast_to(
+            jnp.arange(NG, dtype=jnp.int32)[:, None], (NG, Kg))
+        flat_tile, flat_gid = jax.lax.sort(
+            (tile_kg.reshape(-1), gid_kg.reshape(-1)), num_keys=2)
+
+    total = jnp.sum(ntiles_small)
+    big_total = jnp.sum(big)
+    overflow = jnp.maximum(total - Pc, 0) + jnp.maximum(big_total - Bg, 0)
+
+    if Pc < flat_tile.shape[0]:
+        flat_tile = flat_tile[:Pc]
+        flat_gid = flat_gid[:Pc]
+    elif Pc > flat_tile.shape[0]:
+        flat_tile = jnp.pad(flat_tile, (0, Pc - flat_tile.shape[0]),
+                            constant_values=num_tiles)
+        flat_gid = jnp.pad(flat_gid, (0, Pc - flat_gid.shape[0]))
+    tile_offsets = jnp.searchsorted(
+        flat_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32)).astype(
+        jnp.int32)
+    num_pairs = jnp.minimum(total, Pc)
+    # Clamp sentinel ids to a real group so any stray read stays in bounds
+    # (live ranges never cover sentinels; this is belt-and-braces for the
+    # kernel's prefetch).
+    group_ids = jnp.minimum(flat_gid, NG - 1).astype(jnp.int32)
+
+    big_key = jnp.where(big, jnp.arange(NG, dtype=jnp.int32), NG)
+    big_key = jax.lax.sort(big_key)
+    if Bg <= NG:
+        big_key = big_key[:Bg]
+    else:
+        big_key = jnp.pad(big_key, (0, Bg - NG), constant_values=NG)
+    live_big = big_key < NG
+    big_ids = jnp.minimum(big_key, NG - 1).astype(jnp.int32)
+    big_count = jnp.minimum(big_total, Bg).astype(jnp.int32)
+    # Big entries' tile boxes, packed like lanes 6-7; dead entries get an
+    # inverted box so a stray walk can never DMA.
+    gbox = jnp.stack([vx0 * 2048 + vx1, vy0 * 2048 + vy1], axis=1)
+    brow = gather_rows_onehot(gbox.astype(jnp.float32), big_ids)
+    inv_box = jnp.float32(2047 * 2048)
+    big_bx = jnp.where(live_big, brow[:, 0], inv_box).astype(jnp.int32)
+    big_by = jnp.where(live_big, brow[:, 1], inv_box).astype(jnp.int32)
+
+    return GroupBinnedPairs(lanes, group_ids, tile_offsets, num_pairs,
+                            overflow, big_ids, big_count, big_bx, big_by)
+
+
+def bin_clustered(lanes: jnp.ndarray, bbox: jnp.ndarray, valid: jnp.ndarray,
+                  config: FrameConfig):
+    """Binning entry for clustered (row-contiguous) setup output: group
+    binning when enabled, else the per-triangle path."""
+    if config.group_binning:
+        return bin_groups(lanes, bbox, valid, config)
+    return bin_pairs(lanes, bbox, valid, config)

@@ -152,9 +152,12 @@ def resolve_attributes_ref(pairs: BinnedPairs, vis: jnp.ndarray,
                            config: FrameConfig, max_iters: int = None,
                            tile_row0=0) -> jnp.ndarray:
     """Pure-jnp twin of the Pallas resolve (CPU tests + sharded path)."""
+    from .raster_ref import _group_walk
+    from .raster_setup import GroupBinnedPairs
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
-    pair_data = pairs.pair_data
+    grouped = isinstance(pairs, GroupBinnedPairs)
+    pair_data = pairs.lanes if grouped else pairs.pair_data
 
     col = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
     row = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
@@ -184,6 +187,8 @@ def resolve_attributes_ref(pairs: BinnedPairs, vis: jnp.ndarray,
             return jnp.where(mask[None], new, acc)
 
         acc0 = jnp.zeros((NUM_CHANNELS, th, tw), jnp.float32)
+        if grouped:
+            return _group_walk(pairs, config, start, n, body, acc0)
         acc = jax.lax.fori_loop(0, n, lambda j, a: body(start + j, a), acc0)
         # Global large-triangle list at rows [0, max_big_tris)
         # (see ops/raster_setup.bin_pairs).

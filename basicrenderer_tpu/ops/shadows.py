@@ -124,7 +124,9 @@ def render_cascade(scene: SceneBuffers, cascade_vp: jnp.ndarray,
         lanes, bbox, valid, _ovf = raster_setup.triangle_setup_packed(
             clip, scene.indices, scene.tri_object >= 0, scfg, None, None,
             None)
-    pairs = raster_setup.bin_pairs(lanes, bbox, valid, scfg)
+    bin_fn = raster_setup.bin_clustered if compacted is not None \
+        else raster_setup.bin_pairs
+    pairs = bin_fn(lanes, bbox, valid, scfg)
     if config.use_pallas_raster:
         depth, _, _ = raster_tiles_pallas(pairs, scfg,
                                           interpret=config.pallas_interpret)

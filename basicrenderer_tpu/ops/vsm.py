@@ -280,7 +280,8 @@ def update_vsm(scene: SceneBuffers, view: ViewData, config: FrameConfig,
             comp = shadow_compact_fn(vp)
             lanes, bbox, tvalid2, _ovf = raster_setup.setup_from_compacted(
                 scene, comp, vp, page_cfg)
-            pairs = raster_setup.bin_pairs(lanes, bbox, tvalid2, page_cfg)
+            pairs = raster_setup.bin_clustered(lanes, bbox, tvalid2,
+                                               page_cfg)
             if config.use_pallas_raster:
                 depth, _, _ = raster_tiles_pallas(
                     pairs, page_cfg, interpret=config.pallas_interpret)
