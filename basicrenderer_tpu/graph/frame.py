@@ -615,6 +615,15 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
 
     sky = shade_ops.procedural_sky(view, H, W, params.sky_intensity,
                                    row0=row0_px, full_h=full_h)
+    if config.enable_voxel_fallback:
+        # Voxel LOD fallback: pixels the budgeted cut / streaming
+        # residency left uncovered march the scene voxel pyramid instead
+        # of dropping to background (reference: VoxelGroupBuilder.cpp +
+        # voxelSoftwareRaster.hlsl — the coarser-than-coarsest-LOD tier).
+        from ..ops import voxel_rt as vox_ops
+        vox_col, vox_tr = vox_ops.voxel_primary(
+            scene, view, config, H, W, row0=row0_px, full_h=full_h)
+        sky = vox_col + vox_tr[..., None] * sky
     hdr = jnp.where(gb.valid[..., None], hdr, sky)
 
     ssr_col = ssr_wgt = None
@@ -630,6 +639,22 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             config, full_h=full_h)
         ssr_col = local_rows(ssr_col)
         ssr_wgt = local_rows(ssr_wgt)
+
+    vox_ref = vox_ref_tr = None
+    if config.enable_voxel_rt:
+        # Ray-traced reflection fallback: cone-trace the voxel pyramid
+        # along the reflected view ray. SSR handles on-screen hits;
+        # this supplies OFF-screen content the reference gets from
+        # RayTracedReflectionsPass over the cluster BLAS
+        # (CLodRayTracingSystem.h:16-75). Composited into the env-specular
+        # slot below: voxel radiance replaces the prefiltered environment
+        # by 1 - transmittance; SSR hits then override both.
+        from ..ops import voxel_rt as vox_ops
+        vox_ref, vox_ref_tr = vox_ops.voxel_reflections(
+            scene, gather_rows(depth), gather_rows(gb.normal), view,
+            config, full_h=full_h)
+        vox_ref = local_rows(vox_ref)
+        vox_ref_tr = local_rows(vox_ref_tr)
 
     ao = None
     if config.enable_gtao:
@@ -656,6 +681,10 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         prefiltered = ibl_ops.runtime_specular_ibl(
             gb.normal, v, gb.roughness, scene.env_specular,
             downscale=config.ibl_specular_downscale)
+        if vox_ref is not None:
+            # Ray-traced (voxel) radiance replaces the environment where
+            # the cone hit scene geometry.
+            prefiltered = vox_ref + prefiltered * vox_ref_tr[..., None]
         if ssr_col is not None:
             # SSR hits replace the prefiltered environment radiance.
             prefiltered = prefiltered * (1.0 - ssr_wgt[..., None]) \
@@ -677,13 +706,18 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         hdr = hdr + jnp.where(gb.valid[..., None], ambient, 0.0)
     elif ao is not None:
         hdr = hdr * (0.5 + 0.5 * ao[..., None])
-    if config.enable_ssr and not config.enable_ibl:
+    if (config.enable_ssr or vox_ref is not None) and not config.enable_ibl:
         # Without IBL there is no env-specular slot; add the reflection
         # directly with the Fresnel-at-normal tint.
         f0 = 0.04 * (1 - gb.metallic[..., None]) \
             + gb.albedo * gb.metallic[..., None]
-        hdr = hdr + jnp.where(gb.valid[..., None],
-                              ssr_col * ssr_wgt[..., None] * f0, 0.0)
+        refl = jnp.zeros_like(hdr)
+        if vox_ref is not None:
+            refl = vox_ref
+        if config.enable_ssr:
+            refl = refl * (1.0 - ssr_wgt[..., None]) \
+                + ssr_col * ssr_wgt[..., None]
+        hdr = hdr + jnp.where(gb.valid[..., None], refl * f0, 0.0)
 
     oit_overflow = jnp.int32(0)
     if config.enable_oit and config.enable_clod:

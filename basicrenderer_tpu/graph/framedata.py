@@ -105,6 +105,13 @@ class SceneBuffers:
     env_sh: jnp.ndarray          # (9, 3) f32 irradiance SH
     env_specular: jnp.ndarray    # (mips, 6, R, R, 3) f32 prefiltered cubemap
     env_brdf_lut: jnp.ndarray    # (Nv, Nr, 2) f32 split-sum BRDF LUT
+    # Voxel scene pyramid (models/voxels.py — ray-traced reflection +
+    # voxel LOD fallback tier; size-1 placeholders when disabled).
+    voxel_grid: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros(1, jnp.uint32))  # (Ncells,) u32
+    voxel_meta: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros(8, jnp.float32))  # origin3, cell,
+    #                              n, levels, radiance_scale, pad
 
 
 @struct.dataclass
@@ -193,6 +200,18 @@ class FrameConfig:
     ssr_downscale: int = 8
     ssr_max_distance: float = 30.0
     ssr_thickness: float = 0.03
+    # Voxel ray tier (ops/voxel_rt.py + models/voxels.py; reference:
+    # CLodRayTracingSystem + VoxelGroupBuilder). voxel_n/level_offsets are
+    # build constants of the scene's grid (static: the trace loop's shapes
+    # and the flat-offset select chain depend on them). Cost = steps x
+    # (W/ds x H/ds) x ~7ns: ds8/steps12 ~ 2.7 ms per consumer at 1080p.
+    enable_voxel_rt: bool = False        # reflection cone trace (SSR miss)
+    enable_voxel_fallback: bool = False  # primary-visibility hole fill
+    voxel_n: int = 64
+    voxel_level_offsets: Tuple[int, ...] = (0,)
+    voxel_rt_downscale: int = 8
+    voxel_rt_steps: int = 12
+    voxel_primary_steps: int = 20
     enable_taa: bool = False
     enable_oit: bool = False
     oit_layers: int = 4

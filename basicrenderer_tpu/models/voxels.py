@@ -1,0 +1,205 @@
+"""Voxel scene: build-time voxelization of resident geometry into a
+world-space radiance + occupancy mip pyramid, consumed by ray marching.
+
+Two reference subsystems, unified by the TPU redesign into one structure:
+
+- **VoxelGroupBuilder** (reference: BasicRenderer/src/Mesh/
+  VoxelGroupBuilder.cpp — ray-sampled voxelization of cluster groups with
+  SGGX normal distributions, used as the LOD fallback when geometry is
+  coarser than the coarsest cluster cut / not resident). Here the voxel
+  pass fills PRIMARY visibility holes: pixels the budgeted cut or the
+  streaming residency left uncovered march the grid instead of showing
+  background (ops/voxel_rt.py primary fallback).
+- **CLodRayTracingSystem** (reference: BasicRenderer/include/Render/
+  GraphExtensions/ClusterLOD/CLodRayTracingSystem.h:16-75 + shaders/
+  rayTracedReflections.rt.hlsl — CLAS/BLAS/TLAS over *resident streamed
+  clusters*, rebuilt on residency change, traced for reflections). The TPU
+  analogue's acceleration structure is this dense mip pyramid over the same
+  resident world geometry: fixed-shape, gather-addressable (a BVH's
+  data-dependent traversal is hostile to XLA; a mip DDA/cone march is a
+  bounded loop), rebuilt on residency/light/transform change exactly like
+  the reference refreshes its BLAS snapshots (Renderer.cpp:2001-2007).
+
+Radiance is baked at build time with the scene's directional lights +
+a small ambient + emissive (the reference shades RT hits with full
+materials; the fallback tier here trades that for a prebaked grid — hit
+shading at reduced fidelity, rebuilt when lights change).
+
+Layout (device): ONE flat (Ncells,) uint32 array, levels concatenated
+coarse-after-fine; each cell packs premultiplied radiance RGB (sqrt-encoded
+byte, scaled by RADIANCE_SCALE) + coverage alpha in RGBA8. A 1-D u32 array
+keeps the per-step fetch to a single ~7 ns XLA gather per ray (CLAUDE.md
+gather cost model) and avoids the (N, 4) minor-dim pad blowup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+RADIANCE_SCALE = 8.0   # linear radiance at byte 255 (sqrt-encoded)
+
+
+@dataclasses.dataclass
+class VoxelSceneGrid:
+    """Host-side build product. `meta` rides SceneBuffers (framedata)."""
+    grid: np.ndarray            # (Ncells,) u32 packed RGBA8, all levels
+    origin: np.ndarray          # (3,) f32 world min corner
+    cell: float                 # level-0 cell size (cubic)
+    n: int                      # level-0 edge resolution
+    levels: int
+    level_offsets: Tuple[int, ...]   # static flat offset per level
+
+    def meta(self) -> np.ndarray:
+        return np.array([*self.origin, self.cell, float(self.n),
+                         float(self.levels), RADIANCE_SCALE, 0.0],
+                        np.float32)
+
+
+def static_level_offsets(n: int, levels: int = 5) -> Tuple[int, ...]:
+    """Flat offset of each mip level in the packed grid — deterministic in
+    (n, levels), so FrameConfig can carry it without seeing the build."""
+    offs = []
+    off = 0
+    nl = n
+    for _ in range(min(levels, int(np.log2(n)) + 1)):
+        offs.append(off)
+        off += nl ** 3
+        if nl == 1:
+            break
+        nl //= 2
+    return tuple(offs)
+
+
+def _pack_rgba8(rgb: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Premultiplied radiance (sqrt-encoded) + alpha -> u32."""
+    e = np.sqrt(np.clip(rgb / RADIANCE_SCALE, 0.0, 1.0))
+    q = np.round(e * 255.0).astype(np.uint32)
+    qa = np.round(np.clip(a, 0.0, 1.0) * 255.0).astype(np.uint32)
+    return (q[..., 0] << 24) | (q[..., 1] << 16) | (q[..., 2] << 8) | qa
+
+
+def build_voxel_scene(positions: np.ndarray, indices: np.ndarray,
+                      tri_material: np.ndarray, tri_object: np.ndarray,
+                      object_mats: np.ndarray, material_table: np.ndarray,
+                      lights: np.ndarray, num_dir_lights: int,
+                      n: int = 64, levels: int = 5,
+                      ambient: float = 0.03,
+                      max_samples: int = 4_000_000,
+                      bounds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                      ) -> VoxelSceneGrid:
+    """Voxelize world-space triangle soup (area-weighted surface sampling,
+    the reference's ray-sampled occupancy made deterministic) and bake
+    directional + ambient + emissive radiance per cell.
+
+    positions/indices are the bridge's object-space packed arrays;
+    tri_object selects each triangle's object matrix. Invalid rows
+    (tri_object < 0) are skipped.
+    """
+    idx = np.asarray(indices)
+    tobj = np.asarray(tri_object)
+    live = tobj >= 0
+    idx = idx[live]
+    tmat = np.asarray(tri_material)[live]
+    tobj = tobj[live]
+    tri = np.asarray(positions)[idx]                       # (T, 3, 3) object
+    m = np.asarray(object_mats)[tobj]                      # (T, 4, 4)
+    tri = np.einsum("tij,tvj->tvi", m[:, :3, :3], tri) + m[:, None, :3, 3]
+
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    nrm = np.cross(e1, e2)
+    area2 = np.linalg.norm(nrm, axis=1)
+    nok = area2 > 1e-20
+    nrm = np.where(nok[:, None], nrm / np.maximum(area2, 1e-20)[:, None],
+                   0.0)
+
+    if bounds is None:
+        lo = tri.reshape(-1, 3).min(0)
+        hi = tri.reshape(-1, 3).max(0)
+    else:
+        lo, hi = np.asarray(bounds[0], np.float64), np.asarray(bounds[1],
+                                                               np.float64)
+    ext = float(np.max(hi - lo)) * 1.001 + 1e-6
+    cell = ext / n
+    origin = np.asarray(lo, np.float32)
+
+    # Samples per triangle ~ area / (cell/2)^2, capped to the global budget.
+    want = np.maximum(1, np.ceil((area2 * 0.5) / (0.5 * cell) ** 2))
+    scale = min(1.0, max_samples / max(want.sum(), 1.0))
+    cnt = np.maximum(1, np.floor(want * scale)).astype(np.int64)
+    total = int(cnt.sum())
+    tid = np.repeat(np.arange(len(cnt)), cnt)
+    rng = np.random.default_rng(0)
+    r1 = np.sqrt(rng.random(total))
+    r2 = rng.random(total)
+    a = 1.0 - r1
+    b = r1 * (1.0 - r2)
+    c = r1 * r2
+    pts = (tri[tid, 0] * a[:, None] + tri[tid, 1] * b[:, None]
+           + tri[tid, 2] * c[:, None])
+
+    # Per-sample shaded radiance: albedo * (ambient + sum_dir N.L * I) +
+    # emissive (material_table lanes: 0:3 base_color, 6:9 emissive).
+    alb = material_table[np.clip(tmat, 0, len(material_table) - 1), 0:3]
+    emi = material_table[np.clip(tmat, 0, len(material_table) - 1), 6:9]
+    ndl = np.full(len(tmat), ambient, np.float64)
+    shade = np.zeros((len(tmat), 3), np.float64)
+    for li in range(num_dir_lights):
+        row = lights[li]
+        # LIGHT_STRIDE layout (bridge.snapshot_lights): 4:7 = direction
+        # (pointing FROM the light), 7 = intensity, 8:11 = color.
+        d = row[4:7] / max(np.linalg.norm(row[4:7]), 1e-9)
+        nl = np.abs(nrm @ (-d))          # double-sided: thin geometry
+        shade += nl[:, None] * row[8:11][None] * row[7]
+    rad = alb * (ndl[:, None] + shade) + emi
+    srad = rad[tid]
+
+    g = np.clip(((pts - origin) / cell).astype(np.int64), 0, n - 1)
+    flat = (g[:, 2] * n + g[:, 1]) * n + g[:, 0]
+    ncell0 = n ** 3
+    w = np.bincount(flat, minlength=ncell0).astype(np.float64)
+    rgb0 = np.stack([np.bincount(flat, weights=srad[:, k], minlength=ncell0)
+                     for k in range(3)], axis=-1)
+    occ = w > 0
+    rgb0 = np.where(occ[:, None], rgb0 / np.maximum(w, 1.0)[:, None], 0.0)
+    a0 = occ.astype(np.float64)
+
+    # Mip pyramid: premultiplied averages (standard volume prefilter).
+    levels = int(min(levels, int(np.log2(n)) + 1))
+    prem = (rgb0 * a0[:, None]).reshape(n, n, n, 3)
+    aa = a0.reshape(n, n, n)
+    parts: List[np.ndarray] = []
+    offsets = []
+    off = 0
+    nl_ = n
+    for _ in range(levels):
+        al = aa.reshape(-1)
+        pl = prem.reshape(-1, 3)
+        rgb = np.where(al[:, None] > 1e-6, pl / np.maximum(al, 1e-6)[:, None],
+                       0.0)
+        packed = _pack_rgba8((rgb * np.maximum(al, 0.0)[:, None]), al)
+        parts.append(packed.astype(np.uint32))
+        offsets.append(off)
+        off += nl_ ** 3
+        if nl_ == 1:
+            break
+        prem = prem.reshape(nl_ // 2, 2, nl_ // 2, 2, nl_ // 2, 2, 3) \
+            .mean(axis=(1, 3, 5))
+        aa = aa.reshape(nl_ // 2, 2, nl_ // 2, 2, nl_ // 2, 2).mean(
+            axis=(1, 3, 5))
+        nl_ //= 2
+
+    grid = np.concatenate(parts)
+    return VoxelSceneGrid(grid=grid, origin=origin, cell=float(cell), n=n,
+                          levels=len(parts), level_offsets=tuple(offsets))
+
+
+def empty_voxel_scene(n: int = 1) -> VoxelSceneGrid:
+    """Placeholder when the voxel tier is disabled (keeps SceneBuffers
+    shapes static and tiny)."""
+    return VoxelSceneGrid(grid=np.zeros(1, np.uint32),
+                          origin=np.zeros(3, np.float32), cell=1.0, n=1,
+                          levels=1, level_offsets=(0,))

@@ -28,6 +28,7 @@ from .models.materials import MaterialRegistry
 from .models.mesh import MeshRegistry
 from .scene.bridge import BridgeCapacities, SceneRenderBridge
 from .scene.scene import Scene
+from .models.voxels import static_level_offsets as _vox_offsets
 from .utils.settings import SettingsManager, make_default_settings
 
 
@@ -140,6 +141,10 @@ class Renderer:
             debug_view=s.get("debugView"),
             wireframe=s.get("wireframe", False),
             use_pallas_raster=on_tpu,
+            enable_voxel_rt=s.get("enableVoxelRT", False),
+            enable_voxel_fallback=s.get("enableVoxelFallback", False),
+            voxel_n=s.get("voxelResolution", 64),
+            voxel_level_offsets=_vox_offsets(s.get("voxelResolution", 64)),
         )
 
     def _count_shadow_spots(self) -> int:
@@ -265,6 +270,23 @@ class Renderer:
                         jnp.asarray(lights[0, 4:7]))
             self._vsm_prev_mats = mats.copy()
             self._vsm_prev_bounds = bounds.copy()
+        # Voxel ray tier: (re)build the radiance pyramid when enabled and
+        # the lights / object transforms it baked are stale (the analogue
+        # of the reference's BLAS/TLAS refresh on residency change,
+        # Renderer.cpp:2001-2007 — rebuilds are host-side and amortized).
+        if self.settings.get("enableVoxelRT", False) or \
+                self.settings.get("enableVoxelFallback", False):
+            mats, _n, _b, _v = self._bridge.snapshot_objects()
+            lights, _, _ = self._bridge.snapshot_lights()
+            vh = hash((lights.tobytes(), mats.tobytes(),
+                       self.settings.get("voxelResolution", 64)))
+            if vh != getattr(self, "_voxel_hash", None):
+                self._bridge.build_voxel_scene(
+                    n=self.settings.get("voxelResolution", 64))
+                self._voxel_hash = vh
+                import jax.numpy as jnp
+                vf = self._bridge._voxel_fields()
+                self._buffers = self._buffers.replace(**vf)
 
     def render(self) -> Dict[str, Any]:
         """Dispatch the frame program (reference Renderer::Render,

@@ -422,7 +422,34 @@ class SceneRenderBridge:
             num_dir_lights=jnp.int32(num_dir),
             env_sh=f32(env_sh), env_specular=f32(env_specular),
             env_brdf_lut=f32(env_brdf_lut),
+            **self._voxel_fields(),
         )
+
+    def _voxel_fields(self) -> dict:
+        v = getattr(self, "_voxel", None)
+        if v is None:
+            return {}
+        return {"voxel_grid": jnp.asarray(v.grid),
+                "voxel_meta": jnp.asarray(v.meta())}
+
+    def build_voxel_scene(self, n: int = 64, **kw):
+        """Voxelize the packed world geometry + bake current lights into
+        the ray-fallback pyramid (models/voxels.py). Rebuild when lights
+        or object transforms change — the analogue of the reference's
+        BLAS/TLAS refresh on residency change (Renderer.cpp:2001-2007).
+        Returns the VoxelSceneGrid; build_scene_buffers embeds it."""
+        from ..models.voxels import build_voxel_scene as _build
+        if self.packed is None:
+            self.pack_geometry()
+        p = self.packed
+        mats, _, _, _ = self.snapshot_objects()
+        lights, _, num_dir = self.snapshot_lights()
+        mat_table = self.materials.packed_table(self.caps.max_materials)
+        self._voxel = _build(
+            p.positions[:p.num_verts], p.indices[:p.num_tris],
+            p.tri_material[:p.num_tris], p.tri_object[:p.num_tris],
+            mats, mat_table, lights, num_dir, n=n, **kw)
+        return self._voxel
 
     def update_dynamic(self, buffers: SceneBuffers, t: float = 0.0) -> SceneBuffers:
         """Per-frame refresh of matrices/lights/joints (geometry untouched)."""

@@ -129,6 +129,16 @@ def make_default_settings() -> SettingsManager:
     s.register("enableTextures", False, structural=True)
     s.register("enableGTAO", False, structural=True)
     s.register("enableSSR", False, structural=True)
+    s.register("enableVoxelRT", False, structural=True,
+               description="ray-traced reflection fallback over the scene "
+                           "voxel pyramid (SSR-miss consumer; reference: "
+                           "CLodRayTracingSystem)")
+    s.register("enableVoxelFallback", False, structural=True,
+               description="voxel LOD fallback: march primary rays where "
+                           "the cut/residency left holes (reference: "
+                           "VoxelGroupBuilder)")
+    s.register("voxelResolution", 64, structural=True,
+               description="voxel pyramid level-0 edge cells")
     s.register("enableBloom", True, structural=True)
     s.register("enableTAA", False, structural=True)
     s.register("enableOIT", False, structural=True)
