@@ -35,7 +35,8 @@ import numpy as np
 from .mesh import MeshData, compute_normals
 
 CACHE_DIR = os.path.expanduser("~/.cache/basicrenderer_tpu/clod")
-CACHE_SCHEMA = 7  # v7: streaming group ids (feeds/made)
+CACHE_SCHEMA = 8  # v8: RMS-length QEM errors, optimal placement, per-path
+#                   (not global) error monotonicity
 MESHLET_TRIS = 128
 SLAB_VERTS = 384        # cluster vertex-page capacity (128 tris x 3 corners)
 GROUP_SIZE = 4          # clusters merged per simplify step
@@ -51,7 +52,9 @@ def _load_native():
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     so = os.path.join(root, "native", "libclod.so")
     src = os.path.join(root, "native", "clod_native.cpp")
-    if not os.path.exists(so) and os.path.exists(src):
+    stale = (os.path.exists(so) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(so))
+    if (not os.path.exists(so) or stale) and os.path.exists(src):
         try:
             subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", so, src],
                            check=True, capture_output=True)
@@ -294,7 +297,6 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
     cl = partition(cen, MESHLET_TRIS)
     ncl0 = cl.max() + 1 if len(cl) else 0
     c_off, ncl = append_level(pos, idx, uv, 0, np.zeros(max(ncl0, 1)), cl)
-    prev_err = 0.0
     level = 0
 
     cur_pos, cur_idx, cur_uv, cur_cl = pos, idx, uv, cl
@@ -357,9 +359,20 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
             if new_idx_l else np.zeros((0, 3), np.int32)
         if len(lvl_idx) == 0 or len(lvl_idx) >= len(cur_idx):
             break
-        # Monotonic error: this level's error must exceed every child's.
+        # Monotonic error ALONG EACH DAG PATH: a group's error must exceed
+        # its OWN children's self errors (Nanite invariant). Accumulate the
+        # simplify deviation on top of the children's (each level's QEM
+        # error is relative to the PREVIOUS level's surface, so the sum
+        # approximates total deviation from the source mesh). The round-2
+        # global `prev_err` floor made one bad group poison every deeper
+        # level of the whole mesh — the cut could never coarsen past it
+        # even where local error was tiny.
         errs = np.asarray(errs, np.float32)
-        lvl_err = np.maximum(errs, prev_err * 1.0001 + 1e-7)
+        prev_rows = cluster_rows[-1]
+        child_max = np.zeros(ngroups, np.float32)
+        np.maximum.at(child_max, group_of_cluster,
+                      prev_rows[:ncl_cur, 4].astype(np.float32))
+        lvl_err = np.maximum(errs + child_max, child_max * 1.0001 + 1e-7)
 
         # Group spheres: each group's sphere contains its children's SELF
         # spheres (containment makes the projected error monotone along
@@ -414,7 +427,6 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
             g = group_of_cluster[c]
             prev_rows[c, 5] = lvl_err[g]
             prev_rows[c, 12:16] = group_spheres[g]
-        prev_err = float(lvl_err.max())
         prev_range = (c_off2, ncl_new)
         cur_pos, cur_idx, cur_uv, cur_cl = lvl_pos, lvl_idx, lvl_uv, cl2
 

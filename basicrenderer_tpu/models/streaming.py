@@ -210,6 +210,41 @@ class GeometryStreamer:
         `container` (a pageblob.PageBlobContainer — pages pulled from DISK
         on a background IO thread, the DirectStorage-analogue path)."""
         from .pageblob import DEQUANT_LANES
+        # Parent-chain adjacency (reference: CLodStreamingSystem parent
+        # chains, CLodCommon.h): group g's parents = the groups its OUTPUT
+        # clusters feed. Residency must stay DOWNWARD-CLOSED along chains —
+        # if a fine group is resident while an intermediate coarser group is
+        # missing, the coarse ancestor cluster's eff_self=0 fallback
+        # (ops/clod.py:108) selects it ON TOP of the fine cut: double
+        # render. update() expands wants to the ancestor closure,
+        # _load_group defers until parents are resident, and _evict_one
+        # never evicts a group with a resident child.
+        self.group_parents: Dict[int, np.ndarray] = {}
+        self.group_children: Dict[int, List[int]] = {}
+        if packed is not None and getattr(packed, "cluster_feeds", None) \
+                is not None:
+            feeds = np.asarray(packed.cluster_feeds)
+            made = np.asarray(packed.cluster_made)
+            ok = (made >= 0) & (feeds >= 0) & (made != feeds)
+            pairs = np.unique(np.stack([made[ok], feeds[ok]], 1), axis=0)
+            for g, p in pairs:
+                self.group_parents.setdefault(int(g), []).append(int(p))
+                self.group_children.setdefault(int(p), []).append(int(g))
+        # Chain depth (coarse roots = 0): loads within one tick run
+        # parents-first so a whole missing chain streams in one update.
+        self.group_depth: Dict[int, int] = {}
+
+        def depth(g, seen=()):
+            if g in self.group_depth:
+                return self.group_depth[g]
+            ps = self.group_parents.get(g, [])
+            d = 0 if not ps else 1 + max(
+                depth(p) for p in ps if p not in seen)
+            self.group_depth[g] = d
+            return d
+
+        for g in list(self.group_parents) + list(self.group_children):
+            depth(g)
         self.container = container
         if container is not None:
             self.geom_group = container.geom_group
@@ -295,6 +330,12 @@ class GeometryStreamer:
         pages = self.group_pages.get(g)
         if pages is None:
             return False
+        # Downward-closed residency: defer until every chain parent is in
+        # (update() orders loads parents-first, so within one tick the
+        # whole chain streams unless the budget runs out).
+        for p in self.group_parents.get(g, ()):
+            if not self.resident[p]:
+                return False
         rows_stack = None
         if self.container is not None:
             # Disk mode: only consume groups the IO thread has staged;
@@ -319,8 +360,12 @@ class GeometryStreamer:
         return True
 
     def _evict_one(self, protect: int) -> bool:
+        # Leaf-first: a group with any resident child is not evictable
+        # (downward-closed residency invariant, see __init__).
         cands = [g for g in self.group_slots
-                 if g != protect]
+                 if g != protect
+                 and not any(self.resident[c]
+                             for c in self.group_children.get(g, ()))]
         if not cands:
             return False
         victim = min(cands, key=lambda g: self.last_touch.get(g, -1))
@@ -337,16 +382,26 @@ class GeometryStreamer:
         (slab_v, slab_l, slab_dq, geom_slot, group_resident) to splice into
         SceneBuffers."""
         self.tick += 1
-        want = np.nonzero(touched[:self.max_groups])[0]
+        # Expand wants to the ancestor closure (parents-first order): a
+        # wanted fine group is only renderable-consistent once its whole
+        # chain is resident (see __init__).
+        want_set = {int(g) for g in np.nonzero(touched[:self.max_groups])[0]}
+        stack = list(want_set)
+        while stack:
+            for p in self.group_parents.get(stack.pop(), ()):
+                if p not in want_set:
+                    want_set.add(p)
+                    stack.append(p)
+        want = sorted(want_set, key=lambda g: self.group_depth.get(g, 0))
         for g in want:
-            self.last_touch[int(g)] = self.tick
+            self.last_touch[g] = self.tick
         budget = self.loads_per_update
         for g in want:
             if self.resident[g]:
                 continue
             if budget <= 0:
                 break
-            if self._load_group(int(g)):
+            if self._load_group(g):
                 budget -= 1
         return (self.slab_v, self.slab_l, self.slab_dq,
                 jnp.asarray(self.geom_slot), jnp.asarray(self.resident))

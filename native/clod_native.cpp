@@ -22,26 +22,65 @@
 namespace {
 
 struct Quadric {
-  // Symmetric 4x4 error quadric, upper triangle + d terms.
+  // Symmetric 4x4 error quadric, upper triangle + d terms. `wsum` tracks
+  // the accumulated plane weight so eval() can be normalized to an RMS
+  // point-to-plane DISTANCE (a length): raw quadric cost is sum of
+  // w * dist^2 with w = face area, so sqrt(cost) scales with the sqrt of
+  // the accumulated area — it GROWS as collapses merge quadrics even when
+  // the geometric deviation doesn't, which inflated deep-LOD errors ~40x
+  // and pinned the runtime cut at fine levels. The runtime projects
+  // object-space LENGTHS to screen pixels (ops/clod.py
+  // _screen_error_factor), so the normalized metric is the correct one.
   double a00 = 0, a01 = 0, a02 = 0, a03 = 0;
   double a11 = 0, a12 = 0, a13 = 0;
   double a22 = 0, a23 = 0;
   double a33 = 0;
+  double wsum = 0;
   void add_plane(double nx, double ny, double nz, double d, double w) {
     a00 += w * nx * nx; a01 += w * nx * ny; a02 += w * nx * nz; a03 += w * nx * d;
     a11 += w * ny * ny; a12 += w * ny * nz; a13 += w * ny * d;
     a22 += w * nz * nz; a23 += w * nz * d;
     a33 += w * d * d;
+    wsum += w;
   }
   void add(const Quadric& q) {
     a00 += q.a00; a01 += q.a01; a02 += q.a02; a03 += q.a03;
     a11 += q.a11; a12 += q.a12; a13 += q.a13;
     a22 += q.a22; a23 += q.a23; a33 += q.a33;
+    wsum += q.wsum;
   }
   double eval(double x, double y, double z) const {
     return a00 * x * x + 2 * a01 * x * y + 2 * a02 * x * z + 2 * a03 * x
          + a11 * y * y + 2 * a12 * y * z + 2 * a13 * y
          + a22 * z * z + 2 * a23 * z + a33;
+  }
+  // RMS point-to-plane distance of x against the accumulated planes.
+  double rms(double x, double y, double z) const {
+    return std::sqrt(std::max(0.0, eval(x, y, z)) / std::max(wsum, 1e-30));
+  }
+  // Optimal collapse position: minimize the quadratic form (solve the
+  // 3x3 normal system by Cramer's rule). Returns false when the system
+  // is near-singular (flat/colinear neighborhoods) — caller falls back
+  // to midpoint-or-endpoint. (Garland-Heckbert optimal placement; the
+  // round-2 midpoint variant cost ~2-4x in per-collapse error.)
+  bool optimal(double* ox, double* oy, double* oz) const {
+    double det = a00 * (a11 * a22 - a12 * a12)
+               - a01 * (a01 * a22 - a12 * a02)
+               + a02 * (a01 * a12 - a11 * a02);
+    double scale = std::max({std::fabs(a00), std::fabs(a11), std::fabs(a22),
+                             1e-30});
+    if (std::fabs(det) < 1e-10 * scale * scale * scale) return false;
+    double bx = -a03, by = -a13, bz = -a23;
+    *ox = (bx * (a11 * a22 - a12 * a12)
+         - a01 * (by * a22 - a12 * bz)
+         + a02 * (by * a12 - a11 * bz)) / det;
+    *oy = (a00 * (by * a22 - a12 * bz)
+         - bx * (a01 * a22 - a12 * a02)
+         + a02 * (a01 * bz - by * a02)) / det;
+    *oz = (a00 * (a11 * bz - by * a12)
+         - a01 * (a01 * bz - by * a02)
+         + bx * (a01 * a12 - a11 * a02)) / det;
+    return true;
   }
 };
 
@@ -81,7 +120,8 @@ extern "C" {
 //  levels (reference: attribute-preserving simplify,
 //  ClusterLODUtilities.cpp meshopt_simplifyWithAttributes call sites).
 //  out_counts: int32[2] = {result_nv, result_nt}
-//  returns max collapse error (squared distance scale)
+//  returns max collapse error as an RMS point-to-plane DISTANCE (object-
+//  space length — the unit ops/clod.py projects to screen pixels)
 float simplify_qem(const float* positions, int nv, const int* indices, int nt,
                    const uint8_t* locked, int target_tris,
                    float* out_positions, int* out_indices, int* out_src,
@@ -144,23 +184,37 @@ float simplify_qem(const float* positions, int nv, const int* indices, int nt,
   std::vector<uint64_t> vstamp(nv, 0);
   std::priority_queue<Edge> heap;
   std::unordered_set<uint64_t> edges;
+  // Shared candidate-position pick: locked endpoint wins; else the
+  // quadric-optimal point (guarded to stay within ~the edge's own span —
+  // near-singular systems can shoot the solution far off), else best of
+  // midpoint/endpoints.
+  auto place = [&](const Quadric& sum, int a, int b,
+                   double* cx, double* cy, double* cz) {
+    if (locked[a]) { *cx = px[a]; *cy = py[a]; *cz = pz[a]; return; }
+    if (locked[b]) { *cx = px[b]; *cy = py[b]; *cz = pz[b]; return; }
+    double mx = 0.5 * (px[a] + px[b]), my = 0.5 * (py[a] + py[b]),
+           mz = 0.5 * (pz[a] + pz[b]);
+    double dx = px[b] - px[a], dy = py[b] - py[a], dz = pz[b] - pz[a];
+    double el2 = dx * dx + dy * dy + dz * dz;
+    double ox, oy, oz;
+    if (sum.optimal(&ox, &oy, &oz)) {
+      double gx = ox - mx, gy = oy - my, gz = oz - mz;
+      if (gx * gx + gy * gy + gz * gz <= 4.0 * el2 + 1e-12) {
+        *cx = ox; *cy = oy; *cz = oz; return;
+      }
+    }
+    double em = sum.eval(mx, my, mz), ea = sum.eval(px[a], py[a], pz[a]),
+           eb = sum.eval(px[b], py[b], pz[b]);
+    if (em <= ea && em <= eb) { *cx = mx; *cy = my; *cz = mz; }
+    else if (ea <= eb) { *cx = px[a]; *cy = py[a]; *cz = pz[a]; }
+    else { *cx = px[b]; *cy = py[b]; *cz = pz[b]; }
+  };
   auto push_edge = [&](int a, int b) {
     if (locked[a] && locked[b]) return;
     Quadric sum = q[a];
     sum.add(q[b]);
-    // Candidate position: locked endpoint wins, else midpoint vs endpoints.
     double cx, cy, cz;
-    if (locked[a]) { cx = px[a]; cy = py[a]; cz = pz[a]; }
-    else if (locked[b]) { cx = px[b]; cy = py[b]; cz = pz[b]; }
-    else {
-      double mx = 0.5 * (px[a] + px[b]), my = 0.5 * (py[a] + py[b]),
-             mz = 0.5 * (pz[a] + pz[b]);
-      double em = sum.eval(mx, my, mz), ea = sum.eval(px[a], py[a], pz[a]),
-             eb = sum.eval(px[b], py[b], pz[b]);
-      if (em <= ea && em <= eb) { cx = mx; cy = my; cz = mz; }
-      else if (ea <= eb) { cx = px[a]; cy = py[a]; cz = pz[a]; }
-      else { cx = px[b]; cy = py[b]; cz = pz[b]; }
-    }
+    place(sum, a, b, &cx, &cy, &cz);
     double cost = std::max(0.0, sum.eval(cx, cy, cz));
     heap.push({a, b, cost, vstamp[a] + vstamp[b]});
   };
@@ -197,18 +251,8 @@ float simplify_qem(const float* positions, int nv, const int* indices, int nt,
     Quadric sum = q[keep];
     sum.add(q[gone]);
     double cx, cy, cz;
-    if (locked[keep]) { cx = px[keep]; cy = py[keep]; cz = pz[keep]; }
-    else {
-      double mx = 0.5 * (px[keep] + px[gone]), my = 0.5 * (py[keep] + py[gone]),
-             mz = 0.5 * (pz[keep] + pz[gone]);
-      double em = sum.eval(mx, my, mz),
-             ek = sum.eval(px[keep], py[keep], pz[keep]),
-             eg = sum.eval(px[gone], py[gone], pz[gone]);
-      if (em <= ek && em <= eg) { cx = mx; cy = my; cz = mz; }
-      else if (ek <= eg) { cx = px[keep]; cy = py[keep]; cz = pz[keep]; }
-      else { cx = px[gone]; cy = py[gone]; cz = pz[gone]; }
-    }
-    max_err = std::max(max_err, std::max(0.0, sum.eval(cx, cy, cz)));
+    place(sum, keep, gone, &cx, &cy, &cz);
+    max_err = std::max(max_err, sum.rms(cx, cy, cz));
     px[keep] = cx; py[keep] = cy; pz[keep] = cz;
     q[keep] = sum;
     remap[gone] = keep;
@@ -260,7 +304,7 @@ float simplify_qem(const float* positions, int nv, const int* indices, int nt,
   }
   out_counts[0] = out_nv;
   out_counts[1] = out_nt;
-  return float(std::sqrt(std::max(0.0, max_err)));
+  return float(max_err);  // already an RMS distance (Quadric::rms)
 }
 
 // Morton-order meshlet partition: assigns each triangle a cluster id such

@@ -75,3 +75,39 @@ def test_streaming_worker_loads_async():
     time.sleep(0.2)
     w2.stop()
     assert len(loaded) == before
+
+
+def test_geometry_streamer_parent_chain_closure():
+    """Residency must stay downward-closed along the LOD group chain: a
+    wanted fine group pulls its coarser ancestors in first, and eviction
+    never removes a group while a child is resident — a gapped chain makes
+    a coarse ancestor's eff_self=0 fallback double-render over the fine cut
+    (ops/clod.py:108; reference: CLodStreamingSystem parent chains)."""
+    import types
+    from basicrenderer_tpu.models.streaming import GeometryStreamer
+
+    # Synthetic 3-level chain: group 2 (coarse root) <- 1 <- 0 (fine).
+    # Cluster rows: made/feeds pairs encode the chain; page g holds group g.
+    G = 3
+    packed = types.SimpleNamespace(
+        cluster_verts=np.arange(G * 8, dtype=np.uint32).reshape(G, 8),
+        cluster_tri_local=np.zeros((G, 4), np.float32),
+        cluster_dequant=np.zeros((G, 8), np.float32),
+        geom_group=np.arange(G, dtype=np.int32),
+        cluster_feeds=np.array([0, 1, 2, -1], np.int32),
+        cluster_made=np.array([-1, 0, 1, 2], np.int32),
+    )
+    st = GeometryStreamer(packed, max_groups=G, num_slots=G,
+                          loads_per_update=16)
+    assert st.group_parents[0] == [1] and st.group_parents[1] == [2]
+    # Want ONLY the finest group: the whole chain must come in, root first.
+    touched = np.zeros(G, bool)
+    touched[0] = True
+    st.update(touched)
+    assert st.resident[[0, 1, 2]].all()
+    # Eviction is leaf-first: groups 1/2 hold resident children, so the
+    # first two evictions must take 0 then 1 — never leaving a gap.
+    assert st._evict_one(protect=-1)
+    assert not st.resident[0] and st.resident[1] and st.resident[2]
+    assert st._evict_one(protect=-1)
+    assert not st.resident[1] and st.resident[2]
