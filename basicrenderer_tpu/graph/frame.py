@@ -222,24 +222,18 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         # candidates against the fresh HZB and rasters the newly-visible
         # ones into the seeded buffers.
         from ..ops import clod as clod_ops
-        cut, cw, rw = clod_cut(scene, view, config, params,
-                               return_bounds=True)
-        # Dilated single-tap HZB: at cluster-table scale (64k candidates x
-        # 2 phases) the 4 corner gathers are ~7 ns/element each — one
-        # anchor gather on a dilated pyramid is 4x cheaper for identical
-        # conservative coverage (culling.dilate_hzb).
-        prev_hzb = culling.dilate_hzb(culling.build_hzb(
-            gather_rows(prev_depth), config.hzb_levels))
-        bb, zn, behind = culling.project_sphere_bounds(
-            view.viewproj, cw, rw, config.width, full_h)
-        unocc = culling.occlusion_test_hzb(prev_hzb, bb, zn, behind,
-                                           config.width, full_h,
-                                           dilated=True)
+        cut = clod_cut(scene, view, config, params)
+        prev_hzb = culling.build_hzb(gather_rows(prev_depth),
+                                     config.hzb_levels)
 
-        def raster_cut(c, budget, init=None):
+        def raster_cut(c, budget, init=None, comp=None, slot_keep=None):
             import dataclasses as _dc
-            comp = clod_ops.compact_visible_tris(
-                cut=c, scene=scene, max_visible=budget)
+            if comp is None:
+                comp = clod_ops.compact_visible_tris(
+                    cut=c, scene=scene, max_visible=budget)
+            if slot_keep is not None:
+                comp = comp._replace(valid=comp.valid & jnp.broadcast_to(
+                    slot_keep[:, None], (budget, 128)).reshape(-1))
             ovf = comp.overflow
             lanes, bboxt, valid, clip_ovf = raster_setup.setup_from_compacted(
                 scene, comp, view.viewproj, config)
@@ -259,12 +253,32 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                                        tile_row0=row0_tiles)
             return d, v, ch, prs, ovf + clip_ovf
 
+        # SLOT-granular two-phase HZB test: compact the cut first, then
+        # 4-corner-test only the Kc budget slots with their TIGHT spheres.
+        # Testing at table capacity needed the dilated single-tap
+        # approximation to stay cheap (7 ns/element gathers x 64k rows) and
+        # its coarse footprint culled ~3x less (city bench: 12% vs 20%);
+        # at Kc=3k the exact 4-corner test costs ~0.1 ms.
+        Kc = config.max_visible_clusters
+        comp1 = clod_ops.compact_visible_tris(cut=cut, scene=scene,
+                                              max_visible=Kc)
+        cw, rw = clod_ops.slot_world_spheres(comp1, scene)
+        bb, zn, behind = culling.project_sphere_bounds(
+            view.viewproj, cw, rw, config.width, full_h)
+        live_s = comp1.slot_cluster >= 0
+        unocc = culling.occlusion_test_hzb(prev_hzb, bb, zn, behind,
+                                           config.width, full_h)
         depth_p, vis_p, channels, pairs, ovf1 = raster_cut(
-            cut & unocc, config.max_visible_clusters)
-        hzb_now = culling.dilate_hzb(culling.build_hzb(
-            gather_rows(depth_p), config.hzb_levels))
-        retest = (cut & ~unocc) & culling.occlusion_test_hzb(
-            hzb_now, bb, zn, behind, config.width, full_h, dilated=True)
+            None, Kc, comp=comp1, slot_keep=unocc)
+        hzb_now = culling.build_hzb(gather_rows(depth_p), config.hzb_levels)
+        retest_s = live_s & ~unocc & culling.occlusion_test_hzb(
+            hzb_now, bb, zn, behind, config.width, full_h)
+        # Slot verdicts -> (C,) mask for the phase-2 re-compaction: a
+        # Kc-row scatter (dead/kept slots dropped out of range) — ~0.1 ms,
+        # unlike table-capacity scatters.
+        C = scene.cluster_table.shape[0]
+        idx = jnp.where(retest_s, comp1.slot_cluster, C)
+        retest = jnp.zeros((C,), bool).at[idx].set(True, mode='drop')
         depth_p, vis_p, channels, pairs2, ovf2 = raster_cut(
             retest, config.max_phase2_clusters,
             init=(depth_p, vis_p, channels))

@@ -88,7 +88,7 @@ class SceneBuffers:
     # Cluster-LOD (virtualized geometry; ops/clod.py). tri_cluster = -1 for
     # non-clustered triangles (always selected).
     tri_cluster: jnp.ndarray     # (T,) i32 global cluster id or -1
-    cluster_table: jnp.ndarray   # (C, CLUSTER_STRIDE=12) f32 — see
+    cluster_table: jnp.ndarray   # (C, CLUSTER_STRIDE=20) f32 — see
     #                              models/clusters.py: [center xyz, radius,
     #                              self_err, parent_err, level, tri_offset,
     #                              tri_count, material, transparent, pad]

@@ -35,8 +35,8 @@ import numpy as np
 from .mesh import MeshData, compute_normals
 
 CACHE_DIR = os.path.expanduser("~/.cache/basicrenderer_tpu/clod")
-CACHE_SCHEMA = 8  # v8: RMS-length QEM errors, optimal placement, per-path
-#                   (not global) error monotonicity
+CACHE_SCHEMA = 9  # v9: RMS-length QEM errors, optimal placement, per-path
+#                   error monotonicity, tight culling spheres (lanes 16-19)
 MESHLET_TRIS = 128
 SLAB_VERTS = 384        # cluster vertex-page capacity (128 tris x 3 corners)
 GROUP_SIZE = 4          # clusters merged per simplify step
@@ -138,7 +138,7 @@ def partition(centroids: np.ndarray, max_tris: int = MESHLET_TRIS) -> np.ndarray
 
 
 # Cluster table layout (float lanes), consumed by ops/clod.py
-CLUSTER_STRIDE = 16
+CLUSTER_STRIDE = 20
 # 0-2 SELF-GROUP bound center (object space), 3 radius — the sphere of the
 #     simplify group that created this cluster; used for frustum culling AND
 #     for projecting self_error to screen space,
@@ -149,7 +149,13 @@ CLUSTER_STRIDE = 16
 # 11 geometry-cluster id (bridge fills; indexes the shared cluster vertex
 #    pages — instances share geometry, framedata.SceneBuffers),
 # 12-14 PARENT-GROUP bound center, 15 radius — the sphere of the group this
-#     cluster is simplified INTO; used for projecting parent_error.
+#     cluster is simplified INTO; used for projecting parent_error,
+# 16-18 TIGHT per-cluster bound center, 19 radius — this cluster's own
+#     vertices only. Culling (frustum + HZB occlusion) uses the tight
+#     sphere: group spheres span whole simplify groups (median ~250 px
+#     projected on the city bench) and made the occlusion test cull ~3%;
+#     error projection MUST keep using the group spheres (lanes 0-3/12-15)
+#     for the seam-free cut invariant below.
 #
 # Nanite cut invariant: both sides of a LOD switch must compute the SAME
 # screen-space threshold, so children project parent_error with the parent
@@ -271,19 +277,22 @@ def build_cluster_lod(mesh: MeshData, max_levels: int = 8,
         rows = np.zeros((ncl, CLUSTER_STRIDE), np.float32)
         for c in range(ncl):
             sel = slice(starts[c], starts[c + 1])
+            vs = pos[np.unique(idx[sel])]
+            cen = (vs.min(0) + vs.max(0)) * 0.5
+            rad = np.linalg.norm(vs - cen, axis=1).max()
             if self_spheres is not None:
                 rows[c, :4] = self_spheres[c]
             else:
-                vs = pos[np.unique(idx[sel])]
-                cen = (vs.min(0) + vs.max(0)) * 0.5
                 rows[c, :3] = cen
-                rows[c, 3] = np.linalg.norm(vs - cen, axis=1).max()
+                rows[c, 3] = rad
             rows[c, 4] = self_errs_per_cluster[c]
             rows[c, 5] = np.inf  # parent error patched when parent appears
             rows[c, 6] = level
             rows[c, 7] = t_off + starts[c]
             rows[c, 8] = starts[c + 1] - starts[c]
             rows[c, 12:16] = rows[c, 0:4]  # parent sphere patched later
+            rows[c, 16:19] = cen           # tight bound (culling only)
+            rows[c, 19] = rad
         cluster_rows.append(rows)
         feeds_parts.append(np.full(ncl, -1, np.int32))
         made_parts.append(np.full(ncl, -1, np.int32))

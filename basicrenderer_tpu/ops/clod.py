@@ -38,6 +38,14 @@ class CompactedTris(NamedTuple):
     valid: jnp.ndarray      # (Kt,) bool
     overflow: jnp.ndarray   # () i32 clusters dropped over budget
     geom: jnp.ndarray       # (Kc,) i32 geometry-cluster page ids
+    # Slot-level metadata for SLOT-GRANULAR culling (graph/frame.py
+    # two-phase occlusion): testing the Kc compacted slots instead of the
+    # (C,)-capacity table turns the per-element HZB gathers from
+    # capacity-scaled (~1.8 ms at 64k rows) into budget-scaled (~0.1 ms).
+    slot_cluster: jnp.ndarray = None  # (Kc,) i32 cluster id (-1 dead)
+    slot_object: jnp.ndarray = None   # (Kc,) i32 owning object
+    slot_bound: jnp.ndarray = None    # (Kc, 4) f32 TIGHT object-space
+    #                                   sphere (table lanes 16-19)
 
 
 def _screen_error_factor(view: ViewData, height: int) -> jnp.ndarray:
@@ -90,8 +98,14 @@ def select_cluster_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         cw = jnp.stack([wx, wy, wz], axis=-1)
         return err_l * scale * f / dist, cw, rw
 
-    self_px, center_w, radius_w = project_px(tbl[:, 0:3], tbl[:, 3], tbl[:, 4])
+    self_px, _, _ = project_px(tbl[:, 0:3], tbl[:, 3], tbl[:, 4])
     parent_px, _, _ = project_px(tbl[:, 12:15], tbl[:, 15], tbl[:, 5])
+    # Culling bounds: the TIGHT per-cluster sphere (lanes 16-19) — group
+    # spheres (used above for the seam-free error projection) span whole
+    # simplify groups and make frustum/HZB tests hopelessly conservative
+    # (measured 3% occlusion cull rate on the city bench vs ~40% tight).
+    _, center_w, radius_w = project_px(tbl[:, 16:19], tbl[:, 19],
+                                       jnp.zeros_like(tbl[:, 4]))
 
     live = jnp.arange(C) < scene.num_clusters
     # Streaming residency patch (reference: PatchCLodGroupError,
@@ -166,7 +180,30 @@ def compact_visible_tris(scene: SceneBuffers, cut: jnp.ndarray,
     tri_mat = jnp.broadcast_to(mat_of_slot[:, None], (Kc, K)).reshape(-1)
     tri_obj = jnp.broadcast_to(obj_of_slot[:, None], (Kc, K)).reshape(-1)
     return CompactedTris(g, tri_mat, tri_obj, tri_ok.reshape(-1), overflow,
-                         geom_of_slot)
+                         geom_of_slot,
+                         slot_cluster=jnp.where(live_slot, ci, -1),
+                         slot_object=obj_of_slot,
+                         slot_bound=rows[:, 16:20])
+
+
+def slot_world_spheres(comp: CompactedTris, scene: SceneBuffers
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World-space TIGHT spheres of the compacted slots: (Kc, 3) centers +
+    (Kc,) radii. Per-slot object matrices via one-hot MXU; all math in
+    (Kc,)-column form (no rank-3 intermediates)."""
+    O = scene.object_mats.shape[0]
+    m = raster_setup.gather_rows_onehot(
+        scene.object_mats.reshape(O, 16), comp.slot_object)
+    scale = jnp.sqrt(jnp.maximum(
+        jnp.maximum(m[:, 0] ** 2 + m[:, 4] ** 2 + m[:, 8] ** 2,
+                    m[:, 1] ** 2 + m[:, 5] ** 2 + m[:, 9] ** 2),
+        m[:, 2] ** 2 + m[:, 6] ** 2 + m[:, 10] ** 2))
+    px, py, pz = (comp.slot_bound[:, 0], comp.slot_bound[:, 1],
+                  comp.slot_bound[:, 2])
+    wx = m[:, 0] * px + m[:, 1] * py + m[:, 2] * pz + m[:, 3]
+    wy = m[:, 4] * px + m[:, 5] * py + m[:, 6] * pz + m[:, 7]
+    wz = m[:, 8] * px + m[:, 9] * py + m[:, 10] * pz + m[:, 11]
+    return jnp.stack([wx, wy, wz], -1), comp.slot_bound[:, 3] * scale
 
 
 def touched_groups(scene: SceneBuffers, view: ViewData, config: FrameConfig,

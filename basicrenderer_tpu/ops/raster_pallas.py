@@ -293,7 +293,11 @@ def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
                 get_dma((p + 1) % 2, gid_ref[start + p + 1]).start()
 
             get_dma(slot, gid_ref[start + p]).wait()
-            jax.lax.fori_loop(0, group_rows, row_body, slot * GSLAB)
+            # Full unroll (Pallas fori_loop supports only 1 or num_steps):
+            # lets the compiler pipeline row j+1's SMEM scalar loads under
+            # row j's vector evaluation (measured −6% on the city frame).
+            jax.lax.fori_loop(0, group_rows, row_body, slot * GSLAB,
+                              unroll=group_rows)
             return 0
 
         jax.lax.fori_loop(0, nitems, pair_body, 0)
@@ -318,7 +322,8 @@ def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
             dma = get_dma(0, big_ref[p])
             dma.start()
             dma.wait()
-            jax.lax.fori_loop(0, group_rows, row_body, 0)
+            jax.lax.fori_loop(0, group_rows, row_body, 0,
+                              unroll=group_rows)
         return 0
 
     jax.lax.fori_loop(0, misc_ref[1], big_body, 0)

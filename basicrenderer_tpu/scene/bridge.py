@@ -188,6 +188,7 @@ class SceneRenderBridge:
                         template[ci, 7] = lo
                         template[ci, 8] = hi - lo
                         template[ci, 12:16] = template[ci, 0:4]
+                        template[ci, 16:20] = template[ci, 0:4]
                 template = template.copy()
                 # Geometry-cluster vertex pages + local corner indices.
                 ncl_g = len(template)

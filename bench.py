@@ -96,6 +96,8 @@ def main() -> None:
                        enable_clod=True, max_visible_clusters=3072,
                        max_phase2_clusters=256, shadow_clusters=768,
                        enable_clustered=True, enable_alpha_mask=True,
+                       enable_occlusion=True,    # two-phase HZB: standard
+                       # for virtualized geometry (slot-granular, frame.py)
                        use_pallas_raster=on_tpu)
 
     configs = {
@@ -158,8 +160,19 @@ def main() -> None:
         print(f"# rmse[{name}] vs max-quality: {rmse[name]}",
               file=sys.stderr, flush=True)
 
+    # Mosaic lowering smoke: Pallas raster vs jnp twin pixel parity on the
+    # real TPU (tools/tpu_smoke.py) — the Mosaic-only regression guard.
+    try:
+        sys.path.insert(0, ".")
+        from tools.tpu_smoke import run_smoke
+        smoke = run_smoke()
+        print(f"# mosaic smoke: {smoke}", file=sys.stderr, flush=True)
+    except Exception as e:  # never sink the bench line
+        smoke = {"mosaic_ok": False, "error": f"{type(e).__name__}: {e}"}
+
     ms = matrix["full"]
     print(json.dumps({
+        "mosaic_smoke": smoke,
         "metric": "ms/frame 1080p imported city (glTF+PNG+alpha-MASK via "
                   "importer; clod+occlusion+1k clustered lights+VSM+IBL+"
                   "textures+GTAO+bloom+TAA+auto-exposure+SSR; "
