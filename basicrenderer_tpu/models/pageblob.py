@@ -36,7 +36,7 @@ from typing import Dict, Optional
 import numpy as np
 
 MAGIC = b"BRPB"
-VERSION = 1
+VERSION = 2  # v2: tri_local is CORNER-MAJOR (j = corner*meshlet + tri)
 
 # Dequant row layout: [aabb_min xyz, aabb_extent xyz, pad, pad]
 DEQUANT_LANES = 8

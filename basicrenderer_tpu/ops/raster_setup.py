@@ -442,23 +442,29 @@ def triangle_setup_compacted(vertex_table: jnp.ndarray, object_mats: jnp.ndarray
 
 
 def _transform_corner_cols(px, py, pz, nx0, ny0, nz0, u, v, objid,
-                           mat_table, viewproj):
+                           mat_table, viewproj, m_cols=None):
     """Object-space corner columns + per-tri object ids -> g rows
     [clip4 | wnormal3 | uv2] (all column math, one one-hot MXU matrix
-    lookup)."""
-    m = gather_rows_onehot(mat_table, objid)          # (Kt, 25) MXU
+    lookup). `m_cols` (25 x (Kt,) columns) skips the per-row lookup when
+    the caller already fetched matrices at a coarser granularity (the
+    clustered path fetches per SLOT — 128x fewer one-hot rows)."""
+    if m_cols is None:
+        mm = gather_rows_onehot(mat_table, objid)      # (Kt, 25) MXU
+        m = [mm[:, i] for i in range(25)]
+    else:
+        m = m_cols
     # world = M @ [p, 1] (column math; no rank-3 intermediates)
-    wx = m[:, 0] * px + m[:, 1] * py + m[:, 2] * pz + m[:, 3]
-    wy = m[:, 4] * px + m[:, 5] * py + m[:, 6] * pz + m[:, 7]
-    wz = m[:, 8] * px + m[:, 9] * py + m[:, 10] * pz + m[:, 11]
+    wx = m[0] * px + m[1] * py + m[2] * pz + m[3]
+    wy = m[4] * px + m[5] * py + m[6] * pz + m[7]
+    wz = m[8] * px + m[9] * py + m[10] * pz + m[11]
     vp = viewproj
     cx = vp[0, 0] * wx + vp[0, 1] * wy + vp[0, 2] * wz + vp[0, 3]
     cy = vp[1, 0] * wx + vp[1, 1] * wy + vp[1, 2] * wz + vp[1, 3]
     cz = vp[2, 0] * wx + vp[2, 1] * wy + vp[2, 2] * wz + vp[2, 3]
     cw = vp[3, 0] * wx + vp[3, 1] * wy + vp[3, 2] * wz + vp[3, 3]
-    nx = m[:, 16] * nx0 + m[:, 17] * ny0 + m[:, 18] * nz0
-    ny = m[:, 19] * nx0 + m[:, 20] * ny0 + m[:, 21] * nz0
-    nz = m[:, 22] * nx0 + m[:, 23] * ny0 + m[:, 24] * nz0
+    nx = m[16] * nx0 + m[17] * ny0 + m[18] * nz0
+    ny = m[19] * nx0 + m[20] * ny0 + m[21] * nz0
+    nz = m[22] * nx0 + m[23] * ny0 + m[24] * nz0
     return jnp.stack([cx, cy, cz, cw, nx, ny, nz, u, v], axis=1)
 
 
@@ -470,7 +476,7 @@ def _transform_corner_rows(raw, objid, mat_table, viewproj):
 
 
 def _dequantized_corner_cols(q6, dq, meshlet_tris):
-    """Quantized corner value columns (Kt, 6) [px16, py16, pz16, oct16,
+    """Quantized corner value columns (6 x (Kt,)) [px16, py16, pz16, oct16,
     uh16, vh16] + per-cluster dequant rows (Kc, 8) -> object-space columns
     (px, py, pz, nx, ny, nz, u, v). All 16-bit VALUES are f32-exact, so
     the one-hot extraction einsum upstream is lossless; this is the only
@@ -478,11 +484,11 @@ def _dequantized_corner_cols(q6, dq, meshlet_tris):
     def rep(col):
         return jnp.repeat(col, meshlet_tris)          # (Kc,) -> (Kt,)
     inv = 1.0 / 65535.0
-    px = rep(dq[:, 0]) + q6[:, 0] * (rep(dq[:, 3]) * inv)
-    py = rep(dq[:, 1]) + q6[:, 1] * (rep(dq[:, 4]) * inv)
-    pz = rep(dq[:, 2]) + q6[:, 2] * (rep(dq[:, 5]) * inv)
+    px = rep(dq[:, 0]) + q6[0] * (rep(dq[:, 3]) * inv)
+    py = rep(dq[:, 1]) + q6[1] * (rep(dq[:, 4]) * inv)
+    pz = rep(dq[:, 2]) + q6[2] * (rep(dq[:, 5]) * inv)
     # Octahedral normal decode (2 x u8 in one 16-bit value).
-    o = q6[:, 3].astype(jnp.int32)
+    o = q6[3].astype(jnp.int32)
     a = (o & 255).astype(jnp.float32) * (2.0 / 255.0) - 1.0
     b = (o >> 8).astype(jnp.float32) * (2.0 / 255.0) - 1.0
     z = 1.0 - jnp.abs(a) - jnp.abs(b)
@@ -492,9 +498,9 @@ def _dequantized_corner_cols(q6, dq, meshlet_tris):
     rl = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
     # Half-float UVs: value -> u16 bits -> f16.
     u = jax.lax.bitcast_convert_type(
-        q6[:, 4].astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+        q6[4].astype(jnp.uint16), jnp.float16).astype(jnp.float32)
     v = jax.lax.bitcast_convert_type(
-        q6[:, 5].astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+        q6[5].astype(jnp.uint16), jnp.float16).astype(jnp.float32)
     return px, py, pz, x * rl, y * rl, z * rl, u, v
 
 
@@ -546,21 +552,34 @@ def triangle_setup_clustered(scene, comp, viewproj: jnp.ndarray,
     w0 = slabs[:, 0:SLAB_VERTS]
     w1 = slabs[:, SLAB_VERTS:2 * SLAB_VERTS]
     w2 = slabs[:, 2 * SLAB_VERTS:3 * SLAB_VERTS]
-    planes = jnp.stack(
+    # Channel-second-minor layout (Kc, 6, SLAB): the extraction einsum's
+    # output keeps SLAB_VERTS=384 in the 128-lane axis and the 6 channels
+    # in sublanes — the previous "kcs,ksd->kcd" form put d=6 minor, padding
+    # it to 128 lanes (21x wasted MXU/output work; profiled 2.8 -> ~1 ms).
+    planes_t = jnp.stack(
         [w0 & 0xFFFF, w0 >> 16, w1 & 0xFFFF, w1 >> 16,
-         w2 & 0xFFFF, w2 >> 16], axis=-1).astype(jnp.float32)
-    li = locals_.astype(jnp.int32)                     # (Kc, 384)
+         w2 & 0xFFFF, w2 >> 16], axis=1).astype(jnp.float32)  # (Kc, 6, S)
+    li = locals_.astype(jnp.int32)                     # (Kc, 384) CORNER-
+    #                                                    MAJOR (bridge.py)
     oh = (li[:, :, None]
           == jnp.arange(SLAB_VERTS, dtype=jnp.int32)[None, None, :]
           ).astype(jnp.float32)
-    corners = jnp.einsum("kcs,ksd->kcd", oh, planes,
+    corners = jnp.einsum("kds,kcs->kdc", planes_t, oh,
                          precision=jax.lax.Precision.HIGH)  # exact f32
-    corners = corners.reshape(Kc, MESHLET_TRIS, 3, 6)
+    # Per-slot matrix fetch (Kc one-hot rows instead of Kc*128): expand to
+    # per-triangle COLUMNS (materializing a (Kt, 25) row table would pad
+    # 25 -> 128 lanes).
+    m_slot = gather_rows_onehot(mat_table, comp.slot_object)   # (Kc, 25)
+    m_cols = [jnp.repeat(m_slot[:, i], MESHLET_TRIS) for i in range(25)]
+    M = MESHLET_TRIS
+
+    def corner_cols(c):
+        q6 = [corners[:, d, c * M:(c + 1) * M].reshape(-1) for d in range(6)]
+        return _dequantized_corner_cols(q6, dq, M)
+
     gs = [_transform_corner_cols(
-        *_dequantized_corner_cols(
-            corners[:, :, c, :].reshape(Kc * MESHLET_TRIS, 6), dq,
-            MESHLET_TRIS),
-        comp.object, mat_table, viewproj) for c in range(3)]
+        *corner_cols(c), comp.object, mat_table, viewproj, m_cols=m_cols)
+        for c in range(3)]
     setup = _setup_from_corners(gs[0], gs[1], gs[2], comp.valid, config,
                                 has_normals=True, has_uvs=True)
     lanes = pack_setup_lanes(setup, comp.material, comp.object)

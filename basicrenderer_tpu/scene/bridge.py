@@ -209,7 +209,15 @@ class SceneRenderBridge:
                         axis=1)
                     cluster_verts[g], cluster_dequant[g] = \
                         quantize_page(rows10, SLAB_VERTS)
-                    cluster_tri_local[g, :cnt * 3] = inv.reshape(-1)
+                    # CORNER-MAJOR layout (j = corner*MESHLET_TRIS + tri):
+                    # the setup einsum extracts per-corner blocks as
+                    # contiguous lane slices (raster_setup.py
+                    # triangle_setup_clustered).
+                    inv3 = inv.reshape(cnt, 3)
+                    for cc in range(3):
+                        cluster_tri_local[
+                            g, cc * MESHLET_TRIS:cc * MESHLET_TRIS + cnt] \
+                            = inv3[:, cc]
                 template[:, 11] = g_off + np.arange(ncl_g)
                 # Streaming groups: offset this mesh's group ids into the
                 # global space; top level / non-LOD clusters stay -1
