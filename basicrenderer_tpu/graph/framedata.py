@@ -212,6 +212,14 @@ class FrameConfig:
     voxel_rt_downscale: int = 8
     voxel_rt_steps: int = 12
     voxel_primary_steps: int = 20
+    # Reyes micro-tessellation (ops/reyes.py; reference: Reyes*.cpp
+    # split/dice). Parents over reyes_px projected edge with a
+    # displacement material dice into reyes_dice^2 micro-tris each, within
+    # a reyes_tris parent budget.
+    enable_reyes: bool = False
+    reyes_tris: int = 512
+    reyes_dice: int = 4
+    reyes_px: float = 48.0
     enable_taa: bool = False
     enable_oit: bool = False
     oit_layers: int = 4

@@ -67,6 +67,11 @@ class Material:
     fuzz_weight: float = 0.0
     fuzz_roughness: float = 0.5
     sheen_color: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    # Reyes displacement mapping (ops/reyes.py): world-units peak-to-peak
+    # height along the vertex normal, sampled from the R channel of
+    # `displacement_texture` (glTF ext / heightmap import).
+    displacement_scale: float = 0.0
+    displacement_texture: int = -1
 
     def pack(self) -> np.ndarray:
         row = np.zeros(MAT_STRIDE, np.float32)
@@ -90,6 +95,9 @@ class Material:
         row[18:21] = (self.coat_weight, self.coat_roughness, self.coat_ior)
         row[22:24] = (self.fuzz_weight, self.fuzz_roughness)
         row[25:28] = np.asarray(self.sheen_color, np.float32)
+        # Lanes 28-29: Reyes displacement (ops/reyes.py).
+        row[28] = self.displacement_scale
+        row[29] = float(self.displacement_texture)
         return row
 
 

@@ -580,15 +580,32 @@ def triangle_setup_clustered(scene, comp, viewproj: jnp.ndarray,
     gs = [_transform_corner_cols(
         *corner_cols(c), comp.object, mat_table, viewproj, m_cols=m_cols)
         for c in range(3)]
-    setup = _setup_from_corners(gs[0], gs[1], gs[2], comp.valid, config,
+    tri_ok = comp.valid
+    extra = None
+    ovf = jnp.int32(0)
+    if config.enable_reyes and config.reyes_tris > 0:
+        # Reyes micro-tessellation (ops/reyes.py): diced parents leave the
+        # main stream; micro rows append after the main pack.
+        from . import reyes as reyes_ops
+        elanes, ebbox, evalid, keep, r_ovf = reyes_ops.dice_reyes(
+            gs, comp.valid, comp, scene, viewproj, config,
+            id_base=comp.valid.shape[0])
+        tri_ok = comp.valid & keep
+        extra = (elanes, ebbox, evalid)
+        ovf = ovf + r_ovf
+    setup = _setup_from_corners(gs[0], gs[1], gs[2], tri_ok, config,
                                 has_normals=True, has_uvs=True)
     lanes = pack_setup_lanes(setup, comp.material, comp.object)
     lanes, bbox, valid = lanes, setup.bbox, setup.valid
-    ovf = jnp.int32(0)
+    if extra is not None:
+        lanes = jnp.concatenate([lanes, extra[0]], axis=0)
+        bbox = jnp.concatenate([bbox, extra[1]], axis=0)
+        valid = jnp.concatenate([valid, extra[2]], axis=0)
     if config.near_clip_tris > 0:
-        lanes, bbox, valid, ovf = _append_clipped(
-            lanes, bbox, valid, gs, comp.valid, config, comp.material,
+        lanes, bbox, valid, clip_ovf = _append_clipped(
+            lanes, bbox, valid, gs, tri_ok, config, comp.material,
             comp.object, True, True)
+        ovf = ovf + clip_ovf
     return jax.lax.optimization_barrier((lanes, bbox, valid)) + (ovf,)
 
 

@@ -141,6 +141,10 @@ class Renderer:
             debug_view=s.get("debugView"),
             wireframe=s.get("wireframe", False),
             use_pallas_raster=on_tpu,
+            enable_reyes=s.get("enableReyes", False),
+            reyes_tris=s.get("reyesTriBudget", 512),
+            reyes_dice=s.get("reyesDiceRate", 4),
+            reyes_px=s.get("reyesPixelThreshold", 48.0),
             enable_voxel_rt=s.get("enableVoxelRT", False),
             enable_voxel_fallback=s.get("enableVoxelFallback", False),
             voxel_n=s.get("voxelResolution", 64),

@@ -139,6 +139,13 @@ def make_default_settings() -> SettingsManager:
                            "VoxelGroupBuilder)")
     s.register("voxelResolution", 64, structural=True,
                description="voxel pyramid level-0 edge cells")
+    s.register("enableReyes", False, structural=True,
+               description="Reyes micro-tessellation: dice + displace "
+                           "large near triangles (reference: Reyes*.cpp)")
+    s.register("reyesTriBudget", 512, structural=True)
+    s.register("reyesDiceRate", 4, structural=True,
+               description="micro-grid subdivisions per parent edge")
+    s.register("reyesPixelThreshold", 48.0, structural=True)
     s.register("enableBloom", True, structural=True)
     s.register("enableTAA", False, structural=True)
     s.register("enableOIT", False, structural=True)
