@@ -198,6 +198,7 @@ class FrameConfig:
     # visible gain after the bilinear upsample + roughness fade.
     ssr_steps: int = 12
     ssr_downscale: int = 8
+    ssr_coarse_steps: int = 12   # hierarchical march: coarse bracket steps
     ssr_max_distance: float = 30.0
     ssr_thickness: float = 0.03
     # Voxel ray tier (ops/voxel_rt.py + models/voxels.py; reference:

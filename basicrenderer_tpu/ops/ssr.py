@@ -78,17 +78,53 @@ def ssr(hdr: jnp.ndarray, depth: jnp.ndarray, normal: jnp.ndarray,
     behind = cw <= 1e-4                    # ray leaves the view volume
 
     x0, y0, z0 = sx, sy, d
-    dx_s = (ex - x0) / steps
-    dy_s = (ey - y0) / steps
-    dz_s = (ez - z0) / steps
+
+    # --- Hierarchical two-level march (HZB-march analogue) ---------------
+    # A per-pixel HZB traversal state machine would serialize on TPU;
+    # instead ALL rays take Sc lockstep COARSE steps against a
+    # conservative nearest-depth mip (block max under reverse-Z: no
+    # surface between coarse samples can be missed), then Sf lockstep
+    # FINE steps inside each ray's first bracketing coarse interval —
+    # Sc*Sf effective resolution for Sc+Sf gathers. (Reference: SSSR's
+    # HZB ray march, FFXManager/sssr shaders.)
+    coarse = config.ssr_coarse_steps
+    cc = 4                                   # coarse cell = cc march texels
+    hc, wc = h // cc, w // cc
+    dc = d[:hc * cc, :wc * cc].reshape(hc, cc, wc, cc).max((1, 3))
+    dx_c = (ex - x0) / coarse
+    dy_c = (ey - y0) / coarse
+    dz_c = (ez - z0) / coarse
+
+    c_any = jnp.zeros((h, w), bool)
+    c_step = jnp.full((h, w), coarse, jnp.float32)
+    for s in range(1, coarse + 1):
+        xs = x0 + dx_c * s
+        ys = y0 + dy_c * s
+        zs = z0 + dz_c * s
+        ui = jnp.clip((xs / (ds * cc)).astype(jnp.int32), 0, wc - 1)
+        vi = jnp.clip((ys / (ds * cc)).astype(jnp.int32), 0, hc - 1)
+        zd = dc.reshape(-1)[vi * wc + ui]
+        on = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < full_h)
+        crossed = on & (zd > zs)             # conservative bracket
+        first = crossed & ~c_any
+        c_step = jnp.where(first, jnp.float32(s), c_step)
+        c_any = c_any | crossed
+
+    # Fine refinement inside [c_step-1, c_step] of the coarse march.
+    fx0 = x0 + dx_c * (c_step - 1.0)
+    fy0 = y0 + dy_c * (c_step - 1.0)
+    fz0 = z0 + dz_c * (c_step - 1.0)
+    dx_s = dx_c / steps
+    dy_s = dy_c / steps
+    dz_s = dz_c / steps
 
     hit_any = jnp.zeros((h, w), bool)
     hit_step = jnp.full((h, w), steps, jnp.float32)
     thick = config.ssr_thickness
     for s in range(1, steps + 1):
-        xs = x0 + dx_s * s
-        ys = y0 + dy_s * s
-        zs = z0 + dz_s * s
+        xs = fx0 + dx_s * s
+        ys = fy0 + dy_s * s
+        zs = fz0 + dz_s * s
         ui = jnp.clip((xs / ds).astype(jnp.int32), 0, w - 1)
         vi = jnp.clip((ys / ds).astype(jnp.int32), 0, h - 1)
         zd = d.reshape(-1)[vi * w + ui]
@@ -99,10 +135,11 @@ def ssr(hdr: jnp.ndarray, depth: jnp.ndarray, normal: jnp.ndarray,
         first = crossed & ~hit_any
         hit_step = jnp.where(first, jnp.float32(s), hit_step)
         hit_any = hit_any | crossed
+    hit_any = hit_any & c_any
 
     # Fetch lit color at the hit point (one gather).
-    xs = x0 + dx_s * hit_step
-    ys = y0 + dy_s * hit_step
+    xs = fx0 + dx_s * hit_step
+    ys = fy0 + dy_s * hit_step
     cidx = (jnp.clip(ys.astype(jnp.int32), 0, H - 1) * W
             + jnp.clip(xs.astype(jnp.int32), 0, W - 1))
     col = hdr.reshape(-1, 3)[cidx]          # (h, w, 3)
