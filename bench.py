@@ -117,6 +117,12 @@ def main() -> None:
             enable_bloom=True, enable_taa=True, enable_auto_exposure=True,
             enable_ssr=True),
     }
+    # BASELINE config 5 includes "TAA upscale": the full stack rendering
+    # at 1280x720 and TAAU-presenting 1920x1080 (UpscalingManager's role;
+    # motion-vector reprojection drives the detail recovery).
+    configs["full_taau"] = dataclasses.replace(
+        configs["full"], width=1280, height=720,
+        output_width=width, output_height=height)
 
     matrix = {}
     counters = {}
@@ -159,6 +165,15 @@ def main() -> None:
         rmse[name] = round(float(np.sqrt(np.mean((img - img_hq) ** 2))), 5)
         print(f"# rmse[{name}] vs max-quality: {rmse[name]}",
               file=sys.stderr, flush=True)
+        if name == "full":
+            # Upscaling loss: the TAAU 720p->1080p frame vs the NATIVE
+            # 1080p max-quality render (the number that justifies the
+            # full_taau row).
+            rmse["full_taau_vs_native_hq"] = round(float(np.sqrt(np.mean(
+                (frames["full_taau"][1] - img_hq) ** 2))), 5)
+            print(f"# rmse[full_taau] vs native max-quality: "
+                  f"{rmse['full_taau_vs_native_hq']}",
+                  file=sys.stderr, flush=True)
 
     # Mosaic lowering smoke: Pallas raster vs jnp twin pixel parity on the
     # real TPU (tools/tpu_smoke.py) — the Mosaic-only regression guard.
@@ -171,7 +186,9 @@ def main() -> None:
         smoke = {"mosaic_ok": False, "error": f"{type(e).__name__}: {e}"}
 
     ms = matrix["full"]
+    dev = jax.devices()[0]
     print(json.dumps({
+        "device": getattr(dev, "device_kind", dev.platform),
         "mosaic_smoke": smoke,
         "metric": "ms/frame 1080p imported city (glTF+PNG+alpha-MASK via "
                   "importer; clod+occlusion+1k clustered lights+VSM+IBL+"
