@@ -404,6 +404,7 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         channels[:, :H, :W], depth, vis, view, scene.material_table,
         config.width, config.height, row0=row0_px)
 
+    tex_wanted = None
     if config.enable_textures:
         # Material texture fetches (reference: VisUtilEvaluate/gbuffer.hlsl
         # through the descriptor heap). All live channels ride ONE call of
@@ -439,6 +440,15 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             smp = tex_ops.sample_pyramid_blocked_planes(
                 scene.tex_strips, scene.tex_flags, tids_ds, u_ds, v_ds,
                 H, W, ds, filt)
+            if config.enable_texture_streaming:
+                # Sampler feedback for the texture streamer (readback ->
+                # models/texstream.py; reference: sampler-feedback
+                # residency).
+                tex_wanted = tex_ops.wanted_mips(
+                    scene.tex_flags, tids_ds, u_ds, v_ds,
+                    tex_ops._infer_strip_resolution(
+                        scene.tex_strips.shape[0]
+                        // scene.tex_flags.shape[0]))
         else:
             id_of = {"base": gb.base_tex, "normal": gb.normal_tex,
                      "mr": gb.mr_tex, "emissive": gb.emissive_tex}
@@ -842,6 +852,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             "light_overflow": light_overflow, "taa_out": hdr,
             **({"vsm_state": vsm_state_out, "vsm_stats": vsm_stats}
                if vsm_state_out is not None else {}),
+            **({"tex_wanted": tex_wanted} if tex_wanted is not None
+               else {}),
         }
 
     if config.wireframe and hdr.shape[:2] == vis.shape:
@@ -868,6 +880,7 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         "image": image,
         "hdr": hdr,
         **({"touched_groups": touched} if touched is not None else {}),
+        **({"tex_wanted": tex_wanted} if tex_wanted is not None else {}),
         "depth": depth,
         "depth_padded": depth_p,   # next frame's occlusion HZB source
         "vis": vis,

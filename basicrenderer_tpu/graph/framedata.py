@@ -213,6 +213,9 @@ class FrameConfig:
     voxel_rt_downscale: int = 8
     voxel_rt_steps: int = 12
     voxel_primary_steps: int = 20
+    # Texture streaming feedback (models/texstream.py): emit per-texture
+    # finest-wanted mips for the renderer's readback loop.
+    enable_texture_streaming: bool = False
     # Reyes micro-tessellation (ops/reyes.py; reference: Reyes*.cpp
     # split/dice). Parents over reyes_px projected edge with a
     # displacement material dice into reyes_dice^2 micro-tris each, within

@@ -120,7 +120,13 @@ def sample_pyramid(pyramid: jnp.ndarray, tex_flags: jnp.ndarray,
     mip_i = jnp.round(mip).astype(jnp.int32)
 
     layer = jnp.clip(tid, 0, N - 1)
-    srgb = (tex_flags[layer] & 1) > 0
+    fl = tex_flags[layer]
+    srgb = (fl & 1) > 0
+    # Texture streaming: bits 1-5 of the flag word carry the texture's
+    # finest RESIDENT mip (models/texstream.py) — sampling clamps to it,
+    # so missing fine mips degrade to the resident coarse content instead
+    # of reading stale rows.
+    mip_i = jnp.clip(jnp.maximum(mip_i, (fl >> 1) & 31), 0, len(sizes) - 1)
     flat = pyramid.reshape(-1)
     base = layer * S
 
@@ -330,6 +336,9 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     cnt = jnp.maximum(jnp.sum(jmask, axis=2), 1)
     m0 = jnp.ceil(jnp.sum(jnp.where(jmask, mb_px[None], 0), axis=2)
                   / cnt).astype(jnp.int32)
+    fl_j = tex_flags[layer_j]                                   # (J, nb)
+    # Streaming min-mip clamp (flag bits 1-5; see sample_pyramid).
+    m0 = jnp.maximum(m0, (fl_j >> 1) & 31)
     mb = jnp.clip(jnp.maximum(m0, m_fit.astype(jnp.int32)), 0, M - 1)
 
     # Static per-mip constants -> per-job-block values (J, nb).
@@ -445,7 +454,7 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     out = out / 255.0                                   # (J, nb, P, 4)
 
     # sRGB decode (per job layer) + per-pixel job select.
-    srgb = ((tex_flags[layer_j] & 1) > 0)               # (J, nb)
+    srgb = ((fl_j & 1) > 0)                             # (J, nb)
     dec = jnp.where(out <= 0.04045, out / 12.92,
                     jnp.power(jnp.maximum((out + 0.055) / 1.055, 1e-6), 2.4))
     out = jnp.where(srgb[:, :, None, None],
@@ -603,3 +612,22 @@ def apply_normal_map_sampled(normal: jnp.ndarray, world_pos: jnp.ndarray,
     # Fall back to the geometric normal where no map / degenerate frame.
     ok = (normal_tex >= 0) & (jnp.abs(det) > 1e-12) & (tlen[..., 0] > 1e-9)
     return jnp.where(ok[..., None], n2, normal)
+
+
+def wanted_mips(tex_flags: jnp.ndarray, tids: jnp.ndarray, u_ds: jnp.ndarray,
+                v_ds: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    """Texture-streaming feedback: (N,) i32 FINEST mip each texture wants
+    this frame (UNclamped by residency — the streamer compares against the
+    resident level; reference: sampler-feedback-style texture streaming).
+    tids (K, h, w) at sampling rate, u/v (h, w). Uses a broadcast-compare
+    masked min over the small texture axis (no scatter)."""
+    N = tex_flags.shape[0]
+    sizes, _ = mip_layout(resolution)
+    M = len(sizes)
+    mipf = compute_mip(jnp.stack([u_ds, v_ds], -1), resolution, M)
+    mip_i = jnp.round(mipf).astype(jnp.int32)[None]     # (1, h, w)
+    flat_m = jnp.broadcast_to(mip_i, tids.shape).reshape(-1)
+    flat_t = tids.reshape(-1)
+    ids = jnp.arange(N, dtype=jnp.int32)[:, None]       # (N, 1)
+    masked = jnp.where(flat_t[None, :] == ids, flat_m[None, :], M)
+    return jnp.min(masked, axis=1).astype(jnp.int32)    # M = "not sampled"

@@ -16,6 +16,7 @@ SetCurrentScene/SetEnvironment/Cleanup) reshaped for TPU execution:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -113,6 +114,7 @@ class Renderer:
             max_lights_per_cluster=s.get("maxLightsPerCluster"),
             enable_ibl=s.get("enableIBL"),
             enable_textures=s.get("enableTextures", False),
+            enable_texture_streaming=s.get("enableTextureStreaming", False),
             tex_channels=self._live_tex_channels(),
             enable_bloom=s.get("enableBloom"),
             enable_gtao=s.get("enableGTAO"),
@@ -234,6 +236,35 @@ class Renderer:
             self._buffers = self._buffers.replace(
                 cluster_verts=sv, cluster_tri_local=sl, cluster_dequant=sdq,
                 geom_slot=gs, group_resident=gr)
+        # Texture streaming: disk container + feedback streamer
+        # (models/texstream.py). With no container path configured, the
+        # registry's atlas is serialized to the cache dir once — the
+        # disk-backed memmap IS the streaming source either way.
+        if self.settings.get("enableTextureStreaming", False) and \
+                len(self.textures) and \
+                getattr(self, "_tex_streamer", None) is None:
+            from .models.texstream import (TextureStreamContainer,
+                                           TextureStreamer,
+                                           save_strip_container)
+            cpath = self.settings.get("textureStreamContainer", "")
+            if not cpath:
+                import hashlib
+                strips_np, flags_np = self.textures.strip_pyramid()
+                h = hashlib.sha1(np.asarray(strips_np).tobytes())
+                cdir = os.path.expanduser(
+                    "~/.cache/basicrenderer_tpu/texstream")
+                os.makedirs(cdir, exist_ok=True)
+                cpath = os.path.join(cdir, h.hexdigest()[:16] + ".brts")
+                if not os.path.exists(cpath):
+                    save_strip_container(cpath, np.asarray(strips_np),
+                                         np.asarray(flags_np),
+                                         self.textures.resolution)
+            self._tex_streamer = TextureStreamer(
+                TextureStreamContainer(cpath),
+                fine_row_budget=self.settings.get("textureFineRowBudget"))
+            self._buffers = self._buffers.replace(
+                tex_strips=self._tex_streamer.strips,
+                tex_flags=self._tex_streamer.flags_device())
         # Auto-enable skinning when any packed instance is skinned.
         if self._bridge.packed and self._bridge.packed.skin_instances:
             self.settings.set("enableSkinning", True)
@@ -358,6 +389,17 @@ class Renderer:
             if getattr(self, "_vsm_state", None) is None:
                 self._vsm_state = vsm_ops.init_state()
             kwargs["vsm_state"] = self._vsm_state
+        if config.enable_texture_streaming and \
+                getattr(self, "_tex_streamer", None):
+            # Pipelined sampler feedback (same pattern as geometry
+            # streaming below): previous frame's wanted mips -> stream
+            # mip rows -> splice atlas + residency flags into this frame.
+            w_prev = getattr(self, "_tex_wanted_dev", None)
+            if w_prev is not None:
+                strips, flags = self._tex_streamer.update(np.asarray(w_prev))
+                self._buffers = self._buffers.replace(
+                    tex_strips=strips, tex_flags=flags)
+                args[0] = self._buffers
         if config.enable_streaming and getattr(self, "_streamer", None):
             # Pipelined GPU feedback: consume the PREVIOUS frame's touched
             # groups (its compute has drained by now), stream pages, and
@@ -374,6 +416,8 @@ class Renderer:
             out = frame_fn(*args, **kwargs)
         if config.enable_streaming:
             self._touched_dev = out.get("touched_groups")
+        if config.enable_texture_streaming:
+            self._tex_wanted_dev = out.get("tex_wanted")
         self.telemetry.record_frame_outputs(out)
         self.telemetry.end_frame()
         if config.enable_occlusion or config.enable_taa:

@@ -139,6 +139,11 @@ def make_default_settings() -> SettingsManager:
                            "VoxelGroupBuilder)")
     s.register("voxelResolution", 64, structural=True,
                description="voxel pyramid level-0 edge cells")
+    s.register("enableTextureStreaming", False, structural=True,
+               description="mip-granular texture residency streamed from "
+                           "a disk container by sampler feedback")
+    s.register("textureStreamContainer", "", structural=True)
+    s.register("textureFineRowBudget", 1 << 14, structural=True)
     s.register("enableReyes", False, structural=True,
                description="Reyes micro-tessellation: dice + displace "
                            "large near triangles (reference: Reyes*.cpp)")
