@@ -190,6 +190,10 @@ class FrameConfig:
     # Which channel samples the frame traces (renderer derives from the
     # materials actually registered — unused channels cost nothing).
     tex_channels: Tuple[str, ...] = ("base", "normal", "mr", "emissive")
+    # Streaming feedback priority aggregation (reference: CLodPriorityMode
+    # Max/Sum, CLodCommon.h:50-53): "max" = worst oversized cluster per
+    # group, "sum" = total demand across clusters.
+    streaming_priority: str = "max"
     enable_bloom: bool = False
     enable_gtao: bool = False
     enable_ssr: bool = False

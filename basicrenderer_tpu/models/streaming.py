@@ -378,21 +378,30 @@ class GeometryStreamer:
         return True
 
     def update(self, touched: np.ndarray):
-        """Feed one frame's touched-group bits; returns the device-side
+        """Feed one frame's touched-group feedback; returns the device-side
         (slab_v, slab_l, slab_dq, geom_slot, group_resident) to splice into
-        SceneBuffers."""
+        SceneBuffers. `touched` is either a bool mask or a f32 PRIORITY
+        array (ops/clod.touched_groups — reference: CLodPriorityMode
+        Max/Sum): when the per-frame load budget is short, the most
+        oversized groups stream first."""
         self.tick += 1
         # Expand wants to the ancestor closure (parents-first order): a
         # wanted fine group is only renderable-consistent once its whole
-        # chain is resident (see __init__).
-        want_set = {int(g) for g in np.nonzero(touched[:self.max_groups])[0]}
-        stack = list(want_set)
+        # chain is resident (see __init__). Ancestors inherit the max
+        # priority of any descendant that wants them.
+        t = np.asarray(touched[:self.max_groups], np.float32)
+        pri = {int(g): float(t[g]) for g in np.nonzero(t > 0)[0]}
+        stack = list(pri)
         while stack:
-            for p in self.group_parents.get(stack.pop(), ()):
-                if p not in want_set:
-                    want_set.add(p)
+            g = stack.pop()
+            for p in self.group_parents.get(g, ()):
+                if pri.get(p, 0.0) < pri[g]:
+                    pri[p] = pri[g]
                     stack.append(p)
-        want = sorted(want_set, key=lambda g: self.group_depth.get(g, 0))
+        # Parents-first (chain consistency), most-urgent-first within a
+        # depth level (budget goes to the worst screen error).
+        want = sorted(pri, key=lambda g: (self.group_depth.get(g, 0),
+                                          -pri[g]))
         for g in want:
             self.last_touch[g] = self.tick
         budget = self.loads_per_update

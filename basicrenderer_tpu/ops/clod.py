@@ -208,11 +208,12 @@ def slot_world_spheres(comp: CompactedTris, scene: SceneBuffers
 
 def touched_groups(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                    tau_px) -> jnp.ndarray:
-    """(GR,) bool: streaming groups the IDEAL cut (residency ignored) wants
-    this frame, plus one finer level as prefetch (reference: GPU feedback
-    'touched clusters' readback + predicted expand,
-    CLodStreamingSystem.cpp:986-1258). The renderer reads this back and
-    feeds the streaming worker."""
+    """(GR,) f32 priorities (0 = untouched): streaming groups the IDEAL cut
+    (residency ignored) wants this frame, plus one finer level as prefetch,
+    weighted by how oversized their parents' screen error is (reference:
+    GPU feedback 'touched clusters' readback + predicted expand,
+    CLodStreamingSystem.cpp:986-1258; priority modes CLodCommon.h:50-53).
+    The renderer reads this back and feeds the streaming worker."""
     tbl = scene.cluster_table
     C = tbl.shape[0]
     GR = scene.group_resident.shape[0]
@@ -248,4 +249,15 @@ def touched_groups(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     made = jnp.where(wanted & (scene.cluster_made >= 0),
                      scene.cluster_made, -1)     # one level finer: prefetch
     gids = jnp.arange(GR, dtype=jnp.int32)[None, :]
-    return ((feeds[:, None] == gids) | (made[:, None] == gids)).any(axis=0)
+    # Per-group load PRIORITY, not just a bit (reference: CLodPriorityMode
+    # Max/Sum, CLodCommon.h:50-53): urgency = how oversized the parent's
+    # screen error is relative to tau — the streamer loads the most
+    # oversized groups first when the per-frame budget is short. Prefetch
+    # marks (one level finer) weigh half. "max" takes the worst cluster
+    # per group; "sum" favors groups many clusters want.
+    urg = jnp.where(wanted, parent_px / jnp.maximum(tau_px, 1e-6), 0.0)
+    w_feeds = jnp.where(feeds[:, None] == gids, urg[:, None], 0.0)
+    w_made = jnp.where(made[:, None] == gids, 0.5 * urg[:, None], 0.0)
+    if config.streaming_priority == "sum":
+        return w_feeds.sum(axis=0) + w_made.sum(axis=0)
+    return jnp.maximum(w_feeds.max(axis=0), w_made.max(axis=0))

@@ -56,6 +56,12 @@ class Renderer:
         self._frame_index = 0
         self._settings_generation = -1
         self._config: Optional[FrameConfig] = None
+        # Scene-update <-> render overlap (reference: the worker-thread
+        # snapshot pipeline, Renderer.cpp:597-741, 1755-1769).
+        self._update_pool = None
+        self._update_future = None
+        self._overlap_camera = None   # (view, proj, cam_pos) at commit
+        self._overlap_mats = None     # committed object matrices (np)
 
     # -- scene management --------------------------------------------------
     def set_current_scene(self, scene: Scene) -> None:
@@ -138,6 +144,7 @@ class Renderer:
             enable_culling=s.get("enableFrustumCulling", True),
             enable_clod=s.get("enableClod"),
             enable_streaming=s.get("enableStreaming", False),
+            streaming_priority=s.get("streamingPriorityMode", "max"),
             max_visible_clusters=s.get("maxVisibleClusters"),
             enable_occlusion=s.get("enableOcclusionCulling"),
             debug_view=s.get("debugView"),
@@ -202,8 +209,74 @@ class Renderer:
     # -- frame loop --------------------------------------------------------
     def update(self, dt: float = 1.0 / 60.0) -> None:
         """Host-side per-frame work (reference Renderer::Update,
-        Renderer.cpp:1724): transforms, animation tick, buffer snapshot."""
+        Renderer.cpp:1724): transforms, animation tick, buffer snapshot.
+
+        With `enableSceneOverlap` on, the scene sync for frame N runs on a
+        worker thread WHILE frame N-1's device work executes (the
+        reference's ScheduleSceneUpdateTask / CommitCompletedSceneSnapshot
+        pipeline, Renderer.cpp:597-741): this call commits the snapshot
+        the worker produced last frame and schedules the next one, so the
+        main thread pays only commit + dispatch. Contract (same as the
+        reference's deferred-edit protocol): between update() calls, scene
+        edits must go through `scene.world.defer(...)` — the worker
+        flushes them at task start; direct edits race the worker."""
         assert self._bridge is not None
+        if not self.settings.get("enableSceneOverlap", False):
+            self._overlap_camera = None
+            self._overlap_mats = None
+            fut = self._update_future
+            if fut is not None:        # toggle flipped off mid-run: drain
+                fut.result()
+                self._update_future = None
+            self._update_sync(dt)
+            return
+        if self._update_future is None or self._buffers is None:
+            self._update_sync(dt)      # bootstrap frame runs inline
+        else:
+            self.telemetry.begin_frame()
+            self._time += dt
+            with self.telemetry.stage("scene_commit"):
+                fields, cam, mats = self._update_future.result()
+                self._buffers = self._buffers.replace(**fields)
+                self._overlap_camera = cam
+                self._overlap_mats = mats
+            self._post_snapshot_update()
+        if self._update_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._update_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="scene-update")
+        cfg = self.current_config()
+        self._update_future = self._update_pool.submit(
+            self._scene_update_task, self._time + dt,
+            cfg.width / cfg.height)
+
+    def _scene_update_task(self, t: float, aspect: float):
+        """Worker-thread scene sync for the NEXT frame: deferred-edit
+        flush, transform propagation, dynamic-field snapshot (device
+        uploads happen here — JAX transfers are thread-safe), and the
+        camera capture render() will use (so the main thread never reads
+        the world while the next propagation runs)."""
+        import jax.numpy as jnp
+        self.scene.world.flush_deferred()
+        self.scene.propagate_transforms()
+        mats, nmats, bounds, ovalid = self._bridge.snapshot_objects()
+        lights, num_lights, num_dir = self._bridge.snapshot_lights()
+        fields = dict(
+            joint_palette=jnp.asarray(
+                self._bridge.snapshot_joint_palette(t)),
+            object_mats=jnp.asarray(mats),
+            object_normal_mats=jnp.asarray(nmats),
+            object_bounds=jnp.asarray(bounds),
+            object_valid=jnp.asarray(ovalid),
+            lights=jnp.asarray(lights),
+            num_lights=jnp.int32(num_lights),
+            num_dir_lights=jnp.int32(num_dir),
+        )
+        cam = self.scene.camera_matrices(aspect=aspect)
+        return fields, cam, mats.copy()
+
+    def _update_sync(self, dt: float) -> None:
+        """The synchronous update path (also the overlap bootstrap)."""
         self.telemetry.begin_frame()
         self._time += dt
         with self.telemetry.stage("scene_update"):
@@ -218,6 +291,13 @@ class Renderer:
                 self._buffers = self._bridge.build_scene_buffers()
         else:
             self._buffers = self._bridge.update_dynamic(self._buffers, self._time)
+        self._post_snapshot_update()
+
+    def _post_snapshot_update(self) -> None:
+        """Main-thread per-frame work that consumes the committed snapshot
+        (streamer bring-up, skinning enable, VSM invalidation, voxel
+        rebuild). Runs with no worker in flight, so direct scene reads
+        here are race-free."""
         # Geometry streaming: pool + feedback loop (models/streaming.py).
         if self.settings.get("enableStreaming", False) and \
                 self._bridge.packed is not None and \
@@ -328,8 +408,14 @@ class Renderer:
         Renderer.cpp:1935). Returns the output pytree (device arrays)."""
         assert self._buffers is not None, "call update() first"
         config = self.current_config()
-        view_np, proj_np, cam_pos = self.scene.camera_matrices(
-            aspect=config.width / config.height)
+        if self._overlap_camera is not None:
+            # Overlap mode: the NEXT frame's propagation may be running on
+            # the worker — use the camera captured at commit time instead
+            # of reading the live world.
+            view_np, proj_np, cam_pos = self._overlap_camera
+        else:
+            view_np, proj_np, cam_pos = self.scene.camera_matrices(
+                aspect=config.width / config.height)
         import jax.numpy as jnp
         vp_unjit = (proj_np @ view_np).astype(np.float32)
         if config.enable_taa:
@@ -362,7 +448,10 @@ class Renderer:
             # each with prev_viewproj @ prev_model @ inv(cur_model).
             from .ops.motion import MAX_MOVING
             prev_vp = getattr(self, "_prev_viewproj", None)
-            cur_mats, _nm, _b, _v = self._bridge.snapshot_objects()
+            if self._overlap_mats is not None:
+                cur_mats = self._overlap_mats   # committed; world may be busy
+            else:
+                cur_mats, _nm, _b, _v = self._bridge.snapshot_objects()
             prev_mats = getattr(self, "_prev_object_mats", None)
             if prev_vp is not None and prev_mats is not None \
                     and prev_mats.shape == cur_mats.shape:

@@ -151,6 +151,11 @@ def make_default_settings() -> SettingsManager:
     s.register("reyesDiceRate", 4, structural=True,
                description="micro-grid subdivisions per parent edge")
     s.register("reyesPixelThreshold", 48.0, structural=True)
+    s.register("enableSceneOverlap", False,
+               description="pipeline scene sync on a worker thread: frame "
+                           "N's transforms/snapshot run during frame N-1's "
+                           "device work (reference: Renderer.cpp:597-741); "
+                           "between-frame edits must use world.defer")
     s.register("enableBloom", True, structural=True)
     s.register("enableTAA", False, structural=True)
     s.register("enableOIT", False, structural=True)
@@ -175,6 +180,10 @@ def make_default_settings() -> SettingsManager:
     s.register("upscaleMode", "none", structural=True, description="none|taa")
     s.register("enableStreaming", False, structural=True,
                description="geometry page streaming (models/streaming.py)")
+    s.register("streamingPriorityMode", "max", structural=True,
+               description="feedback priority aggregation: max | sum "
+                           "(reference: CLodPriorityMode, "
+                           "CLodCommon.h:50-53)")
     s.register("streamingSlots", 1024, structural=True,
                description="geometry page pool capacity")
     s.register("streamingContainer", "", structural=True,

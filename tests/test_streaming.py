@@ -111,3 +111,36 @@ def test_geometry_streamer_parent_chain_closure():
     assert not st.resident[0] and st.resident[1] and st.resident[2]
     assert st._evict_one(protect=-1)
     assert not st.resident[1] and st.resident[2]
+
+
+def test_geometry_streamer_priority_order():
+    """f32 priority feedback (reference: CLodPriorityMode Max/Sum,
+    CLodCommon.h:50-53): with a 1-load budget, the most oversized group
+    streams first, and ancestors inherit a descendant's priority so a
+    high-priority fine group still loads chain-first."""
+    import types
+    from basicrenderer_tpu.models.streaming import GeometryStreamer
+
+    # Two independent chains: 0 <- 1 (parent) and 2 (standalone).
+    G = 3
+    packed = types.SimpleNamespace(
+        cluster_verts=np.arange(G * 8, dtype=np.uint32).reshape(G, 8),
+        cluster_tri_local=np.zeros((G, 4), np.float32),
+        cluster_dequant=np.zeros((G, 8), np.float32),
+        geom_group=np.arange(G, dtype=np.int32),
+        cluster_feeds=np.array([0, 1, 2], np.int32),
+        cluster_made=np.array([-1, 0, -1], np.int32),
+    )
+    st = GeometryStreamer(packed, max_groups=G, num_slots=G,
+                          loads_per_update=1)
+    # Standalone group 2 is more urgent than chain 0<-1.
+    pri = np.array([1.5, 0.0, 9.0], np.float32)
+    st.update(pri)
+    assert st.resident[2] and not st.resident[0] and not st.resident[1]
+    # Now the fine group 0 is most urgent: its PARENT (1) inherits the
+    # priority and loads first (chain consistency), then 0 itself.
+    pri = np.array([9.0, 0.0, 1.0], np.float32)
+    st.update(pri)
+    assert st.resident[1] and not st.resident[0]
+    st.update(pri)
+    assert st.resident[0]
