@@ -572,12 +572,16 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                 shade_in, payload, counts, view.cam_pos, lcfg)
         hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn,
                                        directional_only=True,
-                                       coat=config.enable_coat)
+                                       coat=config.enable_coat,
+                                       energy=config.enable_energy_comp,
+                                       fuzz=config.enable_fuzz)
         hdr = hdr + local[:, :H, :W].transpose(1, 2, 0)
     else:
         light_overflow = jnp.int32(0)
         hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn,
-                                       coat=config.enable_coat)
+                                       coat=config.enable_coat,
+                                       energy=config.enable_energy_comp,
+                                       fuzz=config.enable_fuzz)
 
     if config.enable_clustered and config.max_shadow_cubes > 0:
         # Point-light cube shadows: 6 perspective faces per light rendered
@@ -595,6 +599,9 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         vdir_c = view.cam_pos[None, None, :] - gb.world_pos
         vdir_c = vdir_c / jnp.maximum(
             jnp.linalg.norm(vdir_c, axis=-1, keepdims=True), 1e-12)
+        comp_c, fuzz_c = shade_ops.openpbr_terms(
+            gb, vdir_c, gb.normal, config.enable_energy_comp,
+            config.enable_fuzz)
         Lc = scene.lights.shape[0]
         for c in range(config.max_shadow_cubes):
             maps = jnp.stack([
@@ -607,7 +614,9 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             term = local_rows(shadow_ops.sample_point_shadow(
                 gather_rows(depth), view, row[0:3], cvps6[c], maps,
                 full_h=full_h))
-            contrib = shade_ops.shade_one_light(gb, row, vdir_c, gb.normal)
+            contrib = shade_ops.shade_one_light(gb, row, vdir_c, gb.normal,
+                                                spec_comp=comp_c,
+                                                fuzz_e=fuzz_c)
             hdr = hdr + jnp.where(clive[c], contrib * term[..., None], 0.0)
 
     if config.enable_clustered and config.max_shadow_lights > 0:
@@ -625,6 +634,9 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         vdir = view.cam_pos[None, None, :] - gb.world_pos
         vdir = vdir / jnp.maximum(
             jnp.linalg.norm(vdir, axis=-1, keepdims=True), 1e-12)
+        comp_s, fuzz_s = shade_ops.openpbr_terms(
+            gb, vdir, gb.normal, config.enable_energy_comp,
+            config.enable_fuzz)
         L = scene.lights.shape[0]
         for k in range(config.max_shadow_lights):
             smap = shadow_ops.render_cascade(scene, svps[k], spot_cfg,
@@ -633,7 +645,9 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                 gather_rows(depth), view, svps[k], smap,
                 params.shadow_bias, full_h=full_h))
             row = scene.lights[jnp.clip(sidx[k], 0, L - 1)]
-            contrib = shade_ops.shade_one_light(gb, row, vdir, gb.normal)
+            contrib = shade_ops.shade_one_light(gb, row, vdir, gb.normal,
+                                                spec_comp=comp_s,
+                                                fuzz_e=fuzz_s)
             hdr = hdr + jnp.where(slive[k],
                                   contrib * term[..., None], 0.0)
 
@@ -714,6 +728,21 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             prefiltered = prefiltered * (1.0 - ssr_wgt[..., None]) \
                 + ssr_col * ssr_wgt[..., None]
         spec_ibl = prefiltered * (f0 * scale[..., None] + bias[..., None])
+        if config.enable_energy_comp:
+            # Kulla-Conty multi-scatter term on the env specular too
+            # (ops/brdf_energy.py fitted albedo; same factor as the
+            # analytic lights so the furnace stays white).
+            from ..ops import brdf_energy
+            spec_ibl = spec_ibl * brdf_energy.energy_compensation(
+                f0, ndv, gb.roughness)
+        if config.enable_fuzz and gb.fuzz_weight is not None:
+            # Fuzz over the environment: attenuate base by the layer's
+            # directional albedo, add a sheen-colored irradiance term.
+            from ..ops import brdf_energy
+            fe = (gb.fuzz_weight * brdf_energy.sheen_energy(
+                ndv, gb.fuzz_rough))[..., None]
+            spec_ibl = spec_ibl * (1.0 - fe) + irr * fe
+            diffuse_ibl = diffuse_ibl * (1.0 - fe)
         if config.enable_coat:
             # OpenPBR coat over the environment: a second prefiltered
             # fetch at the coat roughness, base attenuated by coat Fresnel.

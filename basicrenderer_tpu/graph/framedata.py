@@ -237,6 +237,8 @@ class FrameConfig:
     oit_overflow_alpha: float = 0.5   # alpha estimate for beyond-K fade
     enable_alpha_mask: bool = False   # alpha-cutoff (MASK) material pass
     enable_coat: bool = False         # OpenPBR clear-coat lobe
+    enable_fuzz: bool = False         # OpenPBR fuzz (Charlie sheen) lobe
+    enable_energy_comp: bool = False  # GGX multi-scatter energy LUT fit
     mask_clusters: int = 256          # masked caster cut budget (x128 tris)
     enable_auto_exposure: bool = False
     enable_skinning: bool = False

@@ -385,8 +385,17 @@ def load_model(path: str, scene: Scene, meshes: MeshRegistry,
                          textures=textures)
     if ext == ".obj":
         return load_obj(path, scene, meshes, materials, parent)
-    if ext in (".usda", ".usd", ".usdc", ".usdz"):
+    if ext == ".usdz":
+        from .usdc import load_usdz
+        return load_usdz(path, scene, meshes, materials, parent)
+    if ext in (".usda", ".usd", ".usdc"):
+        # .usd can be either ASCII or crate: sniff the magic.
+        with open(path, "rb") as f:
+            head = f.read(8)
+        if head == b"PXR-USDC":
+            from .usdc import load_usdc
+            return load_usdc(path, scene, meshes, materials, parent)
         from .usd import load_usda
         return load_usda(path, scene, meshes, materials, parent)
     raise ValueError(f"unsupported model format: {ext} "
-                     "(supported: .gltf, .glb, .obj, .usda)")
+                     "(supported: .gltf, .glb, .obj, .usda, .usdc, .usdz)")

@@ -168,7 +168,8 @@ def load_usda(path: str, scene: Scene, meshes: MeshRegistry,
               ) -> List[int]:
     """Load a .usda stage into the scene. Returns created entities."""
     if path.endswith((".usdc", ".usdz")):
-        raise ValueError("binary USD needs the USD SDK; export .usda")
+        raise ValueError("binary USD: use models.usdc.load_usdc/load_usdz "
+                         "(importers.load_model dispatches automatically)")
     with open(path) as f:
         text = f.read()
     roots = _parse_usda(text)

@@ -52,6 +52,8 @@ class GBuffer(NamedTuple):
     coat_rough: jnp.ndarray = None    # (H, W) f32 coat roughness
     normal_scale: jnp.ndarray = None  # (H, W) f32 glTF normalTexture.scale
     object_id: jnp.ndarray = None     # (H, W) i32 owning object (-1 = sky)
+    fuzz_weight: jnp.ndarray = None   # (H, W) f32 OpenPBR fuzz weight
+    fuzz_rough: jnp.ndarray = None    # (H, W) f32 OpenPBR fuzz roughness
 
 
 def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
@@ -191,6 +193,8 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
         coat_rough=jnp.clip(mat[:, 19].reshape(H, W), 0.05, 1.0),
         normal_scale=jnp.where(covered, mat[:, 9].reshape(H, W), 1.0),
         object_id=jnp.where(covered, object_id, -1),
+        fuzz_weight=jnp.where(covered, mat[:, 22].reshape(H, W), 0.0),
+        fuzz_rough=jnp.clip(mat[:, 23].reshape(H, W), 0.05, 1.0),
     )
 
 
@@ -216,9 +220,11 @@ def _f_schlick(v_dot_h, f0):
     return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - v_dot_h, 0.0, 1.0), 5.0)
 
 
-def eval_brdf(n, v, l, albedo, metallic, roughness):
+def eval_brdf(n, v, l, albedo, metallic, roughness, spec_scale=None):
     """Cook-Torrance specular + Lambert diffuse; all (..., 3)/(...,) arrays.
-    Returns radiance factor to multiply by (light color * NdotL)."""
+    Returns radiance factor to multiply by (light color * NdotL).
+    `spec_scale` (..., 3) multiplies the specular lobe only — the
+    Kulla-Conty multi-scatter compensation term (ops/brdf_energy.py)."""
     h = l + v
     h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
     n_dot_l = jnp.maximum(jnp.sum(n * l, -1, keepdims=True), 0.0)
@@ -231,6 +237,8 @@ def eval_brdf(n, v, l, albedo, metallic, roughness):
     Vis = _g_smith(n_dot_v, n_dot_l, alpha)
     F = _f_schlick(v_dot_h, f0)
     specular = D * Vis * F
+    if spec_scale is not None:
+        specular = specular * spec_scale
     kd = (1.0 - F) * (1.0 - metallic[..., None])
     diffuse = kd * albedo / jnp.pi
     return (diffuse + specular) * n_dot_l
@@ -256,11 +264,33 @@ def apply_coat(base: jnp.ndarray, gb: GBuffer, n: jnp.ndarray,
     return base * (1.0 - Fc * w) + spec * n_dot_l * radiance * w
 
 
+def openpbr_terms(gb: GBuffer, v: jnp.ndarray, n: jnp.ndarray,
+                  energy: bool, fuzz: bool):
+    """Light-independent OpenPBR factors, computed ONCE per frame and
+    shared by every light pass: the Kulla-Conty specular compensation
+    (..., 3) and the fuzz layer's directional albedo (H, W). Each is a
+    fitted-polynomial FMA chain (ops/brdf_energy.py) — cheap, no gathers."""
+    from . import brdf_energy
+    ndv = jnp.maximum(jnp.sum(n * v, -1), 1e-4)
+    spec_comp = None
+    if energy:
+        f0 = 0.04 * (1.0 - gb.metallic[..., None]) \
+            + gb.albedo * gb.metallic[..., None]
+        spec_comp = brdf_energy.energy_compensation(f0, ndv, gb.roughness)
+    fuzz_e = None
+    if fuzz and gb.fuzz_weight is not None:
+        fuzz_e = gb.fuzz_weight * brdf_energy.sheen_energy(ndv, gb.fuzz_rough)
+    return spec_comp, fuzz_e
+
+
 def shade_one_light(gb: GBuffer, row: jnp.ndarray, v: jnp.ndarray,
                     n: jnp.ndarray, directional_only: bool = False,
-                    coat: bool = False) -> jnp.ndarray:
+                    coat: bool = False, spec_comp=None,
+                    fuzz_e=None) -> jnp.ndarray:
     """Full-screen contribution of ONE packed light row (H, W, 3).
-    Shared by the deferred loop and the shadowed-local-light pass."""
+    Shared by the deferred loop and the shadowed-local-light pass.
+    `spec_comp`/`fuzz_e` are the precomputed light-independent OpenPBR
+    factors from openpbr_terms()."""
     lpos, ltype = row[0:3], row[3]
     ldir, intensity = row[4:7], row[7]
     color, rng = row[8:11], row[11]
@@ -279,8 +309,17 @@ def shade_one_light(gb: GBuffer, row: jnp.ndarray, v: jnp.ndarray,
     spot = jnp.clip((cd - cos_out) / jnp.maximum(cos_in - cos_out, 1e-4), 0.0, 1.0)
     att = jnp.where(ltype == 2.0, att * spot * spot, att)
     radiance = color[None, None, :] * (intensity * att)
-    brdf = eval_brdf(n, v, l, gb.albedo, gb.metallic, gb.roughness)
+    brdf = eval_brdf(n, v, l, gb.albedo, gb.metallic, gb.roughness,
+                     spec_scale=spec_comp)
     out = brdf * radiance
+    if fuzz_e is not None:
+        # OpenPBR fuzz: Charlie-sheen lobe layered OVER the base, which is
+        # attenuated by the layer's directional albedo (energy conserving
+        # to within the LUT fit).
+        from . import brdf_energy
+        sheen = brdf_energy.eval_sheen(n, v, l, gb.fuzz_rough) \
+            * gb.fuzz_weight[..., None]
+        out = out * (1.0 - fuzz_e[..., None]) + sheen * radiance
     if coat and gb.coat_weight is not None:
         out = apply_coat(out, gb, n, v, l, radiance)
     if directional_only:
@@ -293,7 +332,8 @@ def shade_one_light(gb: GBuffer, row: jnp.ndarray, v: jnp.ndarray,
 def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
                    shadow_fn=None, ambient: float = 0.0,
                    max_lights: int = 0, directional_only: bool = False,
-                   coat: bool = False) -> jnp.ndarray:
+                   coat: bool = False, energy: bool = False,
+                   fuzz: bool = False) -> jnp.ndarray:
     """Full-screen deferred lighting -> HDR (H, W, 3).
 
     `shadow_fn(light_index, world_pos, normal) -> (H, W) visibility` is
@@ -305,10 +345,12 @@ def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
     v = view.cam_pos[None, None, :] - gb.world_pos
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
     n = gb.normal
+    spec_comp, fuzz_e = openpbr_terms(gb, v, n, energy, fuzz)
 
     def light_contrib(i):
         out = shade_one_light(gb, scene.lights[i], v, n,
-                              directional_only=directional_only, coat=coat)
+                              directional_only=directional_only, coat=coat,
+                              spec_comp=spec_comp, fuzz_e=fuzz_e)
         if shadow_fn is not None:
             vis = shadow_fn(i, gb.world_pos, n)
             out = out * vis[..., None]

@@ -139,6 +139,9 @@ class Renderer:
             max_shadow_cubes=self._count_shadow_points(),
             enable_coat=any(m.coat_weight > 0.0
                             for m in self.materials.materials),
+            enable_fuzz=any(m.fuzz_weight > 0.0
+                            for m in self.materials.materials),
+            enable_energy_comp=s.get("enableEnergyCompensation", False),
             enable_auto_exposure=s.get("enableAutoExposure"),
             enable_vsm=s.get("enableVSM"),
             enable_culling=s.get("enableFrustumCulling", True),

@@ -156,6 +156,11 @@ def make_default_settings() -> SettingsManager:
                            "N's transforms/snapshot run during frame N-1's "
                            "device work (reference: Renderer.cpp:597-741); "
                            "between-frame edits must use world.defer")
+    s.register("enableEnergyCompensation", False, structural=True,
+               description="Kulla-Conty GGX multi-scatter compensation via "
+                           "the fitted directional-albedo polynomial "
+                           "(ops/brdf_energy.py; reference: OpenPBR energy "
+                           "LUTs, ShaderBuffers.h:139-361)")
     s.register("enableBloom", True, structural=True)
     s.register("enableTAA", False, structural=True)
     s.register("enableOIT", False, structural=True)

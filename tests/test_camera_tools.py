@@ -36,7 +36,17 @@ def test_orbit_camera():
     assert np.isfinite(view).all() and np.isfinite(proj).all()
 
 
-def test_clod_cache_cli_info(capsys):
+def test_clod_cache_cli_info(capsys, tmp_path, monkeypatch):
+    from basicrenderer_tpu.models import clusters
     from basicrenderer_tpu.tools.clod_cache import main
+    # Hermetic: point the cache at a tmp dir with one artifact in it (the
+    # real on-disk cache may be empty on a fresh machine).
+    (tmp_path / "deadbeef.npz").write_bytes(b"x" * 1024)
+    monkeypatch.setattr(clusters, "CACHE_DIR", str(tmp_path))
     assert main(["info"]) == 0
-    assert "artifact" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "artifact" in out and "deadbeef" in out
+
+    monkeypatch.setattr(clusters, "CACHE_DIR", str(tmp_path / "missing"))
+    assert main(["info"]) == 0
+    assert "cache empty" in capsys.readouterr().out
