@@ -29,13 +29,18 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-# Table + fit resolution. 32x32 cells, 512 QMC samples each integrates in
-# ~10 ms on host; degree-5 tensor polynomial (36 coeffs) fits GGX albedo
-# to ~1e-2 max error which is far below visible threshold for a
-# compensation term that itself is a <30% correction.
+# Table + fit resolution. 32x32 cells, 16384 QMC samples each integrates in
+# ~1 s on host (once per process, lru-cached); tensor polynomials in
+# sqrt-warped coordinates (the albedo varies sharpest at grazing mu and
+# low roughness, and sqrt stretches exactly those corners) fit GGX to
+# <1e-2 and sheen to <1.5e-2 max error — far below visible threshold for
+# compensation terms that are themselves <30% corrections.
 _N = 32
-_SAMPLES = 512
-_DEG = 6            # coefficients per axis (degree 5)
+_SAMPLES = 16384
+_GGX_DEG = (8, 8)      # coefficients per (mu, r) axis
+_SHEEN_DEG = (12, 8)
+_SHEEN_A0 = 0.05       # sheen alpha domain [0.05, 1] (matches the
+                       # fuzz_rough clamp in shade.gbuffer_from_channels)
 
 
 def _hammersley(n: int) -> np.ndarray:
@@ -94,10 +99,18 @@ def ggx_albedo_table() -> np.ndarray:
     return np.clip(E, 1e-3, 1.0)
 
 
+def sheen_alpha_axis() -> np.ndarray:
+    """Sheen tables live on alpha in [_SHEEN_A0, 1] directly — fuzz_rough
+    is clamped to that range downstream, and tabulating the clamped-flat
+    region below 0.05 would poison the polynomial fit."""
+    return _SHEEN_A0 + (1.0 - _SHEEN_A0) * (np.arange(_N) + 0.5) / _N
+
+
 def sheen_albedo_table() -> np.ndarray:
-    """E_fuzz[mu, r]: Charlie sheen + Ashikhmin visibility directional
+    """E_fuzz[mu, alpha]: Charlie sheen + Ashikhmin visibility directional
     albedo, cosine-hemisphere sampled (estimator = pi * D * V)."""
-    mu, r = _axes()
+    mu, _ = _axes()
+    alpha = sheen_alpha_axis()
     xi = _hammersley(_SAMPLES)
     # Cosine-weighted hemisphere directions.
     cos_l = np.sqrt(1.0 - xi[:, 0])
@@ -105,7 +118,6 @@ def sheen_albedo_table() -> np.ndarray:
     phi = 2.0 * np.pi * xi[:, 1]
     lx, ly, lz = sin_l * np.cos(phi), sin_l * np.sin(phi), cos_l
     sin_v = np.sqrt(np.maximum(1.0 - mu ** 2, 0.0))
-    alpha = np.clip(r, 0.05, 1.0)
     E = np.zeros((_N, _N))
     for i, m in enumerate(mu):
         hx = lx + sin_v[i]
@@ -122,41 +134,65 @@ def sheen_albedo_table() -> np.ndarray:
     return np.clip(E, 0.0, 1.0)
 
 
-def _fit_poly2d(table: np.ndarray) -> np.ndarray:
-    """Least-squares tensor polynomial c[i,j] * mu^i * r^j -> (_DEG, _DEG)."""
-    mu, r = _axes()
-    MU, R = np.meshgrid(mu, r, indexing="ij")
-    basis = np.stack([(MU ** i * R ** j).reshape(-1)
-                      for i in range(_DEG) for j in range(_DEG)], axis=-1)
+def _fit_poly2d(table: np.ndarray, x: np.ndarray, y: np.ndarray,
+                deg: tuple) -> np.ndarray:
+    """Least-squares tensor CHEBYSHEV fit c[i,j] * T_i(2x-1) * T_j(2y-1)
+    over the warped grid axes x, y (each len _N) -> (deg[0], deg[1]).
+
+    Chebyshev, not monomial: at degree 12 a monomial LSQ fit has O(1e4)
+    coefficients whose float32 Horner evaluation cancels catastrophically
+    on device (~0.9 absolute error observed); Chebyshev coefficients stay
+    O(10) and the T_k recurrence is float32-stable."""
+    from numpy.polynomial import chebyshev as _cheb
+    X, Y = np.meshgrid(2.0 * x - 1.0, 2.0 * y - 1.0, indexing="ij")
+    basis = _cheb.chebvander2d(X.ravel(), Y.ravel(), [deg[0] - 1, deg[1] - 1])
     coeffs, *_ = np.linalg.lstsq(basis, table.reshape(-1), rcond=None)
-    return coeffs.reshape(_DEG, _DEG)
+    return coeffs.reshape(deg)
 
 
 @functools.lru_cache(maxsize=None)
 def _ggx_coeffs() -> tuple:
-    return tuple(map(tuple, _fit_poly2d(ggx_albedo_table())))
+    mu, r = _axes()
+    return tuple(map(tuple, _fit_poly2d(ggx_albedo_table(),
+                                        np.sqrt(mu), np.sqrt(r), _GGX_DEG)))
+
+
+def _sheen_warp_alpha(a):
+    """alpha in [_SHEEN_A0, 1] -> fit coordinate in [0, 1] (numpy or jnp)."""
+    return ((a - _SHEEN_A0) / (1.0 - _SHEEN_A0)) ** 0.5
 
 
 @functools.lru_cache(maxsize=None)
 def _sheen_coeffs() -> tuple:
-    return tuple(map(tuple, _fit_poly2d(sheen_albedo_table())))
+    mu, _ = _axes()
+    return tuple(map(tuple, _fit_poly2d(
+        sheen_albedo_table(), np.sqrt(mu),
+        _sheen_warp_alpha(sheen_alpha_axis()), _SHEEN_DEG)))
 
 
-def _eval_poly2d(coeffs, mu: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Horner in r inside Horner in mu — pure FMA chain, fully fuseable."""
-    acc = None
-    for row in reversed(coeffs):          # over mu powers
-        inner = None
-        for c in reversed(row):           # over r powers
-            inner = jnp.float32(c) if inner is None else inner * r + jnp.float32(c)
-        acc = inner if acc is None else acc * mu + inner
+def _eval_poly2d(coeffs, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Tensor-Chebyshev evaluation at warped coords x, y in [0, 1] via the
+    T_k recurrence — a pure FMA chain XLA fuses into the shading kernel."""
+    tx = 2.0 * x - 1.0
+    ty = 2.0 * y - 1.0
+    dm, dr = len(coeffs), len(coeffs[0])
+    t_y = [jnp.ones_like(ty), ty]
+    for _ in range(2, dr):
+        t_y.append(2.0 * ty * t_y[-1] - t_y[-2])
+    t_x = [jnp.ones_like(tx), tx]
+    for _ in range(2, dm):
+        t_x.append(2.0 * tx * t_x[-1] - t_x[-2])
+    acc = 0.0
+    for i in range(dm):
+        row = sum(jnp.float32(coeffs[i][j]) * t_y[j] for j in range(dr))
+        acc = acc + row * t_x[i]
     return acc
 
 
 def ggx_energy(n_dot_v: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
     """Fitted single-scatter GGX directional albedo E_ss in (0, 1]."""
-    mu = jnp.clip(n_dot_v, 1.0 / (2 * _N), 1.0)
-    r = jnp.clip(roughness, 0.0, 1.0)
+    mu = jnp.sqrt(jnp.clip(n_dot_v, 1.0 / (2 * _N), 1.0))
+    r = jnp.sqrt(jnp.clip(roughness, 0.0, 1.0))
     return jnp.clip(_eval_poly2d(_ggx_coeffs(), mu, r), 5e-2, 1.0)
 
 
@@ -170,9 +206,9 @@ def energy_compensation(f0: jnp.ndarray, n_dot_v: jnp.ndarray,
 
 def sheen_energy(n_dot_v: jnp.ndarray, fuzz_rough: jnp.ndarray) -> jnp.ndarray:
     """Fitted Charlie-sheen directional albedo (fuzz layer opacity)."""
-    mu = jnp.clip(n_dot_v, 1.0 / (2 * _N), 1.0)
-    r = jnp.clip(fuzz_rough, 0.0, 1.0)
-    return jnp.clip(_eval_poly2d(_sheen_coeffs(), mu, r), 0.0, 1.0)
+    mu = jnp.sqrt(jnp.clip(n_dot_v, 1.0 / (2 * _N), 1.0))
+    a = _sheen_warp_alpha(jnp.clip(fuzz_rough, _SHEEN_A0, 1.0))
+    return jnp.clip(_eval_poly2d(_sheen_coeffs(), mu, a), 0.0, 1.0)
 
 
 def d_charlie(n_dot_h: jnp.ndarray, fuzz_rough: jnp.ndarray) -> jnp.ndarray:

@@ -25,7 +25,7 @@ def test_ggx_fit_matches_table():
     assert table.max() <= 1.0 + 1e-6
     assert table[:, 0].min() > 0.95          # r -> 0: E -> 1
     # Rough grazing GGX loses energy (the thing compensation fixes).
-    assert table[2, -1] < 0.75
+    assert table[2, -1] < 0.85
 
 
 def test_energy_compensation_white_furnace():
@@ -43,10 +43,11 @@ def test_energy_compensation_white_furnace():
 
 
 def test_sheen_fit_and_range():
-    table = be.sheen_albedo_table()
-    MU, R = _grid()
+    table = be.sheen_albedo_table()        # rows mu, cols alpha in [.05, 1]
+    mu = (np.arange(32) + 0.5) / 32
+    MU, A = np.meshgrid(mu, be.sheen_alpha_axis(), indexing="ij")
     fit = np.asarray(be.sheen_energy(jnp.asarray(MU, jnp.float32),
-                                     jnp.asarray(R, jnp.float32)))
+                                     jnp.asarray(A, jnp.float32)))
     assert np.abs(fit - table).max() < 0.015
     assert table.min() >= 0.0 and table.max() <= 1.0
 
@@ -99,8 +100,16 @@ def test_energy_comp_brightens_rough_metal():
 
 def test_fuzz_adds_grazing_rim_and_conserves():
     gb = _gbuffer(metallic=0.0, roughness=0.6, fuzz_w=1.0, fuzz_r=0.4)
-    row = _dir_light_row()
-    # Grazing view: sheen should add a visible rim.
+    # Rim-light configuration: light AND view both grazing (velvet's
+    # signature highlight — the Charlie half-vector sits near the horizon
+    # so D_charlie is large while the attenuated base NoL is small).
+    row = np.zeros(16, np.float32)
+    row[3] = 0.0                               # directional
+    d = np.asarray([-0.95, -0.25, 0.0]); d /= np.linalg.norm(d)
+    row[4:7] = d
+    row[7] = 1.0
+    row[8:11] = 1.0
+    row = jnp.asarray(row)
     v = jnp.tile(jnp.asarray([0.98, 0.2, 0.0]), (4, 4, 1))
     v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
     base = shade_ops.shade_one_light(gb, row, v, gb.normal)
@@ -131,7 +140,7 @@ def test_frame_renders_with_openpbr_flags():
     from basicrenderer_tpu.scene.scene import Scene
 
     meshes, mats = MeshRegistry(), MaterialRegistry()
-    sphere = meshes.add(procedural.make_sphere(1.0, 12))
+    sphere = meshes.add(procedural.make_uv_sphere(1.0, 12, 18))
     velvet = mats.add(Material(
         base_color=np.asarray([0.6, 0.1, 0.1, 1], np.float32),
         metallic=1.0, roughness=0.8, fuzz_weight=0.8, fuzz_roughness=0.4))
