@@ -58,6 +58,18 @@ class Environment:
         return Environment(sh.astype(np.float32), spec.astype(np.float32), name)
 
     @staticmethod
+    def from_hdr(path: str, cubemap_res: int = 128,
+                 use_cache: bool = True) -> "Environment":
+        """Load a Radiance .hdr equirect panorama (reference: TextureFactory
+        HDR path feeding EnvironmentManager) and precompute SH + prefilter."""
+        from .texprocess import load_hdr
+        with open(path, "rb") as f:
+            img = load_hdr(f.read())
+        return Environment.precompute(img, name=os.path.basename(path),
+                                      cubemap_res=cubemap_res,
+                                      use_cache=use_cache)
+
+    @staticmethod
     def procedural(intensity: float = 1.0, sun_dir=(-0.45, -1.0, -0.3),
                    res: int = 128) -> "Environment":
         cube = np.asarray(ibl.make_procedural_environment(res, intensity, sun_dir))

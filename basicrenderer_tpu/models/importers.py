@@ -99,55 +99,51 @@ class _GltfReader:
         return np.array(a)
 
 
-def _decode_image(gltf: dict, rd: "_GltfReader", base_dir: str,
-                  img_idx: int) -> Optional[np.ndarray]:
-    """Decode gltf images[img_idx] (PNG/JPEG) -> (H, W, 3|4) uint8."""
+def _image_bytes(gltf: dict, rd: "_GltfReader", base_dir: str,
+                 img_idx: int) -> Optional[bytes]:
+    """Raw encoded bytes of gltf images[img_idx] (PNG/JPEG/DDS/HDR)."""
     img = gltf["images"][img_idx]
     uri = img.get("uri")
     if uri is not None:
         if uri.startswith("data:"):
-            data = base64.b64decode(uri.split(",", 1)[1])
-        else:
-            from urllib.parse import unquote
-            with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
-                data = f.read()
-    elif "bufferView" in img:
+            return base64.b64decode(uri.split(",", 1)[1])
+        from urllib.parse import unquote
+        with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+            return f.read()
+    if "bufferView" in img:
         view = gltf["bufferViews"][img["bufferView"]]
         off = view.get("byteOffset", 0)
-        data = rd.buffers[view["buffer"]][off:off + view["byteLength"]]
-    else:
-        return None
-    try:
-        from io import BytesIO
-        from PIL import Image
-        with Image.open(BytesIO(data)) as im:
-            return np.asarray(im.convert("RGBA"))
-    except Exception:
-        return None
+        return rd.buffers[view["buffer"]][off:off + view["byteLength"]]
+    return None
 
 
 class _TextureImporter:
     """glTF texture index -> TextureRegistry id, decoded lazily and cached
-    per (texture, colorspace) since a registry layer bakes its encoding."""
+    per (texture, colorspace, masked) since a registry layer bakes its
+    encoding and mip policy. Decode/resize rides texprocess (DDS + HDR
+    support, processed-texture disk cache when the registry carries one)."""
 
     def __init__(self, gltf, rd, base_dir, registry):
         self.gltf, self.rd, self.base_dir = gltf, rd, base_dir
         self.registry = registry
-        self.cache: Dict[Tuple[int, bool], int] = {}
+        self.cache: Dict[Tuple[int, bool, bool], int] = {}
 
-    def get(self, tex_idx: int, srgb: bool) -> int:
+    def get(self, tex_idx: int, srgb: bool,
+            alpha_cutoff: float = -1.0) -> int:
         if tex_idx < 0 or self.registry is None:
             return -1
-        key = (tex_idx, srgb)
+        key = (tex_idx, srgb, alpha_cutoff >= 0.0)
         if key not in self.cache:
+            from .texprocess import process_for_registry
             tex = self.gltf.get("textures", [])[tex_idx]
             src = tex.get("source", -1)
-            if src < 0:
-                self.cache[key] = -1
-            else:
-                img = _decode_image(self.gltf, self.rd, self.base_dir, src)
-                self.cache[key] = (self.registry.add(img, srgb=srgb)
-                                   if img is not None else -1)
+            data = None if src < 0 else _image_bytes(
+                self.gltf, self.rd, self.base_dir, src)
+            img = None if data is None else process_for_registry(
+                data, srgb, self.registry.resolution,
+                cache=self.registry.processed_cache)
+            self.cache[key] = -1 if img is None else self.registry.add(
+                img, srgb=srgb, alpha_cutoff=alpha_cutoff)
         return self.cache[key]
 
 
@@ -174,6 +170,8 @@ def load_gltf(path: str, scene: Scene, meshes: MeshRegistry,
     for m in gltf.get("materials", []):
         pbr = m.get("pbrMetallicRoughness", {})
         base = np.asarray(pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32)
+        mask_cutoff = (m.get("alphaCutoff", 0.5)
+                       if m.get("alphaMode") == "MASK" else -1.0)
         mat = Material(
             name=m.get("name", ""),
             base_color=base,
@@ -183,10 +181,10 @@ def load_gltf(path: str, scene: Scene, meshes: MeshRegistry,
             normal_scale=float(m.get("normalTexture", {}).get("scale", 1.0)),
             double_sided=bool(m.get("doubleSided", False)),
             alpha_blend=m.get("alphaMode") == "BLEND",
-            alpha_cutoff=(m.get("alphaCutoff", 0.5)
-                          if m.get("alphaMode") == "MASK" else -1.0),
+            alpha_cutoff=mask_cutoff,
             base_color_texture=tex_import.get(
-                pbr.get("baseColorTexture", {}).get("index", -1), True),
+                pbr.get("baseColorTexture", {}).get("index", -1), True,
+                alpha_cutoff=mask_cutoff),
             normal_texture=tex_import.get(
                 m.get("normalTexture", {}).get("index", -1), False),
             metallic_roughness_texture=tex_import.get(

@@ -29,15 +29,22 @@ FLAG_SRGB = 1
 
 
 class TextureRegistry:
-    def __init__(self, resolution: int = 256):
+    def __init__(self, resolution: int = 256, processed_cache=None):
         self.resolution = resolution
         self.images: List[np.ndarray] = []   # (R, R, 4) f32 LINEAR
         self.srgb: List[bool] = []           # stored-encoding flag per layer
+        self.alpha_cutoffs: List[float] = []  # >=0: MASK coverage-fix mips
+        # Optional texprocess.ProcessedTextureCache the importers route
+        # image bytes through (decode+resize+BC skip on hit).
+        self.processed_cache = processed_cache
 
-    def add(self, image: np.ndarray, srgb: bool = True) -> int:
+    def add(self, image: np.ndarray, srgb: bool = True,
+            alpha_cutoff: float = -1.0) -> int:
         """Register an (H, W, 3|4) uint8/float image; returns texture id.
         `srgb=True` marks color data (decoded to linear here, re-encoded
-        sRGB8 in the atlas); False marks data textures (normals, ORM)."""
+        sRGB8 in the atlas); False marks data textures (normals, ORM).
+        `alpha_cutoff >= 0` marks an alpha-MASK layer whose mip chain gets
+        coverage-preserving alpha scaling (texprocess)."""
         img = np.asarray(image)
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
@@ -51,7 +58,21 @@ class TextureRegistry:
             img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
         self.images.append(_resize(img, self.resolution))
         self.srgb.append(bool(srgb))
+        self.alpha_cutoffs.append(float(alpha_cutoff))
         return len(self.images) - 1
+
+    def _downsample(self, level: np.ndarray, sz: int, layer: int
+                    ) -> np.ndarray:
+        """Half-res box filter + alpha-coverage fix for MASK layers."""
+        out = level.reshape(sz // 2, 2, sz // 2, 2, 4).mean((1, 3))
+        cutoff = self.alpha_cutoffs[layer]
+        if cutoff >= 0.0:
+            from .texprocess import alpha_coverage_scale
+            ref = float(np.mean(self.images[layer][..., 3] > cutoff))
+            s = alpha_coverage_scale(out[..., 3], cutoff, ref)
+            out = out.copy()
+            out[..., 3] = np.minimum(out[..., 3] * s, 1.0)
+        return out
 
     def checkerboard(self, a=(0.9, 0.9, 0.9), b=(0.2, 0.2, 0.2),
                      squares: int = 8) -> int:
@@ -81,7 +102,7 @@ class TextureRegistry:
                 pyr[i, off:off + sz * sz] = _pack_rgba8(
                     level, self.srgb[i]).reshape(-1)
                 if sz > sizes[-1]:         # box-filter down (in linear space)
-                    level = level.reshape(sz // 2, 2, sz // 2, 2, 4).mean((1, 3))
+                    level = self._downsample(level, sz, i)
         return pyr, flags
 
     def strip_pyramid(self, capacity: Optional[int] = None
@@ -117,7 +138,7 @@ class TextureRegistry:
                         sl = rows[:, ph * 64: ph * 64 + 128]
                         strips[base + ph * sz: base + (ph + 1) * sz] = sl
                 if sz > sizes[-1]:
-                    level = level.reshape(sz // 2, 2, sz // 2, 2, 4).mean((1, 3))
+                    level = self._downsample(level, sz, i)
         return strips, flags
 
     def __len__(self):

@@ -45,7 +45,9 @@ class Renderer:
         from .models.textures import TextureRegistry
         from .utils.telemetry import FrameTelemetry
         self.skeletons = SkeletonRegistry()
-        self.textures = TextureRegistry()
+        from .models.texprocess import ProcessedTextureCache
+        self.textures = TextureRegistry(processed_cache=ProcessedTextureCache(
+            os.path.expanduser("~/.cache/basicrenderer_tpu/textures")))
         self.telemetry = FrameTelemetry()
         self._time = 0.0
         self.caps = caps or BridgeCapacities()
