@@ -127,6 +127,31 @@ class _TextureImporter:
         self.gltf, self.rd, self.base_dir = gltf, rd, base_dir
         self.registry = registry
         self.cache: Dict[Tuple[int, bool, bool], int] = {}
+        self._futures: Dict[Tuple[int, bool], object] = {}
+
+    def _decode(self, tex_idx: int, srgb: bool):
+        from .texprocess import process_for_registry
+        tex = self.gltf.get("textures", [])[tex_idx]
+        src = tex.get("source", -1)
+        data = None if src < 0 else _image_bytes(
+            self.gltf, self.rd, self.base_dir, src)
+        return None if data is None else process_for_registry(
+            data, srgb, self.registry.resolution,
+            cache=self.registry.processed_cache)
+
+    def prefetch(self, usages) -> None:
+        """Fan decode+resize+BC of every referenced image out onto the
+        shared task pool (reference: TaskSchedulerManager import workers);
+        registry ids still assign in deterministic material order in
+        get()."""
+        if self.registry is None:
+            return
+        from ..utils.taskpool import shared_pool
+        for tex_idx, srgb in usages:
+            fkey = (tex_idx, srgb)
+            if tex_idx >= 0 and fkey not in self._futures:
+                self._futures[fkey] = shared_pool().submit(
+                    self._decode, tex_idx, srgb)
 
     def get(self, tex_idx: int, srgb: bool,
             alpha_cutoff: float = -1.0) -> int:
@@ -134,14 +159,9 @@ class _TextureImporter:
             return -1
         key = (tex_idx, srgb, alpha_cutoff >= 0.0)
         if key not in self.cache:
-            from .texprocess import process_for_registry
-            tex = self.gltf.get("textures", [])[tex_idx]
-            src = tex.get("source", -1)
-            data = None if src < 0 else _image_bytes(
-                self.gltf, self.rd, self.base_dir, src)
-            img = None if data is None else process_for_registry(
-                data, srgb, self.registry.resolution,
-                cache=self.registry.processed_cache)
+            fut = self._futures.get((tex_idx, srgb))
+            img = fut.result() if fut is not None else self._decode(
+                tex_idx, srgb)
             self.cache[key] = -1 if img is None else self.registry.add(
                 img, srgb=srgb, alpha_cutoff=alpha_cutoff)
         return self.cache[key]
@@ -165,7 +185,16 @@ def load_gltf(path: str, scene: Scene, meshes: MeshRegistry,
     rd = _GltfReader(gltf, base_dir, glb_bin)
     tex_import = _TextureImporter(gltf, rd, base_dir, textures)
 
-    # Materials.
+    # Materials. Decode all referenced images concurrently first.
+    usages = []
+    for m in gltf.get("materials", []):
+        pbr = m.get("pbrMetallicRoughness", {})
+        usages += [
+            (pbr.get("baseColorTexture", {}).get("index", -1), True),
+            (m.get("normalTexture", {}).get("index", -1), False),
+            (pbr.get("metallicRoughnessTexture", {}).get("index", -1), False),
+            (m.get("emissiveTexture", {}).get("index", -1), True)]
+    tex_import.prefetch(usages)
     mat_ids = []
     for m in gltf.get("materials", []):
         pbr = m.get("pbrMetallicRoughness", {})

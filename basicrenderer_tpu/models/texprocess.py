@@ -363,10 +363,12 @@ class ProcessedTextureCache:
     form before registering."""
 
     def __init__(self, root: str):
+        import threading
         self.root = root
         os.makedirs(root, exist_ok=True)
         self.hits = 0
         self.misses = 0
+        self._stat_lock = threading.Lock()  # decodes run on the task pool
 
     @staticmethod
     def key(data: bytes, srgb: bool, resolution: int) -> str:
@@ -383,10 +385,12 @@ class ProcessedTextureCache:
         """-> (R, R, 4) uint8 (sRGB-encoded for color layers) or None."""
         p = self._path(key)
         if not os.path.exists(p):
-            self.misses += 1
+            with self._stat_lock:
+                self.misses += 1
             return None
         with np.load(p) as z:
-            self.hits += 1
+            with self._stat_lock:
+                self.hits += 1
             if "bc3" in z:
                 r = int(z["res"])
                 return bc3_decode(z["bc3"], r, r)

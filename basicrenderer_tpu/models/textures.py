@@ -84,26 +84,43 @@ class TextureRegistry:
         return self.add(np.concatenate([img, np.ones((r, r, 1), np.float32)], -1),
                         srgb=False)
 
+    def _layer_chain(self, i: int, sizes, offsets, S: int) -> np.ndarray:
+        """One layer's flat packed mip chain (S,) uint32."""
+        out = np.full((S,), 0xFFFFFFFF, np.uint32)
+        level = self.images[i]
+        for sz, off in zip(sizes, offsets):
+            out[off:off + sz * sz] = _pack_rgba8(
+                level, self.srgb[i]).reshape(-1)
+            if sz > sizes[-1]:             # box-filter down (in linear space)
+                level = self._downsample(level, sz, i)
+        return out
+
     def pyramid(self, capacity: Optional[int] = None
                 ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (pyramid (N, S) uint32, flags (N,) int32). S is the flat
         per-layer mip chain length (ops/textures.mip_layout). Missing layers
-        are opaque white."""
+        are opaque white. Layers build in parallel on the shared task pool
+        (reference: TaskSchedulerManager import workers)."""
         n = capacity or max(len(self.images), 1)
-        r = self.resolution
-        sizes, offsets = mip_layout(r)
-        S = layer_words(r)
+        sizes, offsets = mip_layout(self.resolution)
+        S = layer_words(self.resolution)
         pyr = np.full((n, S), 0xFFFFFFFF, np.uint32)
         flags = np.zeros((n,), np.int32)
-        for i, img in enumerate(self.images[:n]):
+        live = range(min(len(self.images), n))
+        chains = self._map_layers(
+            lambda i: self._layer_chain(i, sizes, offsets, S), live)
+        for i, chain in zip(live, chains):
             flags[i] = FLAG_SRGB if self.srgb[i] else 0
-            level = img
-            for sz, off in zip(sizes, offsets):
-                pyr[i, off:off + sz * sz] = _pack_rgba8(
-                    level, self.srgb[i]).reshape(-1)
-                if sz > sizes[-1]:         # box-filter down (in linear space)
-                    level = self._downsample(level, sz, i)
+            pyr[i] = chain
         return pyr, flags
+
+    @staticmethod
+    def _map_layers(fn, layers) -> list:
+        layers = list(layers)
+        if len(layers) < 4:                # pool overhead not worth it
+            return [fn(i) for i in layers]
+        from ..utils.taskpool import shared_pool
+        return shared_pool().map(fn, layers)
 
     def strip_pyramid(self, capacity: Optional[int] = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
@@ -120,25 +137,31 @@ class TextureRegistry:
         row_of_mip, rows_per_layer = strip_layout(r)
         strips = np.full((n * rows_per_layer, 128), 0xFFFFFFFF, np.uint32)
         flags = np.zeros((n,), np.int32)
-        for i, img in enumerate(self.images[:n]):
-            flags[i] = FLAG_SRGB if self.srgb[i] else 0
-            level = img
+
+        def one_layer(i: int) -> np.ndarray:
+            out = np.full((rows_per_layer, 128), 0xFFFFFFFF, np.uint32)
+            level = self.images[i]
             for m, sz in enumerate(sizes):
                 packed = _pack_rgba8(level, self.srgb[i])   # (sz, sz)
-                base = i * rows_per_layer + row_of_mip[m]
+                base = row_of_mip[m]
                 if sz <= 128:
                     # Whole row fits one strip; tile x to fill 128 (wrap
                     # addressing comes free for REPEAT sampling).
                     reps = 128 // sz
-                    strips[base:base + sz] = np.tile(packed, (1, reps))
+                    out[base:base + sz] = np.tile(packed, (1, reps))
                 else:
                     nph = sz // 64 - 1   # phases 0,64,...,sz-128
-                    rows = packed  # (sz, sz)
                     for ph in range(nph):
-                        sl = rows[:, ph * 64: ph * 64 + 128]
-                        strips[base + ph * sz: base + (ph + 1) * sz] = sl
+                        sl = packed[:, ph * 64: ph * 64 + 128]
+                        out[base + ph * sz: base + (ph + 1) * sz] = sl
                 if sz > sizes[-1]:
                     level = self._downsample(level, sz, i)
+            return out
+
+        live = range(min(len(self.images), n))
+        for i, rows in zip(live, self._map_layers(one_layer, live)):
+            flags[i] = FLAG_SRGB if self.srgb[i] else 0
+            strips[i * rows_per_layer:(i + 1) * rows_per_layer] = rows
         return strips, flags
 
     def __len__(self):
