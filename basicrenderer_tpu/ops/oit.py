@@ -76,13 +76,35 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         # phantom extra layer (z a few ulps below the real one).
         peel_bound = jnp.where(v > 0, d * (1.0 - 1e-4), 0.0)
 
+    # Shade the K exact layers first (their alphas also feed the adaptive
+    # tail estimate below).
+    shaded = []
+    alpha_sum = jnp.zeros((H, W), jnp.float32)
+    alpha_cnt = jnp.zeros((H, W), jnp.float32)
+    for d, v, ch in layers:
+        gb = shade_ops.gbuffer_from_channels(
+            ch[:, :H, :W], d[:H, :W], v[:H, :W], view, scene.material_table,
+            config.width, config.height, row0=row0_px)
+        col = shade_ops.shade_deferred(gb, scene, view)
+        a = jnp.clip(gb.alpha, 0.0, 1.0)
+        covered = v[:H, :W] > 0
+        shaded.append((col, a[..., None], covered[..., None]))
+        alpha_sum = alpha_sum + jnp.where(covered, a, 0.0)
+        alpha_cnt = alpha_cnt + covered.astype(jnp.float32)
+
     # Beyond-K fragment accounting (reference: the AVBOIT tier's role —
     # CLodCommon.h:82-86 — bounded-memory handling of deep transparency).
     # One count-only pass tallies fragments farther than the K-th layer;
     # those pixels (a) surface in the `oit_overflow` counter and (b) get an
-    # estimated extra transmittance (1 - alpha_est)^count applied to the
-    # background, so deep glass stacks darken plausibly instead of the
-    # overflow being silently dropped.
+    # ADAPTIVE extra transmittance (1 - a_est)^count applied to the
+    # background, where a_est is that pixel's mean alpha over its K exact
+    # layers (AVBOIT's adaptive-transmittance idea in bounded form: the
+    # visibility curve's tail is extrapolated from the exactly-resolved
+    # head rather than a global constant), so deep glass stacks darken
+    # with the right per-material strength instead of the overflow being
+    # silently dropped. Pixels with no resolved layer (can't happen when
+    # count > 0 unless the head peeled to MASK holes) fall back to the
+    # configured constant.
     overflow = jnp.int32(0)
     if config.oit_overflow_probe:
         if lcfg.use_pallas_raster:
@@ -98,16 +120,13 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
             count = cnt.astype(jnp.float32)
         count = count[:H, :W]
         overflow = jnp.sum(count > 0.5).astype(jnp.int32)
-        hdr = hdr * (1.0 - config.oit_overflow_alpha) ** count[..., None]
+        a_est = jnp.where(alpha_cnt > 0.0,
+                          alpha_sum / jnp.maximum(alpha_cnt, 1.0),
+                          config.oit_overflow_alpha)
+        hdr = hdr * (1.0 - a_est[..., None]) ** count[..., None]
 
     # Composite back-to-front (farthest layer first).
     out = hdr
-    for d, v, ch in reversed(layers):
-        gb = shade_ops.gbuffer_from_channels(
-            ch[:, :H, :W], d[:H, :W], v[:H, :W], view, scene.material_table,
-            config.width, config.height, row0=row0_px)
-        col = shade_ops.shade_deferred(gb, scene, view)
-        a = jnp.clip(gb.alpha, 0.0, 1.0)[..., None]
-        covered = (v[:H, :W] > 0)[..., None]
+    for col, a, covered in reversed(shaded):
         out = jnp.where(covered, col * a + out * (1.0 - a), out)
     return out, overflow

@@ -73,7 +73,7 @@ def test_oit_blends_two_layers():
     assert center2[2] > center2[0] * 2
 
 
-def _glass_stack(n_layers):
+def _glass_stack(n_layers, alpha=0.4):
     """n parallel glass quads in front of a white floor."""
     meshes = MeshRegistry()
     mats = MaterialRegistry()
@@ -81,7 +81,7 @@ def _glass_stack(n_layers):
     white = mats.add(Material(base_color=np.array([1, 1, 1, 1], np.float32),
                               roughness=1.0))
     glass = mats.add(Material(
-        base_color=np.array([0.2, 0.9, 0.3, 0.4], np.float32),
+        base_color=np.array([0.2, 0.9, 0.3, alpha], np.float32),
         alpha_blend=True, roughness=0.5))
     sc = Scene()
     import basicrenderer_tpu.utils.math3d as m3
@@ -129,3 +129,37 @@ def test_oit_overflow_observable_and_attenuated():
     out4 = jax.jit(build_frame_fn(cfg))(buffers4, make_view(v4, p4, pos4),
                                         FrameParams.default())
     assert int(out4["oit_overflow"]) == 0
+
+
+def test_oit_tail_transmittance_adapts_to_material_alpha():
+    """The beyond-K tail uses the pixel's OWN layer alphas (AVBOIT-style
+    adaptive transmittance), not a global constant: a deep stack of thin
+    (alpha 0.15) glass keeps most of the background, a deep stack of dense
+    (alpha 0.8) glass removes almost all of it. A fixed 0.5 estimate would
+    darken both by (1-0.5)^4 = 6% retention."""
+    import dataclasses
+    cfg = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                      max_pairs=1 << 11, use_pallas_raster=False,
+                      enable_clod=True, max_visible_clusters=64,
+                      enable_oit=True, oit_layers=4, oit_clusters=64)
+    cfg_np = dataclasses.replace(cfg, oit_overflow_probe=False)
+    retention = {}
+    for alpha in (0.15, 0.8):
+        sc, bridge = _glass_stack(8, alpha=alpha)
+        buffers = bridge.build_scene_buffers()
+        view, proj, pos = sc.camera_matrices(aspect=1.0)
+        vd = make_view(view, proj, pos)
+        on = np.asarray(jax.jit(build_frame_fn(cfg))(
+            buffers, vd, FrameParams.default())["hdr"])[64, 64]
+        off = np.asarray(jax.jit(build_frame_fn(cfg_np))(
+            buffers, vd, FrameParams.default())["hdr"])[64, 64]
+        retention[alpha] = float(on.mean() / max(off.mean(), 1e-6))
+    # Thin glass tail: (1-0.15)^4 = 52% of the background survives the
+    # unresolved layers — far above the fixed-constant 6%, so the pixel
+    # keeps well over a third of its probe-off value (it would sit much
+    # lower under the old constant estimate) while still darkening.
+    assert 0.35 < retention[0.15] < 0.995, retention
+    # Dense glass: the 4 exact layers transmit only 0.2^4 of the
+    # background, so the tail barely changes the pixel — must stay ~1,
+    # NOT get over-darkened by a constant estimate.
+    assert retention[0.8] > 0.9, retention
