@@ -157,7 +157,9 @@ class _TextureImporter:
             alpha_cutoff: float = -1.0) -> int:
         if tex_idx < 0 or self.registry is None:
             return -1
-        key = (tex_idx, srgb, alpha_cutoff >= 0.0)
+        # Key on the actual cutoff: two MASK materials sharing a texture
+        # with different alphaCutoff need distinct coverage-preserving mips.
+        key = (tex_idx, srgb, alpha_cutoff)
         if key not in self.cache:
             fut = self._futures.get((tex_idx, srgb))
             img = fut.result() if fut is not None else self._decode(

@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 import struct
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -237,17 +238,21 @@ def load_dds(data: bytes) -> np.ndarray:
     if pf_flags & _DDPF_FOURCC:
         if fourcc == b"DX10":
             raise ValueError("DX10 extended DDS not supported")
-        nblocks = (h // 4) * (w // 4)
+        # DXT block counts round UP; non-multiple-of-4 dims are legal in
+        # third-party files — decode the padded extent, crop to (h, w).
+        bh, bw = -(-h // 4), -(-w // 4)
+        nblocks = bh * bw
+        hp, wp = bh * 4, bw * 4
         if fourcc == b"DXT1":
             blocks = np.frombuffer(body[:nblocks * 8],
                                    np.uint8).reshape(-1, 8)
-            rgb = bc1_decode(blocks, h, w)
+            rgb = bc1_decode(blocks, hp, wp)[:h, :w]
             return np.concatenate(
                 [rgb, np.full((h, w, 1), 255, np.uint8)], -1)
         if fourcc in (b"DXT4", b"DXT5"):
             blocks = np.frombuffer(body[:nblocks * 16],
                                    np.uint8).reshape(-1, 16)
-            return bc3_decode(blocks, h, w)
+            return np.ascontiguousarray(bc3_decode(blocks, hp, wp)[:h, :w])
         raise ValueError(f"unsupported DDS fourCC {fourcc!r}")
     bitcount, rmask = struct.unpack("<II", data[88:96])
     if bitcount != 32:
@@ -268,8 +273,10 @@ def save_hdr(path: str, img: np.ndarray) -> None:
     h, w = img.shape[:2]
     rgb = np.maximum(np.asarray(img, np.float32), 0.0)
     maxc = rgb.max(-1).astype(np.float64)
-    exp = np.where(maxc > 1e-32, np.ceil(np.log2(np.maximum(maxc, 1e-32))),
-                   -128.0)
+    # frexp puts the mantissa of the dominant channel in [128, 256) like
+    # canonical float2rgbe (ceil(log2) clipped exact powers of two to 255).
+    _, exp = np.frexp(np.maximum(maxc, 1e-32))
+    exp = np.where(maxc > 1e-32, exp.astype(np.float64), -128.0)
     scale = np.where(maxc > 1e-32, np.exp2(-exp) * 256.0, 0.0)
     # mantissa in [0,256); clip 255 (v = m * 2^(e-136) on decode)
     rgbe = np.zeros((h, w, 4), np.uint8)
@@ -363,7 +370,6 @@ class ProcessedTextureCache:
     form before registering."""
 
     def __init__(self, root: str):
-        import threading
         self.root = root
         os.makedirs(root, exist_ok=True)
         self.hits = 0
@@ -382,30 +388,51 @@ class ProcessedTextureCache:
         return os.path.join(self.root, key + ".npz")
 
     def load(self, key: str) -> Optional[np.ndarray]:
-        """-> (R, R, 4) uint8 (sRGB-encoded for color layers) or None."""
+        """-> (R, R, 4) uint8 (sRGB-encoded for color layers) or None.
+        A corrupt/truncated entry is treated as a miss (and will be
+        overwritten by the next store)."""
         p = self._path(key)
         if not os.path.exists(p):
             with self._stat_lock:
                 self.misses += 1
             return None
-        with np.load(p) as z:
+        try:
+            with np.load(p) as z:
+                if "bc3" in z:
+                    r = int(z["res"])
+                    out = bc3_decode(z["bc3"], r, r)
+                else:
+                    out = z["raw"]
+        except Exception:
             with self._stat_lock:
-                self.hits += 1
-            if "bc3" in z:
-                r = int(z["res"])
-                return bc3_decode(z["bc3"], r, r)
-            return z["raw"]
+                self.misses += 1
+            return None
+        with self._stat_lock:
+            self.hits += 1
+        return out
 
     def store(self, key: str, img_u8: np.ndarray, srgb: bool) -> np.ndarray:
         """Store an (R, R, 4) uint8 processed image; returns the image as
-        the cache will reproduce it (BC-round-tripped for color)."""
+        the cache will reproduce it (BC-round-tripped for color).
+        Writes go to a temp file in the same dir + os.replace so concurrent
+        workers / a crash mid-write can never leave a truncated entry."""
         p = self._path(key)
         r = img_u8.shape[0]
+        tmp = f"{p}.tmp.{os.getpid()}.{threading.get_ident()}"
+        try:
+            if srgb:
+                blocks = bc3_encode(img_u8)
+                np.savez(tmp, bc3=blocks, res=np.int32(r))
+            else:
+                np.savez(tmp, raw=img_u8)
+            # np.savez appends .npz when the name lacks it.
+            os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", p)
+        except OSError:
+            for cand in (tmp, tmp + ".npz"):
+                if os.path.exists(cand):
+                    os.remove(cand)
         if srgb:
-            blocks = bc3_encode(img_u8)
-            np.savez(p, bc3=blocks, res=np.int32(r))
             return bc3_decode(blocks, r, r)
-        np.savez(p, raw=img_u8)
         return img_u8
 
 

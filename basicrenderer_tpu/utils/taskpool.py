@@ -95,12 +95,13 @@ class TaskPool:
                     return
                 _p, _t, fn, args, kwargs, fut, group = heapq.heappop(
                     self._heap)
-            if not fut.set_running_or_notify_cancel():
-                continue
-            try:
-                fut.set_result(fn(*args, **kwargs))
-            except BaseException as e:          # delivered via future
-                fut.set_exception(e)
+            # Bookkeeping must run even when the future was cancelled while
+            # queued, or wait_group() on its group would block forever.
+            if fut.set_running_or_notify_cancel():
+                try:
+                    fut.set_result(fn(*args, **kwargs))
+                except BaseException as e:      # delivered via future
+                    fut.set_exception(e)
             with self._lock:
                 self.completed += 1
                 if group is not None:

@@ -91,3 +91,20 @@ def test_parallel_strip_pyramid_matches_serial():
     np.testing.assert_array_equal(par_s, ser_s)
     np.testing.assert_array_equal(par_f, ser_f)
     np.testing.assert_array_equal(par_p, ser_p)
+
+
+def test_cancelled_future_still_releases_group():
+    """A queued task cancelled before it runs must still decrement its
+    group's outstanding count, or wait_group blocks forever."""
+    import threading
+    from basicrenderer_tpu.utils.taskpool import TaskPool
+    pool = TaskPool(workers=1, name="t-cancel")
+    try:
+        gate = threading.Event()
+        pool.submit(gate.wait, group="g")          # occupies the worker
+        fut = pool.submit(lambda: 1, group="g")    # queued
+        assert fut.cancel()
+        gate.set()
+        assert pool.wait_group("g", timeout=10.0)
+    finally:
+        pool.shutdown()

@@ -213,3 +213,48 @@ def test_gltf_imports_dds_texture(tmp_path):
     assert reg.alpha_cutoffs[0] == pytest.approx(0.4)
     m = mats.materials[-1]
     assert m.base_color_texture == 0 and m.alpha_cutoff == pytest.approx(0.4)
+
+
+def test_hdr_power_of_two_exact(tmp_path):
+    """Exact powers of two must round-trip exactly (frexp exponent keeps
+    the dominant mantissa in [128, 256); the old ceil(log2) form clipped
+    mantissa 256 -> 255, a systematic ~0.4% darkening)."""
+    img = np.zeros((2, 4, 3), np.float32)
+    img[..., 0] = [[1.0, 2.0, 0.5, 4.0], [8.0, 0.25, 1.0, 16.0]]
+    p = str(tmp_path / "pow2.hdr")
+    tp.save_hdr(p, img)
+    with open(p, "rb") as f:
+        back = tp.load_hdr(f.read())
+    np.testing.assert_allclose(back[..., 0], img[..., 0], rtol=1e-7)
+
+
+def test_dds_non_multiple_of_4(tmp_path):
+    """Third-party DDS files with non-multiple-of-4 dims decode via ceil
+    block counts + crop instead of crashing."""
+    img = _gradient_rgba(24, 40)
+    p = str(tmp_path / "full.dds")
+    tp.save_dds(p, img, fourcc="DXT5")
+    with open(p, "rb") as f:
+        data = bytearray(f.read())
+    # Patch header dims down to 22x38 (blocks still cover 24x40).
+    import struct
+    data[12:20] = struct.pack("<II", 22, 38)
+    out = tp.load_dds(bytes(data))
+    assert out.shape == (22, 38, 4)
+    ref = tp.load_dds(open(p, "rb").read())[:22, :38]
+    assert np.array_equal(out, ref)
+
+
+def test_processed_cache_corrupt_entry(tmp_path):
+    """A truncated cache file is a miss, then gets overwritten."""
+    c = tp.ProcessedTextureCache(str(tmp_path))
+    img = _gradient_rgba(16, 16)
+    key = c.key(b"fake-bytes", True, 16)
+    stored = c.store(key, img, srgb=True)
+    # Corrupt the file.
+    with open(c._path(key), "wb") as f:
+        f.write(b"PK\x03\x04 truncated")
+    assert c.load(key) is None
+    again = c.store(key, img, srgb=True)
+    assert np.array_equal(c.load(key), again) and np.array_equal(
+        again, stored)
