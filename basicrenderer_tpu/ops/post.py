@@ -162,33 +162,119 @@ def linearize_depth(depth: jnp.ndarray, near: jnp.ndarray) -> jnp.ndarray:
 
 def gtao(depth: jnp.ndarray, normal: jnp.ndarray, view: "ViewData",
          near, radius, intensity, frame_index,
-         num_dirs: int = 4, num_steps: int = 3) -> jnp.ndarray:
-    """(H, W) ambient occlusion in [0, 1] (1 = unoccluded).
+         num_dirs: int = 2, num_steps: int = 3,
+         pad: int = 96) -> jnp.ndarray:
+    """(H, W) ground-truth ambient occlusion in [0, 1] (1 = unoccluded).
 
-    Horizon-style AO with FIXED per-frame screen-space offsets (shifted
-    images instead of per-pixel gathers); the direction set rotates with
-    frame_index so TAA accumulates the full sample pattern over time —
-    the same temporal strategy XeGTAO uses for its noise."""
+    The XeGTAO algorithm (reference: shaders/Intel/XeGTAO.hlsli:242-430):
+    per slice, march both sides for the max horizon angles measured from
+    the view vector, project the surface NORMAL onto the slice plane, and
+    evaluate the cosine-weighted visible-arc integral
+    `(cosN + 2h sin(n) - cos(2h - n)) / 4` per side, weighted by the
+    projected-normal length. TPU redesign of the sampling only: XeGTAO's
+    per-pixel random tap directions would need per-lane gathers, so taps
+    are FIXED per-frame screen-space offsets realized as shifted-image
+    reads (dynamic slices of once-padded world-position planes), with the
+    slice set rotating per frame so TAA accumulates the full pattern —
+    the same temporal strategy XeGTAO uses for its noise. The distance
+    falloff is the quadratic `1 - (d/R)^2` (XeGTAO uses a linear tail;
+    visually equivalent at these tap counts).
+    """
     H, W = depth.shape
-    lin = linearize_depth(depth, near)
-    base = 2.0 * jnp.pi * (frame_index.astype(jnp.float32) % 4.0) / (4.0 * num_dirs)
-    occ = jnp.zeros((H, W), jnp.float32)
-    count = 0
+    from ..utils import math3d
+    # World-space reconstruction (column math, like ops/ssr.py).
+    sx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5
+    sy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5
+    ndc_x = sx / W * 2.0 - 1.0
+    ndc_y = 1.0 - sy / H * 2.0
+    inv_vp = jnp.linalg.inv(view.viewproj)
+    ux, uy, uz, uw = math3d.mat4_columns(inv_vp, ndc_x, ndc_y, depth)
+    iw = 1.0 / jnp.where(jnp.abs(uw) > 1e-12, uw, 1.0)
+    px, py, pz = ux * iw, uy * iw, uz * iw
+    # View vector (surface -> camera), unit.
+    vx = view.cam_pos[0] - px
+    vy = view.cam_pos[1] - py
+    vz = view.cam_pos[2] - pz
+    il = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12))
+    vx, vy, vz = vx * il, vy * il, vz * il
+    nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+
+    # World-space falloff radius; screen-space tap extent (matches the
+    # pre-rewrite tuning so params.gtao_radius keeps its meaning).
+    r_world = radius * 8.0
+    # Pad the world-position planes ONCE; each tap is then three cheap
+    # dynamic slices (per-tap edge pads cost a full-image copy each).
+    pads = [jnp.pad(p, pad, mode="edge") for p in (px, py, pz)]
+
+    base = jnp.pi * (frame_index.astype(jnp.float32) % 4.0) / (4.0 * num_dirs)
+    half_pi = jnp.float32(jnp.pi / 2)
+    visibility = jnp.zeros((H, W), jnp.float32)
     for d in range(num_dirs):
-        ang = base + d * jnp.pi * 2.0 / num_dirs
+        ang = base + d * jnp.pi / num_dirs      # slices cover [0, pi)
         ca, sa = jnp.cos(ang), jnp.sin(ang)
+        # World direction of the +omega screen direction at each pixel
+        # (unproject a 1px-offset at the same depth; exact per pixel).
+        ox, oy, oz, ow = math3d.mat4_columns(
+            inv_vp, ndc_x + ca * 2.0 / W, ndc_y - sa * 2.0 / H, depth)
+        iow = 1.0 / jnp.where(jnp.abs(ow) > 1e-12, ow, 1.0)
+        dxw = ox * iow - px
+        dyw = oy * iow - py
+        dzw = oz * iow - pz
+        # Slice-plane frame: ortho = normalize(D - V dot(D,V)).
+        t = dxw * vx + dyw * vy + dzw * vz
+        gx, gy, gz = dxw - t * vx, dyw - t * vy, dzw - t * vz
+        gl = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-18))
+        gx, gy, gz = gx * gl, gy * gl, gz * gl
+        # Normal projected into the slice plane: components along V and
+        # ortho. n = signed angle of projN from V (positive toward +omega).
+        n_v = nx * vx + ny * vy + nz * vz
+        n_o = nx * gx + ny * gy + nz * gz
+        proj_len = jnp.sqrt(jnp.maximum(n_v * n_v + n_o * n_o, 1e-12))
+        cos_norm = jnp.clip(n_v / proj_len, 0.0, 1.0)
+        n_ang = jnp.sign(n_o) * jnp.arccos(cos_norm)
+        sin_n = jnp.sin(n_ang)
+        # Horizon floors at the surface tangent plane (XeGTAO
+        # lowHorizonCos0/1 = cos(n +- pi/2)).
+        hcos_pos = -sin_n          # cos(n + pi/2), +omega side
+        hcos_neg = sin_n           # cos(n - pi/2), -omega side
         for s in range(1, num_steps + 1):
-            # Screen-space offset in pixels (traced scalars -> dynamic_slice).
             r_px = radius * s * 24.0 / num_steps
-            dx = (ca * r_px).astype(jnp.int32)
-            dy = (sa * r_px).astype(jnp.int32)
-            shifted = _shift2d(lin, dy, dx)
-            # Horizon test: neighbor significantly closer -> occlusion.
-            dz = lin - shifted
-            w_dist = jnp.clip(1.0 - jnp.abs(dz) / (radius * 8.0), 0.0, 1.0)
-            occ = occ + jnp.where(dz > 0.03 * lin, w_dist, 0.0)
-            count += 1
-    ao = 1.0 - intensity * occ / count
+            dx = jnp.clip((ca * r_px).astype(jnp.int32), -pad, pad)
+            dy = jnp.clip((sa * r_px).astype(jnp.int32), -pad, pad)
+            for sgn in (1, -1):
+                s0 = jax.lax.dynamic_slice(
+                    pads[0], (pad + sgn * dy, pad + sgn * dx), (H, W))
+                s1 = jax.lax.dynamic_slice(
+                    pads[1], (pad + sgn * dy, pad + sgn * dx), (H, W))
+                s2 = jax.lax.dynamic_slice(
+                    pads[2], (pad + sgn * dy, pad + sgn * dx), (H, W))
+                ex, ey, ez = s0 - px, s1 - py, s2 - pz
+                dist2 = ex * ex + ey * ey + ez * ez
+                idist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
+                cos_s = (ex * vx + ey * vy + ez * vz) * idist
+                # Distance falloff: samples past r_world stop raising the
+                # horizon (their weight lerps toward the tangent floor).
+                w = jnp.clip(1.0 - dist2 / (r_world * r_world), 0.0, 1.0)
+                w = jnp.where(dist2 > 1e-10, w, 0.0)
+                if sgn > 0:
+                    adj = hcos_pos + w * (cos_s - hcos_pos)
+                    hcos_pos = jnp.maximum(hcos_pos, adj)
+                else:
+                    adj = hcos_neg + w * (cos_s - hcos_neg)
+                    hcos_neg = jnp.maximum(hcos_neg, adj)
+        # Visible-arc integral per side (XeGTAO XeGTAO_IntegrateArc).
+        h_pos = n_ang + jnp.clip(
+            jnp.arccos(jnp.clip(hcos_pos, -1.0, 1.0)) - n_ang,
+            -half_pi, half_pi)
+        h_neg = n_ang + jnp.clip(
+            -jnp.arccos(jnp.clip(hcos_neg, -1.0, 1.0)) - n_ang,
+            -half_pi, half_pi)
+        arc = (cos_norm + 2.0 * h_pos * sin_n - jnp.cos(2.0 * h_pos - n_ang)
+               + cos_norm + 2.0 * h_neg * sin_n
+               - jnp.cos(2.0 * h_neg - n_ang)) * 0.25
+        visibility = visibility + proj_len * arc
+    vis = jnp.clip(visibility / num_dirs, 0.0, 1.0)
+    ao = 1.0 - intensity * (1.0 - vis)
     return jnp.clip(_box3(ao), 0.0, 1.0)
 
 

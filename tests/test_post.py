@@ -35,20 +35,78 @@ def test_auto_exposure_normalizes_brightness():
     assert abs(2.0 * e_bright - 0.18) / 0.18 < 0.3
 
 
+def _gtao_scene(H=96, W=128, eye=(5.0, 3.0, 5.0), wall=True):
+    """Analytic floor (y=0) + optional wall (x=0) depth/normal images.
+    Per-pixel ray vs plane intersection gives exact depth in the same
+    reverse-Z projection the renderer uses."""
+    from basicrenderer_tpu.utils import math3d
+    view = math3d.np_look_at(np.array(eye, np.float32),
+                             np.array([2.0, 0.0, 0.0], np.float32),
+                             np.array([0.0, 1.0, 0.0], np.float32))
+    proj = math3d.np_perspective(1.2, W / H, 0.1, 100.0)
+    vp = proj @ view
+    inv = np.linalg.inv(vp)
+    sx = (np.arange(W, dtype=np.float32) + 0.5) / W * 2.0 - 1.0
+    sy = 1.0 - (np.arange(H, dtype=np.float32) + 0.5) / H * 2.0
+    gx, gy = np.meshgrid(sx, sy)
+    pt = inv @ np.stack([gx, gy, np.full_like(gx, 0.5),
+                         np.ones_like(gx)]).reshape(4, -1)
+    pt = (pt[:3] / pt[3]).reshape(3, H, W)
+    o = np.array(eye, np.float32)[:, None, None]
+    d = pt - o
+    d = d / np.linalg.norm(d, axis=0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_floor = np.where(d[1] < -1e-6, -o[1] / d[1], np.inf)
+        t_wall = np.where(d[0] < -1e-6, -o[0] / d[0],
+                          np.inf) if wall else np.full_like(t_floor, np.inf)
+    use_wall = t_wall < t_floor
+    t = np.where(use_wall, t_wall, t_floor)
+    t = np.where(np.isfinite(t), t, 1e4)
+    P = o + d * t
+    clip = vp @ np.concatenate([P, np.ones((1, H, W))]).reshape(4, -1)
+    depth = (clip[2] / clip[3]).reshape(H, W).astype(np.float32)
+    normal = np.zeros((H, W, 3), np.float32)
+    normal[..., 0] = np.where(use_wall, 1.0, 0.0)
+    normal[..., 1] = np.where(use_wall, 0.0, 1.0)
+    vd = make_view(view, proj, np.array(eye, np.float32))
+    return jnp.asarray(depth), jnp.asarray(normal), vd, use_wall, P
+
+
 def test_gtao_darkens_corners():
-    """A step edge in depth should produce occlusion near the step."""
-    H, W = 64, 128
-    # Left half at distance 10 (lin), right half at 9 — a 1-unit step that
-    # sits inside the AO radius falloff window.
-    depth = jnp.full((H, W), 0.01, jnp.float32).at[:, 64:].set(0.1 / 9.0)
-    normal = jnp.zeros((H, W, 3), jnp.float32).at[..., 2].set(1.0)
-    view = make_view(np.eye(4, dtype=np.float32), np.eye(4, dtype=np.float32),
-                     np.zeros(3, np.float32))
-    ao = np.asarray(post.gtao(depth, normal, view, jnp.float32(0.1),
-                              jnp.float32(0.5), jnp.float32(1.0), jnp.int32(0)))
-    # Far side next to the closer wall is occluded; far-field is not.
-    assert ao[32, 60] < ao[32, 5] - 0.05
+    """Floor+wall corner: floor pixels near the wall are occluded, the
+    open floor is not."""
+    depth, normal, vd, use_wall, P = _gtao_scene()
+    ao = np.asarray(post.gtao(depth, normal, vd, jnp.float32(0.1),
+                              jnp.float32(0.5), jnp.float32(1.0),
+                              jnp.int32(0)))
     assert ao.min() >= 0.0 and ao.max() <= 1.0
+    floor = ~use_wall
+    near_corner = floor & (P[0] > 0.1) & (P[0] < 0.8)
+    open_floor = floor & (P[0] > 4.0) & (P[0] < 8.0)
+    assert near_corner.sum() > 50 and open_floor.sum() > 50
+    assert ao[near_corner].mean() < ao[open_floor].mean() - 0.08
+    # The open floor is essentially unoccluded.
+    assert ao[open_floor].mean() > 0.85
+
+
+def test_gtao_depends_on_normal():
+    """Same depth, different normals => different AO (the cosine-weighted
+    arc integral consumes the surface normal; guards the round-3 bug where
+    the `normal` argument was silently ignored)."""
+    depth, normal, vd, use_wall, P = _gtao_scene(wall=False)
+    ao_up = np.asarray(post.gtao(depth, normal, vd, jnp.float32(0.1),
+                                 jnp.float32(0.5), jnp.float32(1.0),
+                                 jnp.int32(0)))
+    tilted = np.zeros_like(np.asarray(normal))
+    tilted[..., 0] = np.sqrt(0.5)
+    tilted[..., 1] = np.sqrt(0.5)
+    ao_tilt = np.asarray(post.gtao(depth, jnp.asarray(tilted), vd,
+                                   jnp.float32(0.1), jnp.float32(0.5),
+                                   jnp.float32(1.0), jnp.int32(0)))
+    floor = ~use_wall & (P[0] > 2.0) & (P[0] < 8.0)
+    # A flat floor with its true normal is open; the same floor claiming a
+    # 45-degree normal has half its tangent hemisphere below the horizon.
+    assert ao_up[floor].mean() > ao_tilt[floor].mean() + 0.05
 
 
 def test_taa_resolve_converges():
