@@ -349,10 +349,12 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                                              config)
         dm, vm, chm = visibility_pass(localize(pairs_m), lcfg,
                                       tile_row0=row0_tiles)
-        # Alpha evaluation: uv + material from the masked channels.
-        iwm = jnp.where(jnp.abs(chm[0]) > 1e-12, chm[0], 1.0)
-        uv_m = jnp.stack([chm[4] / iwm, chm[5] / iwm], axis=-1)[:H, :W]
-        mid_m = (jnp.round(chm[6]).astype(jnp.int32)
+        # Alpha evaluation: uv + material from the masked channels (1/w
+        # derives from the masked depth buffer — shade.inv_w_from_depth).
+        iwm_p = shade_ops.inv_w_from_depth(dm, view.proj)
+        iwm = jnp.where(jnp.abs(iwm_p) > 1e-12, iwm_p, 1.0)
+        uv_m = jnp.stack([chm[3] / iwm, chm[4] / iwm], axis=-1)[:H, :W]
+        mid_m = (jnp.round(chm[5]).astype(jnp.int32)
                  % raster_setup.OBJ_COMBO)[:H, :W]
         mrow = raster_setup.gather_rows_onehot(
             scene.material_table, jnp.clip(
@@ -365,12 +367,13 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             # the [::ds] strided-slice entry point compiles to gather
             # fusions (~9 ms/frame at 1080p, profiled on the city bench).
             from ..ops.shadows import downsample2d
-            c0m = downsample2d(chm[0][:H, :W], ds_m)
+            c0m = shade_ops.inv_w_from_depth(
+                downsample2d(dm[:H, :W], ds_m), view.proj)
             iw_ds = jnp.where(jnp.abs(c0m) > 1e-12, c0m, 1.0)
-            um_ds = downsample2d(chm[4][:H, :W], ds_m) / iw_ds
-            vm_ds = downsample2d(chm[5][:H, :W], ds_m) / iw_ds
+            um_ds = downsample2d(chm[3][:H, :W], ds_m) / iw_ds
+            vm_ds = downsample2d(chm[4][:H, :W], ds_m) / iw_ds
             midm_ds = jnp.clip(
-                jnp.round(downsample2d(chm[6][:H, :W], ds_m))
+                jnp.round(downsample2d(chm[5][:H, :W], ds_m))
                 .astype(jnp.int32) % raster_setup.OBJ_COMBO,
                 0, scene.material_table.shape[0] - 1)
             trow_ds = raster_setup.gather_rows_onehot(
@@ -420,12 +423,13 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             # Feed the sampler pre-downsampled 2-D PLANES straight from the
             # resolve channels — strided [::ds] slices of channel-minor
             # images compile to gather fusions (~8 ms/frame at 1080p).
-            c0 = downsample2d(channels[0][:H, :W], ds)
+            c0 = shade_ops.inv_w_from_depth(
+                downsample2d(depth, ds), view.proj)
             iwm = jnp.where(jnp.abs(c0) > 1e-12, c0, 1.0)
-            u_ds = downsample2d(channels[4][:H, :W], ds) / iwm
-            v_ds = downsample2d(channels[5][:H, :W], ds) / iwm
+            u_ds = downsample2d(channels[3][:H, :W], ds) / iwm
+            v_ds = downsample2d(channels[4][:H, :W], ds) / iwm
             mid_ds = jnp.clip(
-                jnp.round(downsample2d(channels[6][:H, :W], ds))
+                jnp.round(downsample2d(channels[5][:H, :W], ds))
                 .astype(jnp.int32) % raster_setup.OBJ_COMBO,
                 0, scene.material_table.shape[0] - 1)
             covered_ds = downsample2d(vis, ds) > 0
@@ -574,14 +578,18 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                                        directional_only=True,
                                        coat=config.enable_coat,
                                        energy=config.enable_energy_comp,
-                                       fuzz=config.enable_fuzz)
+                                       fuzz=config.enable_fuzz,
+                                       sss=config.enable_sss,
+                                       aniso=config.enable_aniso)
         hdr = hdr + local[:, :H, :W].transpose(1, 2, 0)
     else:
         light_overflow = jnp.int32(0)
         hdr = shade_ops.shade_deferred(gb, scene, view, shadow_fn=shadow_fn,
                                        coat=config.enable_coat,
                                        energy=config.enable_energy_comp,
-                                       fuzz=config.enable_fuzz)
+                                       fuzz=config.enable_fuzz,
+                                       sss=config.enable_sss,
+                                       aniso=config.enable_aniso)
 
     if config.enable_clustered and config.max_shadow_cubes > 0:
         # Point-light cube shadows: 6 perspective faces per light rendered
@@ -810,7 +818,7 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                 moving_ids = jnp.full((motion_ops.MAX_MOVING,), -1,
                                       jnp.int32)
             du, dv, mvalid, mds = motion_ops.motion_field(
-                depth_p, channels[6], view, prev_viewproj,
+                depth_p, channels[5], view, prev_viewproj,
                 moving_rel, moving_ids, config, row0=row0_px, full_h=full_h,
                 full_w=config.width)
             tdy, tdx, resid = motion_ops.tile_motion(du, dv, mvalid,

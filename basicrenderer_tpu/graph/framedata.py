@@ -239,6 +239,9 @@ class FrameConfig:
     enable_coat: bool = False         # OpenPBR clear-coat lobe
     enable_fuzz: bool = False         # OpenPBR fuzz (Charlie sheen) lobe
     enable_energy_comp: bool = False  # GGX multi-scatter energy LUT fit
+    enable_sss: bool = False          # OpenPBR subsurface (wrap diffusion)
+    enable_aniso: bool = False        # OpenPBR GGX anisotropy
+    enable_transmission: bool = False  # OpenPBR transmission (via OIT peel)
     mask_clusters: int = 256          # masked caster cut budget (x128 tris)
     enable_auto_exposure: bool = False
     enable_skinning: bool = False

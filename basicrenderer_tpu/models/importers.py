@@ -224,6 +224,39 @@ def load_gltf(path: str, scene: Scene, meshes: MeshRegistry,
             emissive_texture=tex_import.get(
                 m.get("emissiveTexture", {}).get("index", -1), True),
         )
+        # OpenPBR-class extensions (reference: USD/Assimp material import
+        # feeding PerMaterialOpenPBRCB, ShaderBuffers.h:277-334).
+        ext = m.get("extensions", {})
+        if "KHR_materials_ior" in ext:
+            mat.ior = float(ext["KHR_materials_ior"].get("ior", 1.5))
+        if "KHR_materials_transmission" in ext:
+            mat.transmission_weight = float(
+                ext["KHR_materials_transmission"].get(
+                    "transmissionFactor", 0.0))
+        if "KHR_materials_volume" in ext:
+            vol = ext["KHR_materials_volume"]
+            mat.transmission_color = np.asarray(
+                vol.get("attenuationColor", [1, 1, 1]), np.float32)
+            dist = vol.get("attenuationDistance", 0.0)
+            if dist and np.isfinite(dist):
+                mat.transmission_depth = float(dist)
+        if "KHR_materials_anisotropy" in ext:
+            an = ext["KHR_materials_anisotropy"]
+            mat.anisotropy_strength = float(
+                an.get("anisotropyStrength", 0.0))
+            mat.anisotropy_rotation = float(
+                an.get("anisotropyRotation", 0.0))
+        if "KHR_materials_clearcoat" in ext:
+            cc = ext["KHR_materials_clearcoat"]
+            mat.coat_weight = float(cc.get("clearcoatFactor", 0.0))
+            mat.coat_roughness = float(
+                cc.get("clearcoatRoughnessFactor", 0.0))
+        if "KHR_materials_sheen" in ext:
+            sh = ext["KHR_materials_sheen"]
+            mat.sheen_color = np.asarray(
+                sh.get("sheenColorFactor", [0, 0, 0]), np.float32)
+            mat.fuzz_roughness = float(sh.get("sheenRoughnessFactor", 0.5))
+            mat.fuzz_weight = float(np.max(mat.sheen_color))
         mat_ids.append(materials.add(mat))
     if not mat_ids:
         mat_ids = [0]

@@ -19,7 +19,7 @@ from typing import List, Optional
 import numpy as np
 
 # Packed material table layout (float lanes)
-MAT_STRIDE = 32
+MAT_STRIDE = 48
 # lanes 0-3:   base color rgba
 # lane  4:     metallic
 # lane  5:     roughness
@@ -36,6 +36,17 @@ MAT_STRIDE = 32
 # lanes 18-21: coat (weight, roughness, ior, pad)     [OpenPBR]
 # lanes 22-24: fuzz (weight, roughness, pad)          [OpenPBR]
 # lanes 25-27: sheen color                             [OpenPBR]
+# lanes 28-29: Reyes displacement (scale, texture id)
+# lane  30:    transmission weight                     [OpenPBR]
+# lane  31:    transmission depth (Beer-Lambert path)  [OpenPBR]
+# lanes 32-34: transmission color                      [OpenPBR]
+# lane  35:    transmission dispersion (Abbe-number analogue; stored for
+#              parity — shading applies a fixed spectral tint shift)
+# lane  36:    subsurface weight                       [OpenPBR]
+# lanes 37-39: subsurface color                        [OpenPBR]
+# lane  40:    subsurface radius (wrap-diffusion width)
+# lane  41:    anisotropy strength                     [OpenPBR]
+# lane  42:    anisotropy rotation (radians)           [OpenPBR]
 # remaining:   reserved
 
 FLAG_DOUBLE_SIDED = 1
@@ -72,6 +83,22 @@ class Material:
     # `displacement_texture` (glTF ext / heightmap import).
     displacement_scale: float = 0.0
     displacement_texture: int = -1
+    # OpenPBR transmission / subsurface / anisotropy (reference:
+    # PerMaterialOpenPBRCB, ShaderBuffers.h:277-334). Transmission routes
+    # the surface through the OIT peel (ops/oit.py) with a Beer-Lambert
+    # tinted background; subsurface is a wrap-diffusion diffuse lobe;
+    # anisotropy stretches the GGX lobe along the UV-derived tangent.
+    transmission_weight: float = 0.0
+    transmission_color: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32))
+    transmission_depth: float = 1.0
+    transmission_dispersion: float = 0.0
+    subsurface_weight: float = 0.0
+    subsurface_color: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32))
+    subsurface_radius: float = 0.5
+    anisotropy_strength: float = 0.0
+    anisotropy_rotation: float = 0.0
 
     def pack(self) -> np.ndarray:
         row = np.zeros(MAT_STRIDE, np.float32)
@@ -98,6 +125,15 @@ class Material:
         # Lanes 28-29: Reyes displacement (ops/reyes.py).
         row[28] = self.displacement_scale
         row[29] = float(self.displacement_texture)
+        row[30] = self.transmission_weight
+        row[31] = self.transmission_depth
+        row[32:35] = np.asarray(self.transmission_color, np.float32)
+        row[35] = self.transmission_dispersion
+        row[36] = self.subsurface_weight
+        row[37:40] = np.asarray(self.subsurface_color, np.float32)
+        row[40] = self.subsurface_radius
+        row[41] = self.anisotropy_strength
+        row[42] = self.anisotropy_rotation
         return row
 
 

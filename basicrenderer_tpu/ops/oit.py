@@ -85,11 +85,38 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         gb = shade_ops.gbuffer_from_channels(
             ch[:, :H, :W], d[:H, :W], v[:H, :W], view, scene.material_table,
             config.width, config.height, row0=row0_px)
-        col = shade_ops.shade_deferred(gb, scene, view)
+        col = shade_ops.shade_deferred(
+            gb, scene, view, transmission=config.enable_transmission)
         a = jnp.clip(gb.alpha, 0.0, 1.0)
         covered = v[:H, :W] > 0
-        shaded.append((col, a[..., None], covered[..., None]))
-        alpha_sum = alpha_sum + jnp.where(covered, a, 0.0)
+        if config.enable_transmission:
+            # OpenPBR transmission (reference: PerMaterialOpenPBRCB
+            # transmissionWeight/Color/Depth, ShaderBuffers.h:277-334):
+            # the covered part of the layer splits into an opaque fraction
+            # (1 - tw) that alpha-blends and a transmissive fraction that
+            # multiplies the background by the Beer-Lambert tint
+            # color^(depth_ratio) scaled by (1 - Fresnel) — the reflected
+            # share stays in the specular lobe `col` already carries.
+            tw = jnp.clip(gb.trans_weight, 0.0, 1.0)[..., None]
+            vdir = view.cam_pos[None, None, :] - gb.world_pos
+            vdir = vdir / jnp.maximum(
+                jnp.linalg.norm(vdir, axis=-1, keepdims=True), 1e-9)
+            ndv = jnp.maximum(jnp.sum(gb.normal * vdir, -1), 1e-4)
+            f0 = ((gb.ior - 1.0) / (gb.ior + 1.0)) ** 2
+            F = shade_ops._f_schlick(ndv[..., None], f0[..., None])
+            tint = jnp.clip(gb.trans_color, 0.0, 1.0)
+            trans3 = (1.0 - a[..., None]) * (1.0 - tw) \
+                + tw * tint * (1.0 - F)
+            surf3 = col * (a[..., None] * (1.0 - tw) + tw)
+            a_eff = jnp.clip(a * (1.0 - tw[..., 0])
+                             + tw[..., 0] * (1.0 - jnp.mean(tint, -1)),
+                             0.0, 1.0)
+        else:
+            trans3 = 1.0 - a[..., None]
+            surf3 = col * a[..., None]
+            a_eff = a
+        shaded.append((surf3, trans3, covered[..., None]))
+        alpha_sum = alpha_sum + jnp.where(covered, a_eff, 0.0)
         alpha_cnt = alpha_cnt + covered.astype(jnp.float32)
 
     # Beyond-K fragment accounting (reference: the AVBOIT tier's role —
@@ -125,8 +152,11 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                           config.oit_overflow_alpha)
         hdr = hdr * (1.0 - a_est[..., None]) ** count[..., None]
 
-    # Composite back-to-front (farthest layer first).
+    # Composite back-to-front (farthest layer first). Each layer carries a
+    # premultiplied surface term and a per-channel background transmittance
+    # (plain 1-alpha without transmission; Fresnel-weighted Beer-Lambert
+    # tint with it).
     out = hdr
-    for col, a, covered in reversed(shaded):
-        out = jnp.where(covered, col * a + out * (1.0 - a), out)
+    for surf3, trans3, covered in reversed(shaded):
+        out = jnp.where(covered, surf3 + out * trans3, out)
     return out, overflow

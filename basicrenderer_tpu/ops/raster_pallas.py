@@ -34,7 +34,10 @@ from ..graph.framedata import FrameConfig
 from .raster_setup import BinnedPairs, GroupBinnedPairs, SETUP_LANES
 
 CHUNK = 128  # pairs per DMA slab
-NUM_CHANNELS = 8  # [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
+# Channels: [nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused, accum-count].
+# 1/w is NOT a channel — the resolve derives it from the depth buffer
+# (shade.inv_w_from_depth): 3 fewer vector ops per hit row.
+NUM_CHANNELS = 8
 
 
 def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
@@ -53,9 +56,9 @@ def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
         # SMEM loads + two vector FMAs in the hottest loop of the frame
         # (the ref twin derives it the same way: pixel-exact parity).
         e2 = 1.0 - e0 - e1
-        z = (buf_ref[base + 9] * px + buf_ref[base + 10] * py
-             + buf_ref[base + 11])
-        tri_id_f = buf_ref[base + 12]
+        z = (buf_ref[base + 6] * px + buf_ref[base + 7] * py
+             + buf_ref[base + 8])
+        tri_id_f = buf_ref[base + 9]
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
         passd = inside & (z > depth_ref[:])
         if peeled:
@@ -76,12 +79,12 @@ def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
         # planes under the same pass mask (reference VisUtilEvaluate
         # equivalent, done during raster — overdrawn writes are later
         # overwritten by closer triangles, exactly like a GBuffer raster).
-        for ch in range(6):
-            val = (buf_ref[base + 14 + ch * 3] * px
-                   + buf_ref[base + 15 + ch * 3] * py
-                   + buf_ref[base + 16 + ch * 3])
+        for ch in range(5):
+            val = (buf_ref[base + 15 + ch * 3] * px
+                   + buf_ref[base + 16 + ch * 3] * py
+                   + buf_ref[base + 17 + ch * 3])
             chan_ref[ch] = jnp.where(passd, val, chan_ref[ch])
-        chan_ref[6] = jnp.where(passd, buf_ref[base + 13], chan_ref[6])
+        chan_ref[5] = jnp.where(passd, buf_ref[base + 10], chan_ref[5])
         return slot_base
 
     return tri_body
@@ -150,17 +153,20 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
     tri_body = _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
                               peel_z if peeled else None, peeled, accum)
 
+    tx_f = tx.astype(jnp.float32)
+    tyg_f = (ty + misc_ref[0]).astype(jnp.float32)
+
     def big_body(j, slot_base):
-        # Global-list rows carry their tile bbox in lanes 6-7: a SCALAR
-        # containment test skips the whole vector evaluation for the many
-        # (tile, big-tri) pairs that don't intersect — a vector any-reduce
-        # here measured 3x slower, but scalar-only predicates are cheap.
+        # Global-list rows carry their tile bbox in float lanes 11-14: a
+        # SCALAR containment test skips the whole vector evaluation for the
+        # many (tile, big-tri) pairs that don't intersect — a vector
+        # any-reduce here measured 3x slower; float compares (vs the old
+        # packed-lane integer divmods at ~60 cycles/row) keep the row scan
+        # off the critical path.
         base = slot_base + j * SETUP_LANES
-        bx = buf_ref[base + 6].astype(jnp.int32)
-        by = buf_ref[base + 7].astype(jnp.int32)
-        tyg = ty + misc_ref[0]
-        hit = ((tx >= bx // 2048) & (tx <= bx % 2048)
-               & (tyg >= by // 2048) & (tyg <= by % 2048))
+        hit = ((tx_f >= buf_ref[base + 11]) & (tx_f <= buf_ref[base + 12])
+               & (tyg_f >= buf_ref[base + 13])
+               & (tyg_f <= buf_ref[base + 14]))
 
         @pl.when(hit)
         def _():
@@ -252,16 +258,20 @@ def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
     tri_body = _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
                               peel_z if peeled else None, peeled, accum)
 
+    tx_f = tx.astype(jnp.float32)
+    tyg_f = (ty + misc_ref[0]).astype(jnp.float32)
+
     def row_body(j, slot_base):
         # Scalar per-row bbox containment: skips backfaced/invalid rows
         # (inverted boxes) and rows of this group that don't touch this
-        # tile — ~8 cycles vs ~70-140 for the vector evaluation.
+        # tile. Float lanes 11-14 — the old packed lanes 6/7 needed 4
+        # integer divmods (~60 cycles/row), and the ROW SCAN, not the
+        # vector evaluation, bounded the whole kernel (frame time tracked
+        # rows-scanned at ~65 ns/row across tile_h {32, 16, 8}).
         base = slot_base + j * SETUP_LANES
-        bx = buf_ref[base + 6].astype(jnp.int32)
-        by = buf_ref[base + 7].astype(jnp.int32)
-        tyg = ty + misc_ref[0]
-        hit = ((tx >= bx // 2048) & (tx <= bx % 2048)
-               & (tyg >= by // 2048) & (tyg <= by % 2048))
+        hit = ((tx_f >= buf_ref[base + 11]) & (tx_f <= buf_ref[base + 12])
+               & (tyg_f >= buf_ref[base + 13])
+               & (tyg_f <= buf_ref[base + 14]))
 
         @pl.when(hit)
         def _():

@@ -76,13 +76,13 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
         def raster_row(idx, carry):
             zbuf, vis = carry
             d = pair_data[idx]
-            tri_id_f = d[12]
+            tri_id_f = d[9]
             e0 = d[0] * px + d[1] * py + d[2]
             e1 = d[3] * px + d[4] * py + d[5]
             # Derived exactly like the Pallas kernel (pixel-exact parity):
             # barycentric planes sum to 1 identically.
             e2 = 1.0 - e0 - e1
-            z = d[9] * px + d[10] * py + d[11]
+            z = d[6] * px + d[7] * py + d[8]
             inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (tri_id_f > 0.5)
             passd = inside & (z > zbuf)
             if peel_z is not None:

@@ -33,23 +33,30 @@ import jax.numpy as jnp
 from ..graph.framedata import FrameConfig
 
 # Triangle payload lane layout, row-per-triangle (P, SETUP_LANES):
-#  0-2: edge0 A,B,C   (normalized: E_i(x,y) IS the barycentric weight of v_i)
+#  0-2: edge0 A,B,C   (normalized: E_i(x,y) IS the barycentric weight of v_i;
+#       the raster kernels derive edge2 = 1 - edge0 - edge1)
 #  3-5: edge1
-#  6: tile bbox x (tx0 * 2048 + tx1, as a float) — the raster kernels derive
-#     edge2 = 1 - edge0 - edge1 (barycentric identity), freeing these lanes;
-#     the global big-triangle walk uses the bbox for a scalar tile skip
-#  7: tile bbox y (ty0 * 2048 + ty1)
-#  8: unused (was edge2 C)
-#  9-11: depth plane  (z_ndc = A*x + B*y + C; reverse-Z, bigger = closer)
-#  12: triangle id + 1 AS A FLOAT (ids < 2^24 exact; Mosaic lacks scalar bitcast)
-#  13: material id + OBJ_COMBO * object id AS A FLOAT (combo < 2^24 exact;
+#  6-8: depth plane   (z_ndc = A*x + B*y + C; reverse-Z, bigger = closer)
+#  9:  triangle id + 1 AS A FLOAT (ids < 2^24 exact; Mosaic lacks scalar
+#      bitcast)
+#  10: material id + OBJ_COMBO * object id AS A FLOAT (combo < 2^24 exact;
 #      the object id feeds per-pixel motion vectors — ops/motion.py)
-#  14-16: 1/w plane
-#  17-19: nx/w plane   (world-space normal x over clip w)
-#  20-22: ny/w plane
-#  23-25: nz/w plane
-#  26-28: u/w plane
-#  29-31: v/w plane
+#  11-14: tile bbox as SEPARATE FLOAT lanes (tx0, tx1, ty0, ty1) — the
+#      kernels' per-row skip is 4 scalar float compares. The old packed
+#      two-lane form needed 4 integer divmods per row (~60 scalar cycles),
+#      and the ROW SCAN — not the vector evaluation — bounded the whole
+#      kernel (measured: frame time tracked rows-scanned at ~65 ns/row
+#      across tile_h {32, 16, 8}). Invalid rows carry inverted ranges.
+#  15-17: nx/w plane   (world-space normal x over clip w)
+#  18-20: ny/w plane
+#  21-23: nz/w plane
+#  24-26: u/w plane
+#  27-29: v/w plane
+#  30-31: unused
+# There is NO 1/w plane: z_ndc = za + zb/w per projection, so the resolve
+# derives 1/w from the depth buffer (shade.inv_w_from_depth) — 3 fewer
+# vector ops per hit row and 3 lanes freed for the float bbox (the DMA
+# slab length group_rows*SETUP_LANES must stay a multiple of 1024).
 SETUP_LANES = 32
 # Lane-13 packing: combo = material + OBJ_COMBO * object. Exact in f32 while
 # material < 1024 and object < 8192 (combo < 2^23).
@@ -266,8 +273,8 @@ def _setup_from_corners(g0, g1, g2, tri_valid, config: FrameConfig,
 
 def _lane_columns(e0, e1, zplane_c, plane_cols, valid, tx0, ty0, tx1, ty1):
     """The 32 payload columns in lane order (ids/material filled by pack).
-    Lanes 6-7 carry the tile bbox (see layout above); the kernels derive
-    edge2 from the barycentric identity."""
+    Lanes 11-14 carry the tile bbox as floats (see layout above); the
+    kernels derive edge2 from the barycentric identity."""
     T = valid.shape[0]
     # Invalid rows are masked IN the table (id 0 + inverted bbox): the
     # group-binned raster kernel reads raw lane rows (no per-pair gather),
@@ -276,18 +283,22 @@ def _lane_columns(e0, e1, zplane_c, plane_cols, valid, tx0, ty0, tx1, ty1):
     tri_ids = jnp.where(valid,
                         (jnp.arange(T, dtype=jnp.int32) + 1).astype(
                             jnp.float32), 0.0)
-    inv_box = jnp.float32(2047 * 2048)                    # x0=2047 > x1=0
     cols = list(e0) + list(e1)
-    cols.append(jnp.where(valid, (tx0 * 2048 + tx1).astype(jnp.float32),
-                          inv_box))                       # lane 6
-    cols.append(jnp.where(valid, (ty0 * 2048 + ty1).astype(jnp.float32),
-                          inv_box))                       # lane 7
-    cols.append(jnp.zeros((T,), jnp.float32))             # lane 8 (unused)
-    cols += list(zplane_c)
-    cols.append(tri_ids)                      # lane 12
-    cols.append(jnp.zeros((T,), jnp.float32))  # lane 13 (material, pack fills)
-    for p in plane_cols:
+    cols += list(zplane_c)                    # lanes 6-8
+    cols.append(tri_ids)                      # lane 9
+    cols.append(jnp.zeros((T,), jnp.float32))  # lane 10 (material, pack fills)
+    # Lanes 11-14: float bbox for the kernels' scalar row skip. Invalid
+    # rows: empty range on both axes.
+    cols.append(jnp.where(valid, tx0.astype(jnp.float32), 4096.0))
+    cols.append(jnp.where(valid, tx1.astype(jnp.float32), -1.0))
+    cols.append(jnp.where(valid, ty0.astype(jnp.float32), 4096.0))
+    cols.append(jnp.where(valid, ty1.astype(jnp.float32), -1.0))
+    # The 5 attribute planes (1/w is derived from depth at resolve, so the
+    # iw plane — plane_cols[0] — is NOT shipped).
+    for p in plane_cols[1:]:
         cols.extend(p)
+    cols.append(jnp.zeros((T,), jnp.float32))  # lane 30 (unused)
+    cols.append(jnp.zeros((T,), jnp.float32))  # lane 31 (unused)
     return cols
 
 
@@ -295,7 +306,7 @@ def pack_setup_lanes(setup: TriangleSetup,
                      tri_material: Optional[jnp.ndarray] = None,
                      tri_object: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(T, SETUP_LANES) row-per-triangle raster payload (see lane layout).
-    With `tri_object`, lane 13 carries the material+object combo (decoded in
+    With `tri_object`, lane 10 carries the material+object combo (decoded in
     shade.gbuffer_from_channels; the object id drives motion vectors)."""
     cols = list(setup.lane_cols)
     if tri_material is not None:
@@ -303,7 +314,7 @@ def pack_setup_lanes(setup: TriangleSetup,
         if tri_object is not None:
             mat = mat + OBJ_COMBO * jnp.maximum(tri_object, 0).astype(
                 jnp.float32)
-        cols[13] = mat
+        cols[10] = mat
     return jnp.stack(cols, axis=1)
 
 
@@ -389,8 +400,8 @@ def _append_clipped(lanes, bbox, valid, gs, tri_valid, config: FrameConfig,
     # rows locally — offset ids so the visibility buffer stays unique. Ids
     # only need uniqueness + nonzero (resolve matches vis == id).
     T = valid.shape[0]
-    elanes = elanes.at[:, 12].set(
-        jnp.where(ev, elanes[:, 12] + T, 0.0))
+    elanes = elanes.at[:, 9].set(
+        jnp.where(ev, elanes[:, 9] + T, 0.0))
     lanes = jnp.concatenate([lanes, elanes], axis=0)
     bbox = jnp.concatenate([bbox, setup.bbox], axis=0)
     valid = jnp.concatenate([valid, setup.valid], axis=0)

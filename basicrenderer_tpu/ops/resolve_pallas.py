@@ -14,8 +14,9 @@ this pass walks each tile's binned pair list once more:
 - else evaluate the 7 attribute planes and select them into the channel
   accumulators under the mask.
 
-The division by interpolated 1/w happens once per pixel at the end, not per
-triangle. Channels: [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused].
+The division by 1/w (derived from the depth buffer — there is no 1/w
+plane; see shade.inv_w_from_depth) happens once per pixel at the end.
+Channels: [nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused, accum].
 """
 
 from __future__ import annotations
@@ -66,20 +67,21 @@ def _resolve_kernel(tile_off_ref, misc_ref, flat_ref, vis_ref, out_ref,
 
     def tri_body(j, slot_base):
         base = slot_base + j * SETUP_LANES
-        tri_id = buf_ref[base + 12].astype(jnp.int32)
+        tri_id = buf_ref[base + 9].astype(jnp.int32)
         mask = (vis == tri_id) & (tri_id > 0)
         hit = jnp.any(mask)
 
         @pl.when(hit)
         def _():
-            # 1/w plane + 5 attr/w planes (lanes 14..31), mat id lane 13.
-            for ch in range(6):
-                A = buf_ref[base + 14 + ch * 3]
-                B = buf_ref[base + 15 + ch * 3]
-                Cc = buf_ref[base + 16 + ch * 3]
+            # 5 attr/w planes (lanes 15..29), mat id lane 10 (1/w derives
+            # from the depth buffer at resolve: shade.inv_w_from_depth).
+            for ch in range(5):
+                A = buf_ref[base + 15 + ch * 3]
+                B = buf_ref[base + 16 + ch * 3]
+                Cc = buf_ref[base + 17 + ch * 3]
                 val = A * px + B * py + Cc
                 out_ref[ch] = jnp.where(mask, val, out_ref[ch])
-            out_ref[6] = jnp.where(mask, buf_ref[base + 13], out_ref[6])
+            out_ref[5] = jnp.where(mask, buf_ref[base + 10], out_ref[5])
         return slot_base
 
     def walk(row0_chunks, nrows):
@@ -175,13 +177,15 @@ def resolve_attributes_ref(pairs: BinnedPairs, vis: jnp.ndarray,
 
         def body(idx, acc):
             d = pair_data[idx]
-            tri_id = d[12].astype(jnp.int32)
+            tri_id = d[9].astype(jnp.int32)
             mask = (vis_t == tri_id) & (tri_id > 0)
             chans = []
-            for ch in range(6):
-                val = d[14 + ch * 3] * px + d[15 + ch * 3] * py + d[16 + ch * 3]
+            for ch in range(5):
+                val = d[15 + ch * 3] * px + d[16 + ch * 3] * py \
+                    + d[17 + ch * 3]
                 chans.append(val)
-            chans.append(jnp.broadcast_to(d[13], (th, tw)))
+            chans.append(jnp.broadcast_to(d[10], (th, tw)))
+            chans.append(jnp.zeros((th, tw), jnp.float32))
             chans.append(jnp.zeros((th, tw), jnp.float32))
             new = jnp.stack(chans)                      # (8, th, tw)
             return jnp.where(mask[None], new, acc)

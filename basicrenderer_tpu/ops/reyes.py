@@ -191,6 +191,6 @@ def dice_reyes(gs, tri_valid, comp, scene, viewproj: jnp.ndarray,
         hs[0], hs[1], hs[2], ev, config, has_normals=True, has_uvs=True)
     elanes = raster_setup.pack_setup_lanes(setup, mat_m, obj_m)
     # Unique nonzero vis ids past the caller's ranges.
-    elanes = elanes.at[:, 12].set(
-        jnp.where(setup.valid, elanes[:, 12] + float(id_base), 0.0))
+    elanes = elanes.at[:, 9].set(
+        jnp.where(setup.valid, elanes[:, 9] + float(id_base), 0.0))
     return elanes, setup.bbox, setup.valid, parent_keep, overflow

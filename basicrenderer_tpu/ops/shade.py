@@ -54,6 +54,15 @@ class GBuffer(NamedTuple):
     object_id: jnp.ndarray = None     # (H, W) i32 owning object (-1 = sky)
     fuzz_weight: jnp.ndarray = None   # (H, W) f32 OpenPBR fuzz weight
     fuzz_rough: jnp.ndarray = None    # (H, W) f32 OpenPBR fuzz roughness
+    trans_weight: jnp.ndarray = None  # (H, W) f32 OpenPBR transmission
+    trans_color: jnp.ndarray = None   # (H, W, 3) f32 transmission tint
+    trans_depth: jnp.ndarray = None   # (H, W) f32 Beer-Lambert depth
+    sss_weight: jnp.ndarray = None    # (H, W) f32 OpenPBR subsurface
+    sss_color: jnp.ndarray = None     # (H, W, 3) f32 subsurface tint
+    sss_radius: jnp.ndarray = None    # (H, W) f32 wrap-diffusion width
+    aniso_strength: jnp.ndarray = None  # (H, W) f32 GGX anisotropy
+    aniso_rotation: jnp.ndarray = None  # (H, W) f32 tangent rotation (rad)
+    ior: jnp.ndarray = None           # (H, W) f32 index of refraction
 
 
 def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
@@ -121,29 +130,46 @@ def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
     )
 
 
+def inv_w_from_depth(depth: jnp.ndarray, proj: jnp.ndarray) -> jnp.ndarray:
+    """1/clip.w recovered from the depth buffer — exactly.
+
+    For any perspective projection of the math3d form (clip.z = A*vz + B,
+    clip.w = P32*vz), z_ndc = A/P32 + B*(1/w) per clip-space POINT, and
+    both the rasterized z and the old 1/w channel were screen-affine
+    interpolations of per-vertex values satisfying that same relation, so
+    (z - za)/zb reproduces the interpolated 1/w bit-for-fp-bit. This frees
+    the raster kernels' 1/w plane (3 vector ops/hit row + 3 payload lanes;
+    ops/raster_setup.py lane layout)."""
+    za = proj[2, 2] / jnp.where(jnp.abs(proj[3, 2]) > 1e-20,
+                                proj[3, 2], 1.0)
+    zb = jnp.where(jnp.abs(proj[2, 3]) > 1e-20, proj[2, 3], 1.0)
+    return (depth - za) / zb
+
+
 def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
                           vis: jnp.ndarray, view: ViewData,
                           material_table: jnp.ndarray,
                           full_w: int, full_h: int, row0=0) -> GBuffer:
     """Build the GBuffer from resolve-pass channel images (no gathers).
 
-    channels: (8, H, W) = [1/w, nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused]
-    cropped to the visible region. `full_w/full_h` are the full framebuffer
-    dimensions (differ from H/W when shading a screen shard at `row0`).
+    channels: (8, H, W) = [nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused,
+    accum] cropped to the visible region (1/w derives from `depth`).
+    `full_w/full_h` are the full framebuffer dimensions (differ from H/W
+    when shading a screen shard at `row0`).
     """
     H, W = depth.shape
     covered = vis > 0
-    inv_w = channels[0]
+    inv_w = inv_w_from_depth(depth, view.proj)
     safe_iw = jnp.where(jnp.abs(inv_w) > 1e-12, inv_w, 1.0)
-    nrm = jnp.stack([channels[1] / safe_iw, channels[2] / safe_iw,
-                     channels[3] / safe_iw], axis=-1)
+    nrm = jnp.stack([channels[0] / safe_iw, channels[1] / safe_iw,
+                     channels[2] / safe_iw], axis=-1)
     nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm = nrm / jnp.maximum(nlen, 1e-12)
-    uv = jnp.stack([channels[4] / safe_iw, channels[5] / safe_iw], axis=-1)
-    # Lane 13 carries material + OBJ_COMBO * object (ops/raster_setup.py);
+    uv = jnp.stack([channels[3] / safe_iw, channels[4] / safe_iw], axis=-1)
+    # Lane 10 carries material + OBJ_COMBO * object (ops/raster_setup.py);
     # the object id rides along for the motion-vector pass.
     from .raster_setup import OBJ_COMBO
-    combo = jnp.round(channels[6]).astype(jnp.int32)
+    combo = jnp.round(channels[5]).astype(jnp.int32)
     mat_id = combo % OBJ_COMBO
     object_id = combo // OBJ_COMBO
 
@@ -195,6 +221,15 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
         object_id=jnp.where(covered, object_id, -1),
         fuzz_weight=jnp.where(covered, mat[:, 22].reshape(H, W), 0.0),
         fuzz_rough=jnp.clip(mat[:, 23].reshape(H, W), 0.05, 1.0),
+        trans_weight=jnp.where(covered, mat[:, 30].reshape(H, W), 0.0),
+        trans_color=jnp.where(c3, mat[:, 32:35].reshape(H, W, 3), 1.0),
+        trans_depth=jnp.maximum(mat[:, 31].reshape(H, W), 1e-4),
+        sss_weight=jnp.where(covered, mat[:, 36].reshape(H, W), 0.0),
+        sss_color=jnp.where(c3, mat[:, 37:40].reshape(H, W, 3), 1.0),
+        sss_radius=jnp.clip(mat[:, 40].reshape(H, W), 0.0, 1.0),
+        aniso_strength=jnp.where(covered, mat[:, 41].reshape(H, W), 0.0),
+        aniso_rotation=mat[:, 42].reshape(H, W),
+        ior=jnp.where(covered, mat[:, 12].reshape(H, W), 1.5),
     )
 
 
@@ -220,28 +255,104 @@ def _f_schlick(v_dot_h, f0):
     return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - v_dot_h, 0.0, 1.0), 5.0)
 
 
-def eval_brdf(n, v, l, albedo, metallic, roughness, spec_scale=None):
+def tangent_frame(world_pos: jnp.ndarray, uv: jnp.ndarray,
+                  normal: jnp.ndarray, rotation=None):
+    """Screen-derivative cotangent frame (Schueler), optionally rotated
+    about the normal by `rotation` (H, W) radians — the anisotropy tangent
+    (reference: OpenPBR anisotropy rotation, ShaderBuffers.h:277-334).
+    Returns (T, B) each (H, W, 3); degenerate UV areas fall back to an
+    arbitrary normal-orthogonal frame."""
+    from .textures import _ddx, _ddy
+    dpdx, dpdy = _ddx(world_pos), _ddy(world_pos)
+    dudx, dudy = _ddx(uv[..., 0]), _ddy(uv[..., 0])
+    dvdx, dvdy = _ddx(uv[..., 1]), _ddy(uv[..., 1])
+    det = dudx * dvdy - dudy * dvdx
+    t = dpdx * dvdy[..., None] - dpdy * dvdx[..., None]
+    t = t - normal * jnp.sum(t * normal, -1, keepdims=True)
+    tlen = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    # Arbitrary fallback frame where UVs are degenerate.
+    up = jnp.where(jnp.abs(normal[..., 1:2]) < 0.9,
+                   jnp.array([0.0, 1.0, 0.0], jnp.float32),
+                   jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    alt = jnp.cross(up * jnp.ones_like(normal), normal)
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True),
+                            1e-9)
+    ok = (jnp.abs(det) > 1e-12) & (tlen[..., 0] > 1e-9)
+    t = jnp.where(ok[..., None], t / jnp.maximum(tlen, 1e-9), alt)
+    b = jnp.cross(normal, t)
+    if rotation is not None:
+        c = jnp.cos(rotation)[..., None]
+        s = jnp.sin(rotation)[..., None]
+        t = t * c + b * s
+        b = jnp.cross(normal, t)
+    return t, b
+
+
+def eval_brdf(n, v, l, albedo, metallic, roughness, spec_scale=None,
+              sss=None, trans_w=None, aniso=None):
     """Cook-Torrance specular + Lambert diffuse; all (..., 3)/(...,) arrays.
     Returns radiance factor to multiply by (light color * NdotL).
     `spec_scale` (..., 3) multiplies the specular lobe only — the
-    Kulla-Conty multi-scatter compensation term (ops/brdf_energy.py)."""
+    Kulla-Conty multi-scatter compensation term (ops/brdf_energy.py).
+    OpenPBR extensions (reference ShaderBuffers.h:277-334):
+    - `sss` = (weight, color3, radius): wrap-diffusion subsurface replaces
+      the Lambert term by weight (light bleeds past the terminator by the
+      radius, tinted — the diffusion-approximation analogue).
+    - `trans_w` (H, W): transmission weight removes the diffuse lobe (the
+      light passes through; ops/oit.py tints the background instead).
+    - `aniso` = (T, B, strength): anisotropic GGX along the tangent frame.
+    """
     h = l + v
     h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
-    n_dot_l = jnp.maximum(jnp.sum(n * l, -1, keepdims=True), 0.0)
+    ndl_s = jnp.sum(n * l, -1, keepdims=True)
+    n_dot_l = jnp.maximum(ndl_s, 0.0)
     n_dot_v = jnp.maximum(jnp.sum(n * v, -1, keepdims=True), 1e-4)
     n_dot_h = jnp.maximum(jnp.sum(n * h, -1, keepdims=True), 0.0)
     v_dot_h = jnp.maximum(jnp.sum(v * h, -1, keepdims=True), 0.0)
     alpha = jnp.maximum(roughness[..., None] ** 2, 1e-3)
     f0 = 0.04 * (1.0 - metallic[..., None]) + albedo * metallic[..., None]
-    D = _d_ggx(n_dot_h, alpha)
-    Vis = _g_smith(n_dot_v, n_dot_l, alpha)
     F = _f_schlick(v_dot_h, f0)
+    if aniso is not None:
+        T, B, strength = aniso
+        # Burley parameterization; Heitz height-correlated anisotropic
+        # visibility (same lobes the reference's PBR.hlsli family uses).
+        s = jnp.clip(strength, 0.0, 0.98)[..., None]
+        ax = jnp.maximum(alpha * (1.0 + s), 1e-3)
+        ay = jnp.maximum(alpha * (1.0 - s), 1e-3)
+        t_h = jnp.sum(T * h, -1, keepdims=True)
+        b_h = jnp.sum(B * h, -1, keepdims=True)
+        t_v = jnp.sum(T * v, -1, keepdims=True)
+        b_v = jnp.sum(B * v, -1, keepdims=True)
+        t_l = jnp.sum(T * l, -1, keepdims=True)
+        b_l = jnp.sum(B * l, -1, keepdims=True)
+        d = (t_h / ax) ** 2 + (b_h / ay) ** 2 + n_dot_h ** 2
+        D = 1.0 / jnp.maximum(jnp.pi * ax * ay * d * d, 1e-8)
+        lv = n_dot_l * jnp.sqrt(jnp.maximum(
+            (t_v * ax) ** 2 + (b_v * ay) ** 2 + n_dot_v ** 2, 1e-12))
+        ll = n_dot_v * jnp.sqrt(jnp.maximum(
+            (t_l * ax) ** 2 + (b_l * ay) ** 2 + n_dot_l ** 2, 1e-12))
+        Vis = 0.5 / jnp.maximum(lv + ll, 1e-8)
+    else:
+        D = _d_ggx(n_dot_h, alpha)
+        Vis = _g_smith(n_dot_v, n_dot_l, alpha)
     specular = D * Vis * F
     if spec_scale is not None:
         specular = specular * spec_scale
     kd = (1.0 - F) * (1.0 - metallic[..., None])
-    diffuse = kd * albedo / jnp.pi
-    return (diffuse + specular) * n_dot_l
+    diffuse = kd * albedo / jnp.pi * n_dot_l
+    if sss is not None:
+        w8, scol, rad = sss
+        # Wrap-diffusion: terminator softens by the radius; the wrapped
+        # region is tinted by the subsurface color (normalized so the
+        # hemisphere integral matches Lambert — furnace stays white for
+        # scol = 1).
+        wrap = jnp.clip(rad, 0.0, 1.0)[..., None]
+        wrapped = jnp.clip((ndl_s + wrap) / ((1.0 + wrap) ** 2), 0.0, 1.0)
+        sss_d = kd * albedo * scol / jnp.pi * wrapped
+        diffuse = diffuse + w8[..., None] * (sss_d - diffuse)
+    if trans_w is not None:
+        diffuse = diffuse * (1.0 - trans_w[..., None])
+    return diffuse + specular * n_dot_l
 
 
 def apply_coat(base: jnp.ndarray, gb: GBuffer, n: jnp.ndarray,
@@ -286,7 +397,8 @@ def openpbr_terms(gb: GBuffer, v: jnp.ndarray, n: jnp.ndarray,
 def shade_one_light(gb: GBuffer, row: jnp.ndarray, v: jnp.ndarray,
                     n: jnp.ndarray, directional_only: bool = False,
                     coat: bool = False, spec_comp=None,
-                    fuzz_e=None) -> jnp.ndarray:
+                    fuzz_e=None, sss=None, trans_w=None,
+                    aniso=None) -> jnp.ndarray:
     """Full-screen contribution of ONE packed light row (H, W, 3).
     Shared by the deferred loop and the shadowed-local-light pass.
     `spec_comp`/`fuzz_e` are the precomputed light-independent OpenPBR
@@ -310,7 +422,8 @@ def shade_one_light(gb: GBuffer, row: jnp.ndarray, v: jnp.ndarray,
     att = jnp.where(ltype == 2.0, att * spot * spot, att)
     radiance = color[None, None, :] * (intensity * att)
     brdf = eval_brdf(n, v, l, gb.albedo, gb.metallic, gb.roughness,
-                     spec_scale=spec_comp)
+                     spec_scale=spec_comp, sss=sss, trans_w=trans_w,
+                     aniso=aniso)
     out = brdf * radiance
     if fuzz_e is not None:
         # OpenPBR fuzz: Charlie-sheen lobe layered OVER the base, which is
@@ -333,7 +446,9 @@ def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
                    shadow_fn=None, ambient: float = 0.0,
                    max_lights: int = 0, directional_only: bool = False,
                    coat: bool = False, energy: bool = False,
-                   fuzz: bool = False) -> jnp.ndarray:
+                   fuzz: bool = False, sss: bool = False,
+                   aniso: bool = False,
+                   transmission: bool = False) -> jnp.ndarray:
     """Full-screen deferred lighting -> HDR (H, W, 3).
 
     `shadow_fn(light_index, world_pos, normal) -> (H, W) visibility` is
@@ -346,11 +461,24 @@ def shade_deferred(gb: GBuffer, scene: SceneBuffers, view: ViewData,
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
     n = gb.normal
     spec_comp, fuzz_e = openpbr_terms(gb, v, n, energy, fuzz)
+    # Light-independent OpenPBR extension inputs, computed once and shared
+    # by every light (reference: PerMaterialOpenPBRCB consumption in
+    # PBR.hlsli; lobes ride the analytic-light path like coat/fuzz — the
+    # tiled local-light kernel keeps the base BRDF).
+    sss_t = (gb.sss_weight, gb.sss_color, gb.sss_radius) \
+        if sss and gb.sss_weight is not None else None
+    trans_t = gb.trans_weight \
+        if transmission and gb.trans_weight is not None else None
+    aniso_t = None
+    if aniso and gb.aniso_strength is not None:
+        T, B = tangent_frame(gb.world_pos, gb.uv, n, gb.aniso_rotation)
+        aniso_t = (T, B, gb.aniso_strength)
 
     def light_contrib(i):
         out = shade_one_light(gb, scene.lights[i], v, n,
                               directional_only=directional_only, coat=coat,
-                              spec_comp=spec_comp, fuzz_e=fuzz_e)
+                              spec_comp=spec_comp, fuzz_e=fuzz_e,
+                              sss=sss_t, trans_w=trans_t, aniso=aniso_t)
         if shadow_fn is not None:
             vis = shadow_fn(i, gb.world_pos, n)
             out = out * vis[..., None]

@@ -143,6 +143,12 @@ class Renderer:
                             for m in self.materials.materials),
             enable_fuzz=any(m.fuzz_weight > 0.0
                             for m in self.materials.materials),
+            enable_sss=any(m.subsurface_weight > 0.0
+                           for m in self.materials.materials),
+            enable_aniso=any(m.anisotropy_strength > 0.0
+                             for m in self.materials.materials),
+            enable_transmission=any(m.transmission_weight > 0.0
+                                    for m in self.materials.materials),
             enable_energy_comp=s.get("enableEnergyCompensation", False),
             enable_auto_exposure=s.get("enableAutoExposure"),
             enable_vsm=s.get("enableVSM"),

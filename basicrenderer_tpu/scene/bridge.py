@@ -263,7 +263,10 @@ class SceneRenderBridge:
             rows[:, 9] = r.material_id
             m = self.materials.get(r.material_id)
             # Surface class: 0 opaque, 1 transparent (OIT), 2 alpha-MASK.
-            if m.alpha_blend or m.base_color[3] < 0.999:
+            # Transmission (OpenPBR glass) routes through the OIT peel: the
+            # refracted background is the layer behind it (ops/oit.py).
+            if m.alpha_blend or m.base_color[3] < 0.999 \
+                    or m.transmission_weight > 0.0:
                 rows[:, 10] = 1.0
             elif m.alpha_cutoff >= 0.0:
                 rows[:, 10] = 2.0

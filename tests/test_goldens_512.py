@@ -166,3 +166,56 @@ def test_g512_voxel_rt(rig):
     _check("g512_voxel_rt", _render(
         rig, enable_voxel_rt=True, enable_ibl=True, voxel_n=32,
         voxel_level_offsets=static_level_offsets(32)))
+
+
+@pytest.fixture(scope="module")
+def openpbr_rig():
+    """Glass (transmission), skin (subsurface), brushed metal (anisotropy)
+    spheres over a checkered floor — the OpenPBR extension surface
+    (reference: PerMaterialOpenPBRCB, ShaderBuffers.h:277-334)."""
+    meshes, mats = MeshRegistry(), MaterialRegistry()
+    tex = TextureRegistry(resolution=64)
+    checker = tex.checkerboard(a=(1, 1, 1), b=(0.15, 0.15, 0.15), squares=8)
+    sphere = meshes.add(clusters.to_mesh_data(clusters.build_cluster_lod(
+        procedural.make_uv_sphere(0.8, rings=24, sectors=48))))
+    plane = meshes.add(procedural.make_plane(8.0, 2))
+    floor_m = mats.add(Material(
+        base_color=np.array([0.7, 0.7, 0.72, 1], np.float32),
+        roughness=0.3, base_color_texture=checker))
+    glass_m = mats.add(Material(
+        base_color=np.array([1, 1, 1, 1], np.float32), roughness=0.05,
+        transmission_weight=1.0,
+        transmission_color=np.array([0.4, 0.9, 0.5], np.float32), ior=1.5))
+    skin_m = mats.add(Material(
+        base_color=np.array([0.85, 0.62, 0.52, 1], np.float32),
+        roughness=0.55, subsurface_weight=0.8,
+        subsurface_color=np.array([1.0, 0.35, 0.25], np.float32),
+        subsurface_radius=0.6))
+    brushed_m = mats.add(Material(
+        base_color=np.array([0.9, 0.9, 0.92, 1], np.float32),
+        roughness=0.35, metallic=1.0, anisotropy_strength=0.85,
+        anisotropy_rotation=0.6))
+    sc = Scene()
+    sc.create_renderable(plane, floor_m)
+    sc.create_renderable(sphere, glass_m, position=(-1.6, 0.8, 0))
+    sc.create_renderable(sphere, skin_m, position=(0, 0.8, -0.4))
+    sc.create_renderable(sphere, brushed_m, position=(1.6, 0.8, 0))
+    sc.create_directional_light(direction=(-0.5, -1, -0.35), intensity=2.5)
+    sc.create_point_light(position=(0.0, 2.2, 2.0),
+                          color=(1.0, 0.9, 0.8), intensity=5.0)
+    sc.set_camera(position=(0.4, 2.0, 4.2), target=(0, 0.7, 0), aspect=1.0)
+    sc.propagate_transforms()
+    caps = BridgeCapacities(max_vertices=1 << 15, max_triangles=1 << 15,
+                            max_objects=16, max_materials=8, max_lights=8,
+                            max_clusters=1 << 10, max_geom_clusters=1 << 10)
+    bridge = SceneRenderBridge(sc, meshes, mats, caps, textures=tex)
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    return buffers, make_view(view, proj, pos), FrameParams.default()
+
+
+def test_g512_openpbr_ext(openpbr_rig):
+    _check("g512_openpbr", _render(
+        openpbr_rig, enable_textures=True, texture_downscale=1,
+        enable_oit=True, oit_layers=2, enable_transmission=True,
+        enable_sss=True, enable_aniso=True, enable_ibl=True))

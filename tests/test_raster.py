@@ -93,8 +93,8 @@ def test_binning_counts_and_offsets():
     # per-tile ranges follow.
     assert offs[0] == config.max_big_tris
     assert np.all(np.diff(offs) >= 0)
-    ids = np.asarray(pairs.pair_data[config.max_big_tris:, 12]).astype(np.int32)
-    big_ids = np.asarray(pairs.pair_data[:config.max_big_tris, 12]).astype(np.int32)
+    ids = np.asarray(pairs.pair_data[config.max_big_tris:, 9]).astype(np.int32)
+    big_ids = np.asarray(pairs.pair_data[:config.max_big_tris, 9]).astype(np.int32)
     assert (ids > 0).sum() == int(pairs.num_pairs)
     assert (big_ids > 0).sum() == int(pairs.big_count)
     assert offs[-1] - offs[0] == int(pairs.num_pairs)
