@@ -5,14 +5,19 @@ USDLoader.cpp) loads binary stages through the full USD SDK. That SDK is
 not in this image, so this is a self-contained implementation of the
 crate CONTAINER format — bootstrap header, table-of-contents, TOKENS /
 STRINGS / FIELDS / FIELDSETS / PATHS / SPECS sections, 64-bit ValueRep
-encoding (type | inline-bit | array-bit | 48-bit payload), and the
-recursive path-tree encoding — targeting the uncompressed (pre-0.4.0)
-section layouts. Files produced by modern pxr builds use lz4 + custom
-integer compression in their sections; those are detected by version and
-rejected with a clear message (re-export with
-``USD_WRITE_NEW_USDC_FILES_AS_VERSION=0.0.1`` or as .usda). The writer
-and reader here are exact inverses and are round-trip tested; .usdz is
-the documented "zip with stored (uncompressed) entries" container.
+encoding (type | array/inline/compressed bits | 48-bit payload), and the
+path-tree encoding.
+
+Two section generations are supported:
+
+- **legacy (0.0.1)**: plain uncompressed sections (what this writer
+  emitted historically; still readable).
+- **modern (0.4.0 — 0.9.x)**: what every pxr build since USD 19.x
+  writes — TOKENS as an lz4 blob, FIELDS/FIELDSETS/PATHS/SPECS as
+  delta+lz4 compressed integer streams (models/crate_codec.py), array
+  values optionally compressed (ints: delta codec; floats: 'i' integer
+  or 't' lookup-table form), 64-bit array sizes from 0.7.0. The writer
+  emits version 0.8.0 by default.
 
 Value model: each prim is a Spec (SpecType Prim) whose fieldset carries
 ``specifier`` and ``typeName``; each attribute is its own Spec (SpecType
@@ -32,24 +37,34 @@ from typing import Dict, List, Optional, Tuple, Union
 import numpy as np
 
 from ..scene.scene import Scene
+from . import crate_codec as cc
 from .materials import Material, MaterialRegistry
 from .mesh import MeshData, MeshRegistry, compute_normals
 
 MAGIC = b"PXR-USDC"
 _BOOTSTRAP = 88          # magic(8) + version(8) + tocOffset(8) + reserved(64)
 
-# --- ValueRep type enums (crate data types; numbering follows the crate
-# spec's table so reps stay recognizable in a hex dump) -------------------
+# --- ValueRep type enums (the crate data-type table; ids must match what
+# pxr writes so real .usdc files decode) ----------------------------------
 T_BOOL, T_UCHAR, T_INT, T_UINT, T_INT64, T_UINT64 = 1, 2, 3, 4, 5, 6
 T_HALF, T_FLOAT, T_DOUBLE, T_STRING, T_TOKEN, T_ASSET = 7, 8, 9, 10, 11, 12
-T_VEC2F, T_VEC3F, T_VEC4F = 17, 21, 25
-T_MATRIX4D = 30
-T_PATH_LIST_OP = 40
-T_TOKEN_VECTOR = 43
-T_SPECIFIER = 44
+T_QUATD, T_QUATF, T_QUATH = 13, 14, 15
+T_VEC2D, T_VEC2F, T_VEC2H, T_VEC2I = 16, 17, 18, 19
+T_VEC3D, T_VEC3F, T_VEC3H, T_VEC3I = 20, 21, 22, 23
+T_VEC4D, T_VEC4F, T_VEC4H, T_VEC4I = 24, 25, 26, 27
+T_MATRIX2D, T_MATRIX3D, T_MATRIX4D = 28, 29, 30
+T_DICTIONARY = 31
+T_TOKEN_LIST_OP, T_STRING_LIST_OP, T_PATH_LIST_OP = 32, 33, 34
+T_REFERENCE_LIST_OP, T_INT_LIST_OP = 35, 36
+T_PATH_VECTOR, T_TOKEN_VECTOR = 40, 41
+T_SPECIFIER, T_PERMISSION, T_VARIABILITY = 42, 43, 44
+T_VARIANT_SELECTION_MAP, T_TIME_SAMPLES, T_PAYLOAD = 45, 46, 47
+T_DOUBLE_VECTOR, T_LAYER_OFFSET_VECTOR, T_STRING_VECTOR = 48, 49, 50
+T_VALUE_BLOCK, T_VALUE = 51, 52
 
 _ARRAY_BIT = 1 << 63
 _INLINE_BIT = 1 << 62
+_COMPRESSED_BIT = 1 << 61
 _PAYLOAD_MASK = (1 << 48) - 1
 
 # SpecTypes (SdfSpecType values)
@@ -58,11 +73,35 @@ SPEC_ATTRIBUTE, SPEC_PRIM, SPEC_PSEUDO_ROOT, SPEC_RELATIONSHIP = 1, 6, 7, 8
 # Specifier enum
 SPECIFIER_DEF, SPECIFIER_OVER, SPECIFIER_CLASS = 0, 1, 2
 
+# SdfListOp header flag bits (crate serialization).
+_LISTOP_EXPLICIT = 1 << 0
+_LISTOP_HAS_EXPLICIT = 1 << 1
+_LISTOP_HAS_ADDED = 1 << 2
+_LISTOP_HAS_DELETED = 1 << 3
+_LISTOP_HAS_ORDERED = 1 << 4
+_LISTOP_HAS_PREPENDED = 1 << 5
+_LISTOP_HAS_APPENDED = 1 << 6
+
 _ARRAY_DTYPES = {
-    T_INT: (np.int32, 1), T_UINT: (np.uint32, 1), T_FLOAT: (np.float32, 1),
-    T_DOUBLE: (np.float64, 1), T_VEC2F: (np.float32, 2),
-    T_VEC3F: (np.float32, 3), T_VEC4F: (np.float32, 4),
+    T_UCHAR: (np.uint8, 1), T_INT: (np.int32, 1), T_UINT: (np.uint32, 1),
+    T_INT64: (np.int64, 1), T_UINT64: (np.uint64, 1),
+    T_HALF: (np.float16, 1), T_FLOAT: (np.float32, 1),
+    T_DOUBLE: (np.float64, 1),
+    T_VEC2F: (np.float32, 2), T_VEC3F: (np.float32, 3),
+    T_VEC4F: (np.float32, 4),
+    T_VEC2D: (np.float64, 2), T_VEC3D: (np.float64, 3),
+    T_VEC4D: (np.float64, 4),
+    T_VEC2I: (np.int32, 2), T_VEC3I: (np.int32, 3), T_VEC4I: (np.int32, 4),
+    T_VEC2H: (np.float16, 2), T_VEC3H: (np.float16, 3),
+    T_VEC4H: (np.float16, 4),
+    T_QUATF: (np.float32, 4), T_QUATD: (np.float64, 4),
+    T_MATRIX4D: (np.float64, 16), T_MATRIX3D: (np.float64, 9),
+    T_MATRIX2D: (np.float64, 4),
 }
+# Scalar int/float array types eligible for the compressed-array forms.
+_COMPRESSIBLE_INTS = {T_INT: False, T_UINT: False,
+                      T_INT64: True, T_UINT64: True}   # -> wide codec flag
+_COMPRESSIBLE_FLOATS = (T_FLOAT, T_DOUBLE)
 
 
 @dataclasses.dataclass
@@ -84,7 +123,8 @@ class UsdPrim:
 # =========================================================================
 
 class _CrateWriter:
-    def __init__(self):
+    def __init__(self, modern: bool = True):
+        self.modern = modern           # emit 0.8.0 compressed-array forms
         self.tokens: List[str] = [""]
         self._tok_ix: Dict[str, int] = {"": 0}
         self.fields: List[Tuple[int, int]] = []        # (tokenIndex, rep)
@@ -111,8 +151,9 @@ class _CrateWriter:
         if isinstance(v, bool):
             return (T_BOOL << 48) | _INLINE_BIT | int(v)
         if isinstance(v, int):
-            if 0 <= v < (1 << 32):
-                return (T_INT << 48) | _INLINE_BIT | v
+            if -(1 << 31) <= v < (1 << 31):
+                # Inline ints carry two's complement in the low 32 bits.
+                return (T_INT << 48) | _INLINE_BIT | (v & 0xFFFFFFFF)
             return (T_INT64 << 48) | self._heap(struct.pack("<q", v))
         if isinstance(v, float):
             bits = struct.unpack("<I", struct.pack("<f", np.float32(v)))[0]
@@ -129,10 +170,43 @@ class _CrateWriter:
             if v.shape == (4, 4) and v.dtype == np.float64:
                 return (T_MATRIX4D << 48) | self._heap(v.tobytes())
             t = self._array_type(v)
-            raw = struct.pack("<Q", v.shape[0]) + np.ascontiguousarray(
-                v).tobytes()
+            n = v.shape[0]
+            if self.modern:
+                rep = self._compressed_array_rep(t, v, n)
+                if rep is not None:
+                    return rep
+            raw = struct.pack("<Q", n) + np.ascontiguousarray(v).tobytes()
             return (t << 48) | _ARRAY_BIT | self._heap(raw)
         raise TypeError(f"unsupported crate value: {type(v)}")
+
+    def _compressed_array_rep(self, t: int, v: np.ndarray,
+                              n: int) -> Optional[int]:
+        """The 0.5.0/0.6.0 compressed scalar-array forms when profitable
+        (same policy as pxr: only 1-lane int/float arrays of >=16 elems)."""
+        if v.ndim != 1 or n < 16:
+            return None
+        if t in _COMPRESSIBLE_INTS:
+            blob = cc.compress_ints(v, wide=_COMPRESSIBLE_INTS[t])
+            raw = struct.pack("<QQ", n, len(blob)) + blob
+            return (t << 48) | _ARRAY_BIT | _COMPRESSED_BIT | self._heap(raw)
+        if t in _COMPRESSIBLE_FLOATS:
+            as_int = v.astype(np.int32)
+            if np.array_equal(as_int.astype(v.dtype), v):
+                blob = cc.compress_ints(as_int)
+                raw = struct.pack("<Q", n) + b"i" \
+                    + struct.pack("<Q", len(blob)) + blob
+                return ((t << 48) | _ARRAY_BIT | _COMPRESSED_BIT
+                        | self._heap(raw))
+            lut, inv = np.unique(v, return_inverse=True)
+            if len(lut) <= min(n // 4, 1 << 12):
+                blob = cc.compress_ints(inv.astype(np.int32))
+                raw = (struct.pack("<Q", n) + b"t"
+                       + struct.pack("<I", len(lut))
+                       + np.ascontiguousarray(lut).tobytes()
+                       + struct.pack("<Q", len(blob)) + blob)
+                return ((t << 48) | _ARRAY_BIT | _COMPRESSED_BIT
+                        | self._heap(raw))
+        return None
 
     @staticmethod
     def _array_type(v: np.ndarray) -> int:
@@ -146,8 +220,10 @@ class _CrateWriter:
         return (T_SPECIFIER << 48) | _INLINE_BIT | s
 
     def rep_path_list(self, path_indexes: List[int]) -> int:
-        # Minimal SdfPathListOp: flags byte (1 = explicit) + explicit items.
-        raw = struct.pack("<BQ", 1, len(path_indexes)) + b"".join(
+        # SdfPathListOp: flags byte (explicit + has-explicit-items) then
+        # the explicit list as u64 count + u32 path indexes.
+        raw = struct.pack("<BQ", _LISTOP_EXPLICIT | _LISTOP_HAS_EXPLICIT,
+                          len(path_indexes)) + b"".join(
             struct.pack("<I", i) for i in path_indexes)
         return (T_PATH_LIST_OP << 48) | self._heap(raw)
 
@@ -233,9 +309,60 @@ def _encode_paths(order: List[str], index: Dict[str, int],
     return bytes(out)
 
 
-def save_usdc(path: str, prims: List[UsdPrim]) -> None:
-    """Write a flattened stage of UsdPrims as a binary crate file."""
-    w = _CrateWriter()
+def _encode_paths_modern(order: List[str], index: Dict[str, int],
+                         w: _CrateWriter) -> bytes:
+    """The 0.4.0+ PATHS payload: three delta+lz4 integer streams
+    (pathIndexes, elementTokenIndexes, jumps) in stream order
+    node → descendant subtree → sibling subtree. Jump semantics:
+    >0 sibling offset (node also has a child), -1 child only,
+    0 sibling only, -2 leaf."""
+    kids: Dict[str, List[str]] = {p: [] for p in order}
+    for p in order:
+        if p != "/":
+            kids[_path_parent(p)].append(p)
+    for p in kids:
+        kids[p].sort(key=lambda c: index[c])
+    pi: List[int] = []
+    eti: List[int] = []
+    jumps: List[int] = []
+
+    def emit(p: str, has_sib: bool) -> int:
+        pos = len(pi)
+        pi.append(index[p])
+        if p == "/":
+            eti.append(0)
+        else:
+            tok, is_prop = _path_element(p)
+            ti = w.token(tok)
+            eti.append(-ti if is_prop else ti)
+        jumps.append(-2)
+        cs = kids[p]
+        size = 1
+        for i, c in enumerate(cs):
+            size += emit(c, i + 1 < len(cs))
+        if cs:
+            jumps[pos] = size if has_sib else -1
+        elif has_sib:
+            jumps[pos] = 0
+        return size
+
+    emit("/", False)
+
+    def comp(vals, dtype):
+        b = cc.compress_ints(np.asarray(vals, dtype))
+        return struct.pack("<Q", len(b)) + b
+
+    return (struct.pack("<Q", len(pi)) + comp(pi, np.uint32)
+            + comp(eti, np.int32) + comp(jumps, np.int32))
+
+
+def save_usdc(path: str, prims: List[UsdPrim],
+              version: Tuple[int, int, int] = (0, 8, 0)) -> None:
+    """Write a flattened stage of UsdPrims as a binary crate file.
+    `version` (0,8,0) emits the modern compressed-section layout every
+    pxr build reads; (0,0,1) emits the legacy uncompressed layout."""
+    modern = version >= (0, 4, 0)
+    w = _CrateWriter(modern)
     all_paths = ["/"]
     for pr in prims:
         all_paths.append(pr.path)
@@ -263,28 +390,56 @@ def save_usdc(path: str, prims: List[UsdPrim]) -> None:
             w.specs.append((index[f"{pr.path}.{name}"], rfs,
                             SPEC_RELATIONSHIP))
 
-    paths_blob = struct.pack("<Q", len(order)) + _encode_paths(order, index, w)
+    if modern:
+        paths_blob = struct.pack("<Q", len(order)) + _encode_paths_modern(
+            order, index, w)
+    else:
+        paths_blob = struct.pack("<Q", len(order)) + _encode_paths(
+            order, index, w)
+
+    def comp_ints(vals, dtype=np.uint32):
+        b = cc.compress_ints(np.asarray(vals, dtype))
+        return struct.pack("<Q", len(b)) + b
 
     # Assemble sections AFTER the value heap (tokens got created during
     # path encoding too, so tokens must serialize last).
     sections: List[Tuple[bytes, bytes]] = []
-    tok_blob = struct.pack("<Q", len(w.tokens)) + b"\0".join(
-        t.encode() for t in w.tokens) + b"\0"
+    tok_raw = b"\0".join(t.encode() for t in w.tokens) + b"\0"
+    if modern:
+        tok_comp = cc.tf_compress(tok_raw)
+        tok_blob = struct.pack("<QQQ", len(w.tokens), len(tok_raw),
+                               len(tok_comp)) + tok_comp
+    else:
+        tok_blob = struct.pack("<Q", len(w.tokens)) + tok_raw
     sections.append((b"TOKENS", tok_blob))
     sections.append((b"STRINGS", struct.pack("<Q", 0)))
-    f_blob = struct.pack("<Q", len(w.fields)) + b"".join(
-        struct.pack("<IIQ", ti, 0, rep) for ti, rep in w.fields)
+    if modern:
+        reps_raw = np.asarray([rep for _, rep in w.fields],
+                              np.uint64).tobytes()
+        reps_comp = cc.tf_compress(reps_raw)
+        f_blob = (struct.pack("<Q", len(w.fields))
+                  + comp_ints([ti for ti, _ in w.fields])
+                  + struct.pack("<Q", len(reps_comp)) + reps_comp)
+        fs_blob = struct.pack("<Q", len(w.fieldsets)) + comp_ints(
+            w.fieldsets)
+        sp_blob = (struct.pack("<Q", len(w.specs))
+                   + comp_ints([s[0] for s in w.specs])
+                   + comp_ints([s[1] for s in w.specs])
+                   + comp_ints([s[2] for s in w.specs]))
+    else:
+        f_blob = struct.pack("<Q", len(w.fields)) + b"".join(
+            struct.pack("<IIQ", ti, 0, rep) for ti, rep in w.fields)
+        fs_blob = struct.pack("<Q", len(w.fieldsets)) + np.asarray(
+            w.fieldsets, np.uint32).tobytes()
+        sp_blob = struct.pack("<Q", len(w.specs)) + b"".join(
+            struct.pack("<III", *s) for s in w.specs)
     sections.append((b"FIELDS", f_blob))
-    fs_blob = struct.pack("<Q", len(w.fieldsets)) + np.asarray(
-        w.fieldsets, np.uint32).tobytes()
     sections.append((b"FIELDSETS", fs_blob))
     sections.append((b"PATHS", paths_blob))
-    sp_blob = struct.pack("<Q", len(w.specs)) + b"".join(
-        struct.pack("<III", *s) for s in w.specs)
     sections.append((b"SPECS", sp_blob))
 
     with open(path, "wb") as f:
-        f.write(MAGIC + bytes([0, 0, 1]) + bytes(5))
+        f.write(MAGIC + bytes(version) + bytes(5))
         f.write(struct.pack("<q", 0))          # tocOffset placeholder
         f.write(bytes(64))
         f.write(bytes(w.body))
@@ -332,12 +487,12 @@ class _CrateReader:
         self.data = data
         if data[:8] != MAGIC:
             raise CrateError("not a usdc file")
-        ver = tuple(data[8:11])
-        if ver >= (0, 4, 0):
+        self.ver = tuple(data[8:11])
+        if self.ver >= (0, 10, 0):
             raise CrateError(
-                f"usdc version {ver[0]}.{ver[1]}.{ver[2]} uses compressed "
-                "sections; re-export as .usda or usdc 0.0.1 "
-                "(USD_WRITE_NEW_USDC_FILES_AS_VERSION=0.0.1)")
+                f"usdc version {self.ver[0]}.{self.ver[1]}.{self.ver[2]} "
+                "is newer than this reader (0.9.x max)")
+        self.modern = self.ver >= (0, 4, 0)
         (toc_off,) = struct.unpack_from("<q", data, 16)
         (n,) = struct.unpack_from("<q", data, toc_off)
         self.sections: Dict[bytes, Tuple[int, int]] = {}
@@ -348,6 +503,7 @@ class _CrateReader:
             self.sections[name] = (start, size)
             o += 32
         self.tokens = self._read_tokens()
+        self.strings = self._read_strings()
         self.fields = self._read_fields()
         self.fieldsets = self._read_fieldsets()
         self.paths = self._read_paths()
@@ -359,26 +515,57 @@ class _CrateReader:
         s, z = self.sections[name]
         return self.data[s:s + z]
 
+    @staticmethod
+    def _comp_ints(b: bytes, off: int, n: int,
+                   wide: bool = False) -> Tuple[np.ndarray, int]:
+        """One _CompressedIntsReader block: u64 compressedSize + blob."""
+        (csz,) = struct.unpack_from("<Q", b, off)
+        vals = cc.decompress_ints(b[off + 8:off + 8 + csz], n, wide)
+        return vals, off + 8 + csz
+
     def _read_tokens(self) -> List[str]:
         b = self._sec(b"TOKENS")
         (n,) = struct.unpack_from("<Q", b, 0)
-        parts = b[8:].split(b"\0")
-        return [p.decode() for p in parts[:n]]
+        if self.modern:
+            raw_size, comp_size = struct.unpack_from("<QQ", b, 8)
+            raw = cc.tf_decompress(b[24:24 + comp_size], raw_size)
+        else:
+            raw = b[8:]
+        parts = raw.split(b"\0")
+        return [p.decode("utf-8", "replace") for p in parts[:n]]
+
+    def _read_strings(self) -> List[int]:
+        if b"STRINGS" not in self.sections:
+            return []
+        b = self._sec(b"STRINGS")
+        (n,) = struct.unpack_from("<Q", b, 0)
+        return list(np.frombuffer(b, np.uint32, count=n, offset=8))
 
     def _read_fields(self) -> List[Tuple[int, int]]:
         b = self._sec(b"FIELDS")
         (n,) = struct.unpack_from("<Q", b, 0)
-        return [struct.unpack_from("<IIQ", b, 8 + 16 * i)[::2]
-                for i in range(n)]
+        if not self.modern:
+            return [struct.unpack_from("<IIQ", b, 8 + 16 * i)[::2]
+                    for i in range(n)]
+        tok_ix, off = self._comp_ints(b, 8, n)
+        (reps_size,) = struct.unpack_from("<Q", b, off)
+        reps_raw = cc.tf_decompress(b[off + 8:off + 8 + reps_size], 8 * n)
+        reps = np.frombuffer(reps_raw, np.uint64, n)
+        return [(int(np.uint32(tok_ix[i])), int(reps[i])) for i in range(n)]
 
     def _read_fieldsets(self) -> List[int]:
         b = self._sec(b"FIELDSETS")
         (n,) = struct.unpack_from("<Q", b, 0)
-        return list(np.frombuffer(b, np.uint32, count=n, offset=8))
+        if not self.modern:
+            return list(np.frombuffer(b, np.uint32, count=n, offset=8))
+        vals, _ = self._comp_ints(b, 8, n)
+        return list(vals.astype(np.int64) & 0xFFFFFFFF)
 
     def _read_paths(self) -> List[str]:
         b = self._sec(b"PATHS")
         (n,) = struct.unpack_from("<Q", b, 0)
+        if self.modern:
+            return self._read_paths_modern(b, n)
         paths: Dict[int, str] = {}
         pos = [8]
 
@@ -408,50 +595,226 @@ class _CrateReader:
             out[i] = p
         return out
 
+    def _read_paths_modern(self, b: bytes, n: int) -> List[str]:
+        """0.4.0+ path decoding: three compressed integer streams walked
+        with the jump semantics (see _encode_paths_modern)."""
+        (n_enc,) = struct.unpack_from("<Q", b, 8)
+        pi, off = self._comp_ints(b, 16, n_enc)
+        eti, off = self._comp_ints(b, off, n_enc)
+        jumps, off = self._comp_ints(b, off, n_enc)
+        pi = pi.astype(np.int64) & 0xFFFFFFFF
+        paths: Dict[int, str] = {}
+        # (start, parent) work stack; parent None marks the root entry.
+        stack: List[Tuple[int, Optional[str]]] = [(0, None)]
+        while stack:
+            cur, parent = stack.pop()
+            while True:
+                j = int(jumps[cur])
+                if parent is None:
+                    p = "/"
+                else:
+                    ti = int(eti[cur])
+                    tok = self.tokens[abs(ti)]
+                    if ti < 0:
+                        p = f"{parent}.{tok}"
+                    else:
+                        base = "" if parent == "/" else parent
+                        p = f"{base}/{tok}"
+                paths[int(pi[cur])] = p
+                has_child = j > 0 or j == -1
+                has_sib = j >= 0
+                if has_child:
+                    if has_sib:
+                        stack.append((cur + j, parent))
+                    parent = p
+                    cur += 1
+                elif has_sib:
+                    cur += 1
+                else:
+                    break
+        out = [""] * (max(paths) + 1 if paths else 0)
+        for i, p in paths.items():
+            out[i] = p
+        return out
+
     def _read_specs(self) -> List[Tuple[int, int, int]]:
         b = self._sec(b"SPECS")
         (n,) = struct.unpack_from("<Q", b, 0)
-        return [struct.unpack_from("<III", b, 8 + 12 * i) for i in range(n)]
+        if not self.modern:
+            return [struct.unpack_from("<III", b, 8 + 12 * i)
+                    for i in range(n)]
+        p_ix, off = self._comp_ints(b, 8, n)
+        fs_ix, off = self._comp_ints(b, off, n)
+        st, off = self._comp_ints(b, off, n)
+        u = lambda a: (a.astype(np.int64) & 0xFFFFFFFF)
+        p_ix, fs_ix, st = u(p_ix), u(fs_ix), u(st)
+        return [(int(p_ix[i]), int(fs_ix[i]), int(st[i])) for i in range(n)]
 
     # --- value decoding --------------------------------------------------
+    def _array_count(self, payload: int) -> Tuple[int, int]:
+        """(count, offset-after-count). 64-bit sizes in 0.7.0+ and in the
+        legacy layout this writer always used; 32-bit in 0.4.0-0.6.x."""
+        if self.ver >= (0, 7, 0) or not self.modern:
+            (cnt,) = struct.unpack_from("<Q", self.data, payload)
+            return cnt, payload + 8
+        (cnt,) = struct.unpack_from("<I", self.data, payload)
+        return cnt, payload + 4
+
+    def _read_comp_block(self, off: int, n: int,
+                         wide: bool = False) -> Tuple[np.ndarray, int]:
+        (csz,) = struct.unpack_from("<Q", self.data, off)
+        vals = cc.decompress_ints(self.data[off + 8:off + 8 + csz], n, wide)
+        return vals, off + 8 + csz
+
+    def _compressed_array(self, t: int, payload: int) -> np.ndarray:
+        cnt, off = self._array_count(payload)
+        if t in _COMPRESSIBLE_INTS:
+            vals, _ = self._read_comp_block(off, cnt,
+                                            _COMPRESSIBLE_INTS[t])
+            return vals.astype(_ARRAY_DTYPES[t][0])
+        dt = _ARRAY_DTYPES[t][0]
+        code = self.data[off:off + 1]
+        off += 1
+        if code == b"i":                 # integers cast to float
+            vals, _ = self._read_comp_block(off, cnt)
+            return vals.astype(dt)
+        if code == b"t":                 # lookup table + indexes
+            (lut_n,) = struct.unpack_from("<I", self.data, off)
+            off += 4
+            lut = np.frombuffer(self.data, dt, lut_n, offset=off)
+            off += lut_n * np.dtype(dt).itemsize
+            ix, _ = self._read_comp_block(off, cnt)
+            return lut[ix.astype(np.int64) & 0xFFFFFFFF]
+        raise CrateError(f"unknown compressed-float code {code!r}")
+
+    def _listop_items(self, payload: int, item_size: int,
+                      path_items: bool) -> list:
+        """SdfListOp payload: flags byte + one (u64 count + items) vector
+        per present-flag. Returns explicit items if explicit, else
+        prepended+added+appended (the flattened-stage cases are explicit)."""
+        flags = self.data[payload]
+        off = payload + 1
+        lists: Dict[int, list] = {}
+        for bit in (_LISTOP_HAS_EXPLICIT, _LISTOP_HAS_ADDED,
+                    _LISTOP_HAS_PREPENDED, _LISTOP_HAS_APPENDED,
+                    _LISTOP_HAS_DELETED, _LISTOP_HAS_ORDERED):
+            if not flags & bit:
+                continue
+            (cnt,) = struct.unpack_from("<Q", self.data, off)
+            off += 8
+            ix = np.frombuffer(self.data, np.uint32, count=cnt, offset=off)
+            off += cnt * item_size
+            items = ([self.paths[i] for i in ix] if path_items
+                     else [self.tokens[i] for i in ix])
+            lists[bit] = items
+        # Legacy files from this writer: flags==1 with the explicit list
+        # following unflagged.
+        if flags == _LISTOP_EXPLICIT and not lists and not self.modern:
+            (cnt,) = struct.unpack_from("<Q", self.data, payload + 1)
+            ix = np.frombuffer(self.data, np.uint32, count=cnt,
+                               offset=payload + 9)
+            return [self.paths[i] for i in ix]
+        if flags & _LISTOP_EXPLICIT:
+            return lists.get(_LISTOP_HAS_EXPLICIT, [])
+        return (lists.get(_LISTOP_HAS_PREPENDED, [])
+                + lists.get(_LISTOP_HAS_ADDED, [])
+                + lists.get(_LISTOP_HAS_APPENDED, []))
+
+    @staticmethod
+    def _inline_vec(payload: int, lanes: int, dt) -> np.ndarray:
+        """Inline vec values pack one signed byte per component."""
+        raw = np.asarray([(payload >> (8 * i)) & 0xFF
+                          for i in range(lanes)], np.uint8)
+        return raw.view(np.int8).astype(dt)
+
     def value(self, rep: int) -> object:
         t = (rep >> 48) & 0xFF
         payload = rep & _PAYLOAD_MASK
         inline = bool(rep & _INLINE_BIT)
         if rep & _ARRAY_BIT:
+            if t not in _ARRAY_DTYPES:
+                raise CrateError(f"unsupported array type {t}")
+            if rep & _COMPRESSED_BIT:
+                return self._compressed_array(t, payload)
             dt, lanes = _ARRAY_DTYPES[t]
-            (cnt,) = struct.unpack_from("<Q", self.data, payload)
+            cnt, off = self._array_count(payload)
             arr = np.frombuffer(self.data, dt, count=cnt * lanes,
-                                offset=payload + 8)
+                                offset=off)
             return arr.reshape(cnt, lanes) if lanes > 1 else arr.copy()
         if t == T_BOOL:
             return bool(payload & 1)
-        if t in (T_INT, T_UINT):
+        if t == T_INT or t == T_UINT:
+            if t == T_INT:                # sign-extend the low 32 bits
+                return int(np.int32(np.uint32(payload & 0xFFFFFFFF)))
             return int(payload & 0xFFFFFFFF)
-        if t == T_INT64:
-            return struct.unpack_from("<q", self.data, payload)[0]
-        if t == T_FLOAT:
-            return struct.unpack("<f", struct.pack(
-                "<I", payload & 0xFFFFFFFF))[0]
-        if t == T_DOUBLE:
-            return struct.unpack_from("<d", self.data, payload)[0]
-        if t in (T_TOKEN, T_STRING, T_ASSET):
+        if t == T_UCHAR:
+            return int(payload & 0xFF)
+        if t in (T_INT64, T_UINT64):
+            if inline:
+                v = int(np.int32(np.uint32(payload & 0xFFFFFFFF)))
+                return v if t == T_INT64 else v & 0xFFFFFFFFFFFFFFFF
+            fmt = "<q" if t == T_INT64 else "<Q"
+            return struct.unpack_from(fmt, self.data, payload)[0]
+        if t in (T_HALF, T_FLOAT, T_DOUBLE):
+            if inline or t == T_FLOAT:
+                # Doubles/halves inline as a float in the low 32 bits.
+                f = struct.unpack("<f", struct.pack(
+                    "<I", payload & 0xFFFFFFFF))[0]
+                return float(f)
+            dt = np.float64 if t == T_DOUBLE else np.float16
+            return float(np.frombuffer(self.data, dt, 1, payload)[0])
+        if t == T_STRING:
+            # StringIndex -> token index via the STRINGS table.
+            if self.strings and payload < len(self.strings):
+                return self.tokens[self.strings[payload]]
             return self.tokens[payload]
-        if t == T_SPECIFIER:
+        if t in (T_TOKEN, T_ASSET):
+            return self.tokens[payload]
+        if t in (T_SPECIFIER, T_PERMISSION, T_VARIABILITY):
             return int(payload)
-        if t == T_MATRIX4D:
-            return np.frombuffer(self.data, np.float64, count=16,
-                                 offset=payload).reshape(4, 4).copy()
+        if t in (T_VEC2F, T_VEC3F, T_VEC4F, T_VEC2D, T_VEC3D, T_VEC4D,
+                 T_VEC2H, T_VEC3H, T_VEC4H, T_VEC2I, T_VEC3I, T_VEC4I,
+                 T_QUATF, T_QUATD):
+            dt, lanes = _ARRAY_DTYPES[t]
+            if inline:
+                return self._inline_vec(payload, lanes, dt)
+            return np.frombuffer(self.data, dt, lanes, payload).copy()
+        if t in (T_MATRIX2D, T_MATRIX3D, T_MATRIX4D):
+            side = {T_MATRIX2D: 2, T_MATRIX3D: 3, T_MATRIX4D: 4}[t]
+            if inline:                    # int8 diagonal (e.g. identity)
+                d = self._inline_vec(payload, side, np.float64)
+                return np.diag(d)
+            return np.frombuffer(self.data, np.float64, side * side,
+                                 payload).reshape(side, side).copy()
         if t == T_TOKEN_VECTOR:
             (cnt,) = struct.unpack_from("<Q", self.data, payload)
             ix = np.frombuffer(self.data, np.uint32, count=cnt,
                                offset=payload + 8)
             return [self.tokens[i] for i in ix]
-        if t == T_PATH_LIST_OP:
-            flags, cnt = struct.unpack_from("<BQ", self.data, payload)
+        if t == T_PATH_VECTOR:
+            (cnt,) = struct.unpack_from("<Q", self.data, payload)
             ix = np.frombuffer(self.data, np.uint32, count=cnt,
-                               offset=payload + 9)
+                               offset=payload + 8)
             return [self.paths[i] for i in ix]
+        if t == T_STRING_VECTOR:
+            (cnt,) = struct.unpack_from("<Q", self.data, payload)
+            ix = np.frombuffer(self.data, np.uint32, count=cnt,
+                               offset=payload + 8)
+            return [self.value((T_STRING << 48) | int(i)) for i in ix]
+        if t == T_DOUBLE_VECTOR:
+            (cnt,) = struct.unpack_from("<Q", self.data, payload)
+            return np.frombuffer(self.data, np.float64, count=cnt,
+                                 offset=payload + 8).copy()
+        if t == T_PATH_LIST_OP:
+            return self._listop_items(payload, 4, path_items=True)
+        if t == T_TOKEN_LIST_OP:
+            return self._listop_items(payload, 4, path_items=False)
+        if t == T_VALUE_BLOCK:
+            return None
+        if t == T_VALUE:
+            # Recursive ValueRep: payload points at a heap u64 rep.
+            (inner,) = struct.unpack_from("<Q", self.data, payload)
+            return self.value(inner)
         raise CrateError(f"unsupported value type {t}")
 
     def spec_fields(self, fset: int) -> Dict[str, object]:
@@ -459,7 +822,13 @@ class _CrateReader:
         i = fset
         while i < len(self.fieldsets) and self.fieldsets[i] != 0xFFFFFFFF:
             ti, rep = self.fields[self.fieldsets[i]]
-            out[self.tokens[ti]] = self.value(rep)
+            # Tolerate field kinds outside the decoded set (dictionaries,
+            # time samples, ...) — real-world stages carry plugin metadata
+            # the scene builder never needs.
+            try:
+                out[self.tokens[ti]] = self.value(rep)
+            except (CrateError, KeyError, IndexError, struct.error):
+                pass
             i += 1
         return out
 

@@ -106,12 +106,69 @@ def test_export_meshes_round_trip(tmp_path):
     np.testing.assert_allclose(meshes2.get(0).positions, tri.positions)
 
 
-def test_compressed_crate_rejected(tmp_path):
+def test_future_crate_rejected(tmp_path):
     p = tmp_path / "new.usdc"
-    p.write_bytes(b"PXR-USDC" + bytes([0, 8, 0]) + bytes(77))
-    with pytest.raises(CrateError, match="compressed"):
+    p.write_bytes(b"PXR-USDC" + bytes([0, 10, 0]) + bytes(77))
+    with pytest.raises(CrateError, match="newer"):
         from basicrenderer_tpu.models.usdc import load_usdc
         load_usdc(str(p), Scene(), MeshRegistry(), MaterialRegistry())
+
+
+def test_legacy_crate_round_trip(tmp_path):
+    """The pre-0.4.0 uncompressed layout still writes and reads."""
+    p = str(tmp_path / "legacy.usdc")
+    save_usdc(p, _quad_prims(), version=(0, 0, 1))
+    with open(p, "rb") as f:
+        data = f.read()
+    assert tuple(data[8:11]) == (0, 0, 1)
+    back = {pr.path: pr for pr in read_usdc(data)}
+    quad = back["/World/quad"]
+    np.testing.assert_allclose(quad.attrs["points"],
+                               _quad_prims()[2].attrs["points"])
+    assert quad.rels["material:binding"] == "/World/Red"
+
+
+def test_modern_crate_compressed_sections(tmp_path):
+    """The default (0.8.0) writer emits lz4-compressed structural sections
+    and compressed arrays, and the reader decodes them (reference:
+    USDLoader.cpp loads any pxr-era stage through the SDK)."""
+    rng = np.random.default_rng(3)
+    # Big enough arrays to hit every compressed-array form: ints (delta
+    # codec), integral floats ('i' form), low-cardinality floats ('t' LUT).
+    idx = np.repeat(np.arange(300, dtype=np.int32), 3)[:900]
+    f_int = np.arange(100, dtype=np.float32)
+    f_lut = np.tile(np.asarray([0.25, 0.5, 1.0], np.float32), 40)
+    f_raw = rng.normal(size=64).astype(np.float32)
+    prims = [UsdPrim("/W", "Xform"), UsdPrim("/W/m", "Mesh", attrs={
+        "faceVertexIndices": idx,
+        "f_int": f_int, "f_lut": f_lut, "f_raw": f_raw,
+        "points": rng.normal(size=(32, 3)).astype(np.float32),
+        "wide": np.arange(20, dtype=np.int64) * (1 << 33),
+    })]
+    p = str(tmp_path / "modern.usdc")
+    save_usdc(p, prims)
+    with open(p, "rb") as f:
+        data = f.read()
+    assert tuple(data[8:11]) == (0, 8, 0)
+    back = {pr.path: pr for pr in read_usdc(data)}
+    a = back["/W/m"].attrs
+    np.testing.assert_array_equal(a["faceVertexIndices"], idx)
+    np.testing.assert_allclose(a["f_int"], f_int)
+    np.testing.assert_allclose(a["f_lut"], f_lut)
+    np.testing.assert_allclose(a["f_raw"], f_raw)
+    np.testing.assert_array_equal(a["wide"], prims[1].attrs["wide"])
+    assert back["/W"].type_name == "Xform"
+
+
+def test_modern_crate_scene_load(tmp_path):
+    p = str(tmp_path / "scene8.usdc")
+    save_usdc(p, _quad_prims())           # 0.8.0 default
+    meshes, mats = MeshRegistry(), MaterialRegistry()
+    sc = Scene()
+    load_model(p, sc, meshes, mats)
+    assert len(meshes) == 1
+    assert meshes.get(0).indices.shape == (2, 3)
+    assert abs(float(mats.get(1).base_color[0]) - 0.9) < 1e-5
 
 
 def test_value_rep_kinds(tmp_path):
