@@ -333,10 +333,16 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         # Alpha-cutoff (MASK) materials: raster the masked clusters into
         # their own buffers, evaluate base-texture alpha at their pixels,
         # and depth-merge surviving texels into the opaque targets
-        # (reference: alpha-tested PSOs in the vis-buffer raster; one
-        # masked layer — masked-behind-masked is a later tier).
+        # (reference: alpha-tested PSOs in the vis-buffer raster).
+        # `mask_peels >= 2` adds farther masked layers behind failed-cutoff
+        # texels (masked-behind-masked: foliage visible through foliage
+        # holes), each peel strictly behind the previous via the OIT peel
+        # band.
         from ..ops import clod as clod_ops
         from ..ops import textures as tex_ops
+        from ..ops.raster_pallas import raster_tiles_pallas
+        from ..ops.raster_ref import raster_tiles_ref
+        from ..ops.resolve_pallas import resolve_attributes_ref
         tau = params.clod_error_px
         base_cut, _ = clod_ops.select_cluster_cut(scene, view, config, tau)
         cut_m = base_cut & (scene.cluster_table[:, 10] > 1.5)
@@ -345,61 +351,88 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         lanes_m, bbox_m, valid_m, _mask_clip_ovf = \
             raster_setup.setup_from_compacted(
                 scene, comp_m, view.viewproj, config)
-        pairs_m = raster_setup.bin_clustered(lanes_m, bbox_m, valid_m,
-                                             config)
-        dm, vm, chm = visibility_pass(localize(pairs_m), lcfg,
-                                      tile_row0=row0_tiles)
-        # Alpha evaluation: uv + material from the masked channels (1/w
-        # derives from the masked depth buffer — shade.inv_w_from_depth).
-        iwm_p = shade_ops.inv_w_from_depth(dm, view.proj)
-        iwm = jnp.where(jnp.abs(iwm_p) > 1e-12, iwm_p, 1.0)
-        uv_m = jnp.stack([chm[3] / iwm, chm[4] / iwm], axis=-1)[:H, :W]
-        mid_m = (jnp.round(chm[5]).astype(jnp.int32)
-                 % raster_setup.OBJ_COMBO)[:H, :W]
-        mrow = raster_setup.gather_rows_onehot(
-            scene.material_table, jnp.clip(
-                mid_m.reshape(-1), 0, scene.material_table.shape[0] - 1))
-        cutoff = mrow[:, 11].reshape(H, W)
-        factor_a = mrow[:, 3].reshape(H, W)
-        ds_m, filt_m = config.texture_downscale, config.texture_filter
-        if ds_m > 1 and H % ds_m == 0 and W % ds_m == 0:
-            # Downsampled 2-D PLANES straight from the masked channels —
-            # the [::ds] strided-slice entry point compiles to gather
-            # fusions (~9 ms/frame at 1080p, profiled on the city bench).
-            from ..ops.shadows import downsample2d
-            c0m = shade_ops.inv_w_from_depth(
-                downsample2d(dm[:H, :W], ds_m), view.proj)
-            iw_ds = jnp.where(jnp.abs(c0m) > 1e-12, c0m, 1.0)
-            um_ds = downsample2d(chm[3][:H, :W], ds_m) / iw_ds
-            vm_ds = downsample2d(chm[4][:H, :W], ds_m) / iw_ds
-            midm_ds = jnp.clip(
-                jnp.round(downsample2d(chm[5][:H, :W], ds_m))
-                .astype(jnp.int32) % raster_setup.OBJ_COMBO,
-                0, scene.material_table.shape[0] - 1)
-            trow_ds = raster_setup.gather_rows_onehot(
-                scene.material_table[:, 13:17], midm_ds.reshape(-1))
-            btex_ds = jnp.round(trow_ds[:, 0]).astype(jnp.int32) \
-                .reshape(midm_ds.shape)
-            covered_ds = downsample2d(vm[:H, :W], ds_m) > 0
-            btex_ds = jnp.where(covered_ds, btex_ds, -1)
-            smp_a = tex_ops.sample_pyramid_blocked_planes(
-                scene.tex_strips, scene.tex_flags, btex_ds[None], um_ds,
-                vm_ds, H, W, ds_m, filt_m)[0]
-        else:
-            btex = jnp.round(mrow[:, 13]).astype(jnp.int32).reshape(H, W)
-            smp_a = tex_ops.sample_pyramid_blocked(
-                scene.tex_strips, scene.tex_flags, btex[None], uv_m,
-                ds_m, filt_m)[0]
-        alpha_m = jnp.pad(smp_a[..., 3] * factor_a,
-                          ((0, lcfg.padded_height - H),
-                           (0, lcfg.padded_width - W)))
-        keep = (vm > 0) & (dm > depth_p)
-        keep = keep & (alpha_m >= jnp.pad(
-            cutoff, ((0, lcfg.padded_height - H),
-                     (0, lcfg.padded_width - W))))
+        pairs_m = localize(raster_setup.bin_clustered(lanes_m, bbox_m,
+                                                      valid_m, config))
+
+        def _mask_alpha_keep(dm, vm, chm, depth_ref_p):
+            """Padded keep mask: covered, nearer than current depth, and
+            the sampled base alpha beats the material cutoff. 1/w derives
+            from the masked depth buffer (shade.inv_w_from_depth)."""
+            iwm_p = shade_ops.inv_w_from_depth(dm, view.proj)
+            iwm = jnp.where(jnp.abs(iwm_p) > 1e-12, iwm_p, 1.0)
+            uv_m = jnp.stack([chm[3] / iwm, chm[4] / iwm], axis=-1)[:H, :W]
+            mid_m = (jnp.round(chm[5]).astype(jnp.int32)
+                     % raster_setup.OBJ_COMBO)[:H, :W]
+            mrow = raster_setup.gather_rows_onehot(
+                scene.material_table, jnp.clip(
+                    mid_m.reshape(-1), 0,
+                    scene.material_table.shape[0] - 1))
+            cutoff = mrow[:, 11].reshape(H, W)
+            factor_a = mrow[:, 3].reshape(H, W)
+            ds_m, filt_m = config.texture_downscale, config.texture_filter
+            if ds_m > 1 and H % ds_m == 0 and W % ds_m == 0:
+                # Downsampled 2-D PLANES straight from the masked channels
+                # — the [::ds] strided-slice entry point compiles to gather
+                # fusions (~9 ms/frame at 1080p, profiled on the city
+                # bench).
+                from ..ops.shadows import downsample2d
+                c0m = shade_ops.inv_w_from_depth(
+                    downsample2d(dm[:H, :W], ds_m), view.proj)
+                iw_ds = jnp.where(jnp.abs(c0m) > 1e-12, c0m, 1.0)
+                um_ds = downsample2d(chm[3][:H, :W], ds_m) / iw_ds
+                vm_ds = downsample2d(chm[4][:H, :W], ds_m) / iw_ds
+                midm_ds = jnp.clip(
+                    jnp.round(downsample2d(chm[5][:H, :W], ds_m))
+                    .astype(jnp.int32) % raster_setup.OBJ_COMBO,
+                    0, scene.material_table.shape[0] - 1)
+                trow_ds = raster_setup.gather_rows_onehot(
+                    scene.material_table[:, 13:17], midm_ds.reshape(-1))
+                btex_ds = jnp.round(trow_ds[:, 0]).astype(jnp.int32) \
+                    .reshape(midm_ds.shape)
+                covered_ds = downsample2d(vm[:H, :W], ds_m) > 0
+                btex_ds = jnp.where(covered_ds, btex_ds, -1)
+                smp_a = tex_ops.sample_pyramid_blocked_planes(
+                    scene.tex_strips, scene.tex_flags, btex_ds[None],
+                    um_ds, vm_ds, H, W, ds_m, filt_m)[0]
+            else:
+                btex = jnp.round(mrow[:, 13]).astype(jnp.int32) \
+                    .reshape(H, W)
+                smp_a = tex_ops.sample_pyramid_blocked(
+                    scene.tex_strips, scene.tex_flags, btex[None], uv_m,
+                    ds_m, filt_m)[0]
+            alpha_m = jnp.pad(smp_a[..., 3] * factor_a,
+                              ((0, lcfg.padded_height - H),
+                               (0, lcfg.padded_width - W)))
+            keep = (vm > 0) & (dm > depth_ref_p)
+            return keep & (alpha_m >= jnp.pad(
+                cutoff, ((0, lcfg.padded_height - H),
+                         (0, lcfg.padded_width - W))))
+
+        depth_pre_mask = depth_p
+        dm, vm, chm = visibility_pass(pairs_m, lcfg, tile_row0=row0_tiles)
+        keep = _mask_alpha_keep(dm, vm, chm, depth_p)
         depth_p = jnp.where(keep, dm, depth_p)
         vis_p = jnp.where(keep, vm, vis_p)
         channels = jnp.where(keep[None], chm, channels)
+        for _peel in range(config.mask_peels - 1):
+            # Next-farther masked layer: the peel band excludes the
+            # previous layer's fragments; the depth merge then only admits
+            # texels where every nearer masked texel failed its cutoff.
+            if lcfg.use_pallas_raster:
+                dm, vm, chm = raster_tiles_pallas(
+                    pairs_m, lcfg,
+                    peel=(depth_pre_mask, dm * (1.0 - 1e-4)),
+                    interpret=lcfg.pallas_interpret, tile_row0=row0_tiles)
+            else:
+                dm, vm = raster_tiles_ref(
+                    pairs_m, lcfg, tile_row0=row0_tiles,
+                    peel=(depth_pre_mask, dm * (1.0 - 1e-4)))
+                chm = resolve_attributes_ref(pairs_m, vm, lcfg,
+                                             tile_row0=row0_tiles)
+            keep = _mask_alpha_keep(dm, vm, chm, depth_p)
+            depth_p = jnp.where(keep, dm, depth_p)
+            vis_p = jnp.where(keep, vm, vis_p)
+            channels = jnp.where(keep[None], chm, channels)
 
     depth = depth_p[:H, :W]
     vis = vis_p[:H, :W]

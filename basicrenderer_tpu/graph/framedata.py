@@ -243,6 +243,9 @@ class FrameConfig:
     enable_aniso: bool = False        # OpenPBR GGX anisotropy
     enable_transmission: bool = False  # OpenPBR transmission (via OIT peel)
     mask_clusters: int = 256          # masked caster cut budget (x128 tris)
+    mask_peels: int = 1               # alpha-MASK depth layers (>=2 shows
+    #                                   masked surfaces through failed-
+    #                                   cutoff texels of nearer ones)
     enable_auto_exposure: bool = False
     enable_skinning: bool = False
     enable_vsm: bool = False            # virtual shadow maps (ops/vsm.py)

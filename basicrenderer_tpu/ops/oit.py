@@ -50,6 +50,30 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         cut=cut, scene=scene, max_visible=config.oit_clusters)
     lanes, bbox, valid, _clip_ovf = raster_setup.setup_from_compacted(
         scene, comp, view.viewproj, config)
+    if config.oit_overflow_probe:
+        # Pack per-triangle alpha + per-channel optical depth into payload
+        # lanes 30/31 (8-bit quantized) for the beyond-K accumulation pass
+        # — the AVBOIT transmittance-curve analogue: each material's layer
+        # transmittance T_c = (1-tw)(1-a) + tw*tint_c gives od_c =
+        # -ln(T_c), and the probe SUMS od over tail fragments so the
+        # background attenuates by exp(-Σ od_c) per channel.
+        # (Reference: AVBOITCapture/AdaptiveFit.hlsl, CLodCommon.h:117-120.)
+        mat_ids = jnp.clip(
+            (lanes[:, 10] % raster_setup.OBJ_COMBO).astype(jnp.int32),
+            0, scene.material_table.shape[0] - 1)
+        mrow = raster_setup.gather_rows_onehot(scene.material_table,
+                                               mat_ids)
+        a_tri = jnp.clip(mrow[:, 3], 0.0, 1.0)
+        tw_tri = jnp.clip(mrow[:, 30], 0.0, 1.0)
+        tint = jnp.clip(mrow[:, 32:35], 0.0, 1.0)
+        t_c = jnp.clip((1.0 - tw_tri[:, None]) * (1.0 - a_tri[:, None])
+                       + tw_tri[:, None] * tint, 0.02, 1.0)
+        od8 = jnp.round(jnp.clip(-jnp.log(t_c) * (0.25), 0.0, 1.0) * 255.0)
+        a8 = jnp.round(a_tri * 255.0)
+        live = lanes[:, 9] > 0.5
+        lanes = lanes.at[:, 30].set(jnp.where(
+            live, a8 + od8[:, 0] * 256.0 + od8[:, 1] * 65536.0, 0.0))
+        lanes = lanes.at[:, 31].set(jnp.where(live, od8[:, 2], 0.0))
     pairs = localize(raster_setup.bin_clustered(lanes, bbox, valid,
                                                 config))
 
@@ -76,11 +100,8 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
         # phantom extra layer (z a few ulps below the real one).
         peel_bound = jnp.where(v > 0, d * (1.0 - 1e-4), 0.0)
 
-    # Shade the K exact layers first (their alphas also feed the adaptive
-    # tail estimate below).
+    # Shade the K exact layers.
     shaded = []
-    alpha_sum = jnp.zeros((H, W), jnp.float32)
-    alpha_cnt = jnp.zeros((H, W), jnp.float32)
     for d, v, ch in layers:
         gb = shade_ops.gbuffer_from_channels(
             ch[:, :H, :W], d[:H, :W], v[:H, :W], view, scene.material_table,
@@ -108,49 +129,41 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
             trans3 = (1.0 - a[..., None]) * (1.0 - tw) \
                 + tw * tint * (1.0 - F)
             surf3 = col * (a[..., None] * (1.0 - tw) + tw)
-            a_eff = jnp.clip(a * (1.0 - tw[..., 0])
-                             + tw[..., 0] * (1.0 - jnp.mean(tint, -1)),
-                             0.0, 1.0)
         else:
             trans3 = 1.0 - a[..., None]
             surf3 = col * a[..., None]
-            a_eff = a
         shaded.append((surf3, trans3, covered[..., None]))
-        alpha_sum = alpha_sum + jnp.where(covered, a_eff, 0.0)
-        alpha_cnt = alpha_cnt + covered.astype(jnp.float32)
 
-    # Beyond-K fragment accounting (reference: the AVBOIT tier's role —
-    # CLodCommon.h:82-86 — bounded-memory handling of deep transparency).
-    # One count-only pass tallies fragments farther than the K-th layer;
-    # those pixels (a) surface in the `oit_overflow` counter and (b) get an
-    # ADAPTIVE extra transmittance (1 - a_est)^count applied to the
-    # background, where a_est is that pixel's mean alpha over its K exact
-    # layers (AVBOIT's adaptive-transmittance idea in bounded form: the
-    # visibility curve's tail is extrapolated from the exactly-resolved
-    # head rather than a global constant), so deep glass stacks darken
-    # with the right per-material strength instead of the overflow being
-    # silently dropped. Pixels with no resolved layer (can't happen when
-    # count > 0 unless the head peeled to MASK holes) fall back to the
-    # configured constant.
+    # Beyond-K transmittance tail (reference: the AVBOIT tier —
+    # CLodCommon.h:117-120, AVBOITCapture/AVBOITAdaptiveFit.hlsl —
+    # bounded-memory handling of deep transparency). One accumulation
+    # pass over the band behind the K-th layer sums each tail fragment's
+    # per-channel optical depth (packed per-material into payload lanes
+    # 30/31 above) plus the fragment count; the background then attenuates
+    # by the closed-form curve exp(-Σ od_c) — per-material strength AND
+    # per-channel color, instead of the tail being silently dropped.
     overflow = jnp.int32(0)
     if config.oit_overflow_probe:
         if lcfg.use_pallas_raster:
-            _, _, chx = raster_tiles_pallas(
+            _, _, acc = raster_tiles_pallas(
                 pairs, lcfg, peel=(opaque_depth_p, peel_bound),
                 interpret=lcfg.pallas_interpret, tile_row0=row0_tiles,
                 accum=True)
-            count = chx[7]
         else:
-            _, cnt = raster_tiles_ref(pairs, lcfg, tile_row0=row0_tiles,
+            _, acc = raster_tiles_ref(pairs, lcfg, tile_row0=row0_tiles,
                                       peel=(opaque_depth_p, peel_bound),
                                       accum=True)
-            count = cnt.astype(jnp.float32)
-        count = count[:H, :W]
+        count = acc[7][:H, :W]
         overflow = jnp.sum(count > 0.5).astype(jnp.int32)
-        a_est = jnp.where(alpha_cnt > 0.0,
-                          alpha_sum / jnp.maximum(alpha_cnt, 1.0),
-                          config.oit_overflow_alpha)
-        hdr = hdr * (1.0 - a_est[..., None]) ** count[..., None]
+        # Adaptive per-channel tail transmittance: the accumulated optical
+        # depth of every beyond-K fragment (its material's exact -ln T_c,
+        # 8-bit quantized) closes the visibility curve in one pass —
+        # deep red-glass stacks shadow the background red, and the
+        # strength is per-material, not a global constant. Fragments whose
+        # material carries no optical depth (a ~ 0) still count toward the
+        # overflow telemetry but correctly leave the background alone.
+        od = acc[4:7, :H, :W]                      # (3, H, W)
+        hdr = hdr * jnp.exp(-od).transpose(1, 2, 0)
 
     # Composite back-to-front (farthest layer first). Each layer carries a
     # premultiplied surface term and a per-channel background transmittance

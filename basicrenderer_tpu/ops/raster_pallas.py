@@ -64,9 +64,26 @@ def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
         if peeled:
             passd = passd & (z < peel_z)
         if accum:
-            # Count-only mode (OIT overflow probe): accumulate how many
-            # fragments fall in the peel band; no depth/vis/attr resolve.
-            # depth_ref stays at its seed so the band is stable.
+            # Accumulation mode (OIT beyond-K probe, the AVBOIT-tier
+            # analogue): sum per-fragment alpha + per-channel optical
+            # depth from the quantized payload lanes 30/31
+            # (ops/oit.py packs them; ops/raster_setup.py layout), plus
+            # the fragment count. depth_ref stays at its seed so the
+            # peel band is stable. The byte unpack is SCALAR per-row
+            # (floor-divide chains — Mosaic has no scalar bitcast).
+            p30 = buf_ref[base + 30]
+            hi = jnp.floor(p30 * (1.0 / 256.0))
+            a8 = p30 - hi * 256.0
+            hi2 = jnp.floor(hi * (1.0 / 256.0))
+            odr8 = hi - hi2 * 256.0
+            chan_ref[0] = chan_ref[0] + jnp.where(passd, a8 * (1.0 / 255.0),
+                                                  0.0)
+            chan_ref[4] = chan_ref[4] + jnp.where(
+                passd, odr8 * (4.0 / 255.0), 0.0)
+            chan_ref[5] = chan_ref[5] + jnp.where(
+                passd, hi2 * (4.0 / 255.0), 0.0)
+            chan_ref[6] = chan_ref[6] + jnp.where(
+                passd, buf_ref[base + 31] * (4.0 / 255.0), 0.0)
             chan_ref[7] = chan_ref[7] + jnp.where(passd, 1.0, 0.0)
             return slot_base
 

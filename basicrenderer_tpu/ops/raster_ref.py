@@ -88,9 +88,23 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
             if peel_z is not None:
                 passd = passd & (z < peel_z)
             if accum:
-                # Count-only mode (OIT overflow probe): vis accumulates the
-                # in-band fragment count; zbuf stays at its seed.
-                return zbuf, vis + passd.astype(jnp.int32)
+                # Accumulation mode (AVBOIT-tier probe; see the Pallas
+                # twin): `vis` is an (8, th, tw) f32 stack — Σalpha in 0,
+                # per-channel Σoptical-depth in 4..6, count in 7 —
+                # decoded from payload lanes 30/31 with the identical
+                # floor-divide chain (pixel-exact parity).
+                p30 = d[30]
+                hi = jnp.floor(p30 * (1.0 / 256.0))
+                a8 = p30 - hi * 256.0
+                hi2 = jnp.floor(hi * (1.0 / 256.0))
+                odr8 = hi - hi2 * 256.0
+                pf = passd.astype(jnp.float32)
+                adds = jnp.stack([
+                    a8 * (1.0 / 255.0), jnp.float32(0), jnp.float32(0),
+                    jnp.float32(0), odr8 * (4.0 / 255.0),
+                    hi2 * (4.0 / 255.0), d[31] * (4.0 / 255.0),
+                    jnp.float32(1)])
+                return zbuf, vis + adds[:, None, None] * pf[None]
             zbuf = jnp.where(passd, z, zbuf)
             vis = jnp.where(passd, tri_id_f.astype(jnp.int32), vis)
             return zbuf, vis
@@ -106,12 +120,16 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
             return jax.lax.fori_loop(
                 0, pairs.big_count, lambda j, c: raster_row(j, c), carry)
 
+        def v_init():
+            if accum:
+                return jnp.zeros((8, th, tw), jnp.float32)
+            return jnp.zeros((th, tw), jnp.int32)
+
         if peel is not None:
             z0 = jax.lax.dynamic_slice(peel[0], ((tile_idx // tiles_x) * th,
                                                  (tile_idx % tiles_x) * tw),
                                        (th, tw))
-            v0 = jnp.zeros((th, tw), jnp.int32)
-            return walk((z0, v0))
+            return walk((z0, v_init()))
         if init is not None:
             ty_l = tile_idx // tiles_x
             tx_l = tile_idx % tiles_x
@@ -119,13 +137,17 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
             v0 = jax.lax.dynamic_slice(init[1], (ty_l * th, tx_l * tw), (th, tw))
         else:
             z0 = jnp.zeros((th, tw), jnp.float32)
-            v0 = jnp.zeros((th, tw), jnp.int32)
+            v0 = v_init()
         return walk((z0, v0))
 
     zt, vt = jax.vmap(raster_one_tile)(jnp.arange(tiles_x * tiles_y))
     # (tiles, th, tw) -> (H', W')
     depth = zt.reshape(tiles_y, tiles_x, th, tw).transpose(0, 2, 1, 3).reshape(
         tiles_y * th, tiles_x * tw)
-    vis = vt.reshape(tiles_y, tiles_x, th, tw).transpose(0, 2, 1, 3).reshape(
-        tiles_y * th, tiles_x * tw)
+    if accum:
+        vis = vt.reshape(tiles_y, tiles_x, 8, th, tw).transpose(
+            2, 0, 3, 1, 4).reshape(8, tiles_y * th, tiles_x * tw)
+    else:
+        vis = vt.reshape(tiles_y, tiles_x, th, tw).transpose(
+            0, 2, 1, 3).reshape(tiles_y * th, tiles_x * tw)
     return depth, vis

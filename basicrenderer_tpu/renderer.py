@@ -137,6 +137,7 @@ class Renderer:
             oit_layers=s.get("oitLayers"),
             enable_alpha_mask=any(m.alpha_cutoff >= 0.0
                                   for m in self.materials.materials),
+            mask_peels=s.get("maskPeels", 1),
             max_shadow_lights=self._count_shadow_spots(),
             max_shadow_cubes=self._count_shadow_points(),
             enable_coat=any(m.coat_weight > 0.0

@@ -164,6 +164,9 @@ def make_default_settings() -> SettingsManager:
     s.register("enableBloom", True, structural=True)
     s.register("enableTAA", False, structural=True)
     s.register("enableOIT", False, structural=True)
+    s.register("maskPeels", 1, structural=True,
+               description="alpha-MASK depth layers (2 = masked-behind-"
+                           "masked)")
     s.register("oitLayers", 4, structural=True, description="K-buffer depth layers")
     s.register("enableAutoExposure", False, structural=True)
     s.register("enableSkinning", False, structural=True)

@@ -81,3 +81,60 @@ def test_mask_off_renders_leaf_fully_opaque():
 
     assert blue_px(img) < blue_px(img_on) * 0.7, \
         (blue_px(img), blue_px(img_on))
+
+
+def _stacked_scene():
+    """Blue backdrop, masked RED leaf (hole on the LEFT half), masked
+    GREEN leaf above it (hole on the RIGHT half): through the green hole
+    the red leaf is the correct surface, not the backdrop."""
+    meshes, mats = MeshRegistry(), MaterialRegistry()
+    tex = TextureRegistry(resolution=64)
+    img_g = np.ones((64, 64, 4), np.float32)
+    img_g[:, 32:, 3] = 0.0                     # green: hole right
+    img_r = np.ones((64, 64, 4), np.float32)
+    img_r[:, :32, 3] = 0.0                     # red: hole left
+    gtex = tex.add(img_g, srgb=False)
+    rtex = tex.add(img_r, srgb=False)
+    green = mats.add(Material(
+        base_color=np.array([0.1, 0.8, 0.1, 1], np.float32), roughness=0.8,
+        alpha_cutoff=0.5, base_color_texture=gtex))
+    red = mats.add(Material(
+        base_color=np.array([0.9, 0.1, 0.1, 1], np.float32), roughness=0.8,
+        alpha_cutoff=0.5, base_color_texture=rtex))
+    blue = mats.add(Material(base_color=np.array([0.1, 0.1, 0.9, 1],
+                                                 np.float32), roughness=0.8))
+    quad = meshes.add(procedural.make_plane(4.0, 1))
+    sc = Scene()
+    sc.create_renderable(quad, blue, position=(0, 0, 0))
+    sc.create_renderable(quad, red, position=(0, 1.0, 0))
+    sc.create_renderable(quad, green, position=(0, 1.5, 0))
+    sc.create_directional_light(direction=(0, -1, 0), intensity=3.0)
+    sc.set_camera(position=(0, 6, 0.05), target=(0, 0, 0), aspect=1.0)
+    sc.propagate_transforms()
+    caps = BridgeCapacities(max_vertices=64, max_triangles=64, max_objects=4,
+                            max_materials=4, max_lights=2, max_clusters=8,
+                            max_geom_clusters=8)
+    bridge = SceneRenderBridge(sc, meshes, mats, caps, textures=tex)
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    return buffers, make_view(view, proj, pos)
+
+
+def test_masked_behind_masked_two_peels():
+    """mask_peels=2 reveals the red masked leaf through the green leaf's
+    cutoff hole; a single peel wrongly falls through to the backdrop
+    (reference: the deep-visibility masked tiers, CLodCommon.h:82-86)."""
+    buffers, vd = _stacked_scene()
+    right = (slice(40, 88), slice(68, 118))
+    one = jax.jit(build_frame_fn(CFG))(buffers, vd, FrameParams.default())
+    img1 = np.asarray(one["image"]).astype(np.float32)
+    r1 = img1[right].reshape(-1, 3).mean(0)
+    assert r1[2] > r1[0] + 20, r1             # single peel: blue leaks
+    cfg2 = dataclasses.replace(CFG, mask_peels=2)
+    two = jax.jit(build_frame_fn(cfg2))(buffers, vd, FrameParams.default())
+    img2 = np.asarray(two["image"]).astype(np.float32)
+    r2 = img2[right].reshape(-1, 3).mean(0)
+    assert r2[0] > r2[2] + 20, r2             # two peels: red shows
+    # The green (left) half is identical in both.
+    left = (slice(40, 88), slice(10, 60))
+    np.testing.assert_allclose(img1[left], img2[left], atol=1)

@@ -163,3 +163,58 @@ def test_oit_tail_transmittance_adapts_to_material_alpha():
     # background, so the tail barely changes the pixel — must stay ~1,
     # NOT get over-darkened by a constant estimate.
     assert retention[0.8] > 0.9, retention
+
+
+def _tinted_stack(n_layers):
+    """n red TRANSMISSION (OpenPBR glass) quads over a white floor."""
+    meshes = MeshRegistry()
+    mats = MaterialRegistry()
+    plane = meshes.add(procedural.make_plane(8.0, 1))
+    white = mats.add(Material(base_color=np.array([1, 1, 1, 1], np.float32),
+                              roughness=1.0))
+    glass = mats.add(Material(
+        base_color=np.array([1, 1, 1, 1], np.float32), roughness=0.1,
+        transmission_weight=1.0,
+        transmission_color=np.array([0.9, 0.25, 0.25], np.float32)))
+    sc = Scene()
+    import basicrenderer_tpu.utils.math3d as m3
+    q = np.asarray(m3.quat_from_axis_angle([1, 0, 0], np.pi / 2))
+    sc.create_renderable(plane, white, position=(0, 0, -2), rotation=q)
+    for k in range(n_layers):
+        sc.create_renderable(plane, glass, position=(0, 0, -1 + 0.2 * k),
+                             rotation=q, scale=(0.4, 1, 0.4))
+    sc.create_directional_light(direction=(0, -0.3, -1), intensity=3.0)
+    sc.set_camera(position=(0, 0, 5), target=(0, 0, 0), aspect=1.0)
+    sc.propagate_transforms()
+    caps = BridgeCapacities(max_vertices=1 << 9, max_triangles=1 << 9,
+                            max_objects=16, max_materials=8, max_lights=4,
+                            max_clusters=64)
+    return sc, SceneRenderBridge(sc, meshes, mats, caps)
+
+
+def test_oit_tail_per_channel_tint():
+    """The beyond-K tail is PER-CHANNEL (AVBOIT optical-depth curve,
+    AVBOITAdaptiveFit.hlsl analogue): a deep red-glass stack keeps the
+    red share of the background while suppressing green/blue — a scalar
+    alpha tail could only darken uniformly."""
+    import dataclasses
+    cfg = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                      max_pairs=1 << 11, use_pallas_raster=False,
+                      enable_clod=True, max_visible_clusters=64,
+                      enable_oit=True, oit_layers=2, oit_clusters=64,
+                      enable_transmission=True)
+    sc, bridge = _tinted_stack(8)          # 6 layers beyond K=2
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    vd = make_view(view, proj, pos)
+    on = np.asarray(jax.jit(build_frame_fn(cfg))(
+        buffers, vd, FrameParams.default())["hdr"])[64, 64]
+    off = np.asarray(jax.jit(build_frame_fn(dataclasses.replace(
+        cfg, oit_overflow_probe=False)))(
+        buffers, vd, FrameParams.default())["hdr"])[64, 64]
+    ret = on / np.maximum(off, 1e-6)       # per-channel tail retention
+    # Red survives the tail far better than green/blue: T_r=0.9 vs 0.25
+    # per layer -> over 6 tail layers exp(-6*ln(1/0.9)) = 0.53 vs 0.0002.
+    assert ret[0] > 3.0 * ret[1], ret
+    assert ret[0] > 3.0 * ret[2], ret
+    assert ret[0] > 0.25, ret
