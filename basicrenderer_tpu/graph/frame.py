@@ -102,9 +102,11 @@ def geometry_pass(scene: SceneBuffers, view: ViewData, config: FrameConfig,
     clip, world_pos, world_normals = jax.lax.optimization_barrier(
         (clip, world_pos, world_normals))
     tri_valid = scene.tri_object >= 0
+    vtheta = raster_setup.vertex_world_theta(scene, world_normals) \
+        if config.enable_vertex_tangents else None
     lanes, bbox, valid, clip_ovf = raster_setup.triangle_setup_packed(
         clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
-        scene.tri_material, scene.tri_object)
+        scene.tri_material, scene.tri_object, vertex_theta=vtheta)
     if config.enable_culling:
         obj_vis = culling.frustum_cull_spheres(
             view.viewproj, scene.object_bounds[:, :3],
@@ -133,9 +135,11 @@ def geometry_setup(scene: SceneBuffers, view: ViewData, config: FrameConfig):
     clip, world_pos, world_normals = jax.lax.optimization_barrier(
         (clip, world_pos, world_normals))
     tri_valid = scene.tri_object >= 0
+    vtheta = raster_setup.vertex_world_theta(scene, world_normals) \
+        if config.enable_vertex_tangents else None
     lanes, bbox, valid, _clip_ovf = raster_setup.triangle_setup_packed(
         clip, scene.indices, tri_valid, config, world_normals, scene.uvs,
-        scene.tri_material, scene.tri_object)
+        scene.tri_material, scene.tri_object, vertex_theta=vtheta)
     return clip, world_pos, world_normals, lanes, bbox, valid
 
 
@@ -508,10 +512,14 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             if gb.alpha is not None:
                 rep["alpha"] = gb.alpha * s_of["base"][..., 3]
         if "normal" in s_of:
+            tb = None
+            if config.enable_vertex_tangents and gb.tangent_theta is not None:
+                tb = shade_ops.tangent_from_theta(gb.normal,
+                                                  gb.tangent_theta)
             rep["normal"] = tex_ops.apply_normal_map_sampled(
                 gb.normal, gb.world_pos, gb.uv, s_of["normal"],
                 gb.normal_tex,
-                normal_scale=gb.normal_scale[..., None])
+                normal_scale=gb.normal_scale[..., None], frame=tb)
         if "mr" in s_of:
             rep["roughness"] = gb.roughness * s_of["mr"][..., 1]
             rep["metallic"] = gb.metallic * s_of["mr"][..., 2]

@@ -112,6 +112,14 @@ class SceneBuffers:
     voxel_meta: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros(8, jnp.float32))  # origin3, cell,
     #                              n, levels, radiance_scale, pad
+    # Mikktspace vertex tangents, per-triangle FLAT (corner-0 wedge):
+    # object-space [tx|ty|tz|w] plane-major per geometry cluster. The
+    # setup rotates them to world and encodes a theta against the world
+    # corner normal's canonical ONB (raster_setup.encode_theta_cols);
+    # shade.tangent_from_theta decodes per pixel. Consumed when
+    # FrameConfig.enable_vertex_tangents; size-1 placeholder otherwise.
+    cluster_tangents: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((1, 512), jnp.float32))
 
 
 @struct.dataclass
@@ -232,6 +240,12 @@ class FrameConfig:
     enable_oit: bool = False
     oit_layers: int = 4
     oit_clusters: int = 256           # transparent caster cut budget (x128)
+    oit_max_lights: int = 8           # analytic lights per OIT layer shade
+    #                                   (directional-first table prefix;
+    #                                   0 = the full light table — a
+    #                                   1000-light scene would otherwise
+    #                                   shade every peel full-screen
+    #                                   against every light)
     oit_overflow_probe: bool = True   # count beyond-K fragments (1 extra
     #                                   pass) + estimated transmittance
     oit_overflow_alpha: float = 0.5   # alpha estimate for beyond-K fade
@@ -246,6 +260,10 @@ class FrameConfig:
     mask_peels: int = 1               # alpha-MASK depth layers (>=2 shows
     #                                   masked surfaces through failed-
     #                                   cutoff texels of nearer ones)
+    enable_vertex_tangents: bool = False  # mikktspace tangent frames for
+    #                                   normal maps/anisotropy (channel 6;
+    #                                   clustered path, full residency);
+    #                                   off = screen-derivative frames
     enable_auto_exposure: bool = False
     enable_skinning: bool = False
     enable_vsm: bool = False            # virtual shadow maps (ops/vsm.py)

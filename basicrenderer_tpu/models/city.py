@@ -48,18 +48,42 @@ def ensure_city_glb(path: str = DEFAULT_PATH, subdiv: int = 8) -> str:
 def load_city(path: str = DEFAULT_PATH, lod: bool = True,
               textures: Optional[TextureRegistry] = None,
               num_point_lights: int = 0, subdiv: int = 8,
-              min_lod_tris: int = 4096, seed: int = 9) -> BuiltScene:
+              min_lod_tris: int = 4096, seed: int = 9,
+              glass_blend: bool = False, displace: bool = False,
+              registries=None) -> BuiltScene:
     """Import the city GLB, attach cluster-LOD DAGs to every heavy mesh,
-    and light it (sun + lamp points + an optional extra light field)."""
+    and light it (sun + lamp points + an optional extra light field).
+
+    `glass_blend` converts the window-glass material to OpenPBR
+    transmission (alpha-BLEND class -> the OIT peel: every pane becomes
+    deep-transparency content). `displace` gives the cobbled ground a
+    Reyes displacement (micro-tessellated bumps). `registries` supplies
+    external (meshes, materials, skeletons) — e.g. a Renderer's — so the
+    streaming bench can drive the full Renderer loop on this scene."""
     from .importers import load_model
 
     ensure_city_glb(path, subdiv)
     scene = Scene()
-    meshes = MeshRegistry()
-    materials = MaterialRegistry()
-    skeletons = SkeletonRegistry()
+    if registries is not None:
+        meshes, materials, skeletons = registries
+    else:
+        meshes, materials, skeletons = (MeshRegistry(), MaterialRegistry(),
+                                        SkeletonRegistry())
     textures = textures if textures is not None else TextureRegistry(256)
     load_model(path, scene, meshes, materials, skeletons, textures=textures)
+    if glass_blend:
+        for m in materials.materials:
+            if m.name == "glass":
+                m.transmission_weight = 0.9
+                m.transmission_color = np.asarray([0.55, 0.7, 0.65],
+                                                  np.float32)
+                m.ior = 1.5
+                m.roughness = 0.05
+    if displace:
+        for m in materials.materials:
+            if m.name == "cobble":
+                m.displacement_scale = 0.12
+                m.displacement_texture = m.base_color_texture
 
     if lod:
         from . import clusters

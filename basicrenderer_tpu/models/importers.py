@@ -276,13 +276,20 @@ def load_gltf(path: str, scene: Scene, meshes: MeshRegistry,
                 if "JOINTS_0" in attrs else None
             weights = rd.accessor(attrs["WEIGHTS_0"]).astype(np.float32) \
                 if "WEIGHTS_0" in attrs else None
+            # Authored tangents win over the mikktspace recompute (glTF
+            # mandates mikktspace-compatible TANGENT; MeshRegistry.add
+            # derives them otherwise — models/mesh.compute_tangents).
+            tang = rd.accessor(attrs["TANGENT"]).astype(np.float32) \
+                if "TANGENT" in attrs else None
+            if tang is not None and tang.shape[-1] != 4:
+                tang = None
             if "indices" in prim:
                 idx = rd.accessor(prim["indices"]).astype(np.int32).reshape(-1, 3)
             else:
                 idx = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
             md = MeshData(pos, nrm if nrm is not None else np.zeros_like(pos),
                           uv if uv is not None else np.zeros((len(pos), 2), np.float32),
-                          idx, joints=joints, weights=weights,
+                          idx, tangents=tang, joints=joints, weights=weights,
                           name=gm.get("name", ""))
             if nrm is None:
                 from .mesh import compute_normals

@@ -80,25 +80,74 @@ def compute_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
 
 
 def compute_tangents(positions, normals, uvs, indices) -> np.ndarray:
-    """Per-vertex tangents (simplified mikktspace analogue; reference vendors
-    mikktspace — BasicRenderer/include/Utilities/mikktspace.h)."""
+    """Mikktspace-compatible per-vertex tangents + handedness.
+
+    Reimplements the ALGORITHM of Morten Mikkelsen's mikktspace (the
+    reference vendors the C source — BasicRenderer/src/Utilities/
+    mikktspace.c); not a code translation. The compatibility-critical
+    rules, per the published spec:
+
+    - face tangent/bitangent from the UV parameterization (dP/du, dP/dv);
+    - corner contributions weighted by the CORNER ANGLE (not area);
+    - corners only average with corners of the SAME handedness sign
+      (a mirrored-UV seam keeps two clean frames instead of a smeared
+      average — the failure mode of naive accumulation);
+    - per-vertex orthonormalization against the vertex normal, and
+      handedness w = sign(dot(cross(n, t), b)).
+
+    Meshes whose mirrored halves share seam vertices get the majority
+    sign at the seam (mikktspace splits such wedges; glTF-conformant
+    content already duplicates them, so this matches in practice)."""
     V = positions.shape[0]
-    tan = np.zeros((V, 3), np.float64)
     i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
-    e1 = positions[i1] - positions[i0]
-    e2 = positions[i2] - positions[i0]
-    du1 = uvs[i1] - uvs[i0]
-    du2 = uvs[i2] - uvs[i0]
+    e1 = (positions[i1] - positions[i0]).astype(np.float64)
+    e2 = (positions[i2] - positions[i0]).astype(np.float64)
+    du1 = (uvs[i1] - uvs[i0]).astype(np.float64)
+    du2 = (uvs[i2] - uvs[i0]).astype(np.float64)
     det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
-    r = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
-    t = (e1 * du2[:, 1:2] - e2 * du1[:, 1:2]) * r[:, None]
-    for k in range(3):
-        np.add.at(tan, indices[:, k], t)
-    # Gram-Schmidt against normal
-    tan = tan - normals * np.sum(tan * normals, axis=1, keepdims=True)
-    ln = np.linalg.norm(tan, axis=1, keepdims=True)
-    tan = np.where(ln > 1e-12, tan / np.maximum(ln, 1e-20), np.array([[1.0, 0, 0]]))
-    return np.concatenate([tan, np.ones((V, 1))], axis=1).astype(np.float32)
+    ok = np.abs(det) > 1e-12
+    r = np.where(ok, 1.0 / np.where(det == 0, 1.0, det), 0.0)[:, None]
+    t_face = (e1 * du2[:, 1:2] - e2 * du1[:, 1:2]) * r
+    b_face = (e2 * du1[:, 0:1] - e1 * du2[:, 0:1]) * r
+    # Face handedness: the sign of the UV determinant (mirrored triangles
+    # flip it).
+    f_sign = np.where(det >= 0.0, 1.0, -1.0)
+
+    # Corner angles (the mikktspace weight).
+    def corner_angle(a, b, c):
+        u = positions[b] - positions[a]
+        v = positions[c] - positions[a]
+        un = u / np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-20)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-20)
+        return np.arccos(np.clip(np.sum(un * vn, 1), -1.0, 1.0))
+
+    angles = [corner_angle(i0, i1, i2), corner_angle(i1, i2, i0),
+              corner_angle(i2, i0, i1)]
+
+    # Sign-separated accumulation: each vertex keeps a +1 and a -1 bin;
+    # the final frame comes from the bin with more accumulated weight.
+    tan = np.zeros((V, 2, 3), np.float64)
+    bit = np.zeros((V, 2, 3), np.float64)
+    wsum = np.zeros((V, 2), np.float64)
+    sbin = (f_sign < 0).astype(np.int64)
+    for k, ang in enumerate(angles):
+        idx = indices[:, k].astype(np.int64)
+        w = np.where(ok, ang, 0.0)
+        np.add.at(tan, (idx, sbin), t_face * w[:, None])
+        np.add.at(bit, (idx, sbin), b_face * w[:, None])
+        np.add.at(wsum, (idx, sbin), w)
+    pick = (wsum[:, 1] > wsum[:, 0]).astype(np.int64)
+    tv = tan[np.arange(V), pick]
+    bv = bit[np.arange(V), pick]
+    # Orthonormalize against the vertex normal.
+    n = normals.astype(np.float64)
+    tv = tv - n * np.sum(tv * n, axis=1, keepdims=True)
+    ln = np.linalg.norm(tv, axis=1, keepdims=True)
+    tv = np.where(ln > 1e-12, tv / np.maximum(ln, 1e-20),
+                  np.array([[1.0, 0.0, 0.0]]))
+    w = np.where(np.sum(np.cross(n, tv) * bv, axis=1) >= 0.0, 1.0, -1.0)
+    return np.concatenate([tv, w[:, None]],
+                          axis=1).astype(np.float32)
 
 
 class MeshRegistry:

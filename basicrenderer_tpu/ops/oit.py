@@ -107,7 +107,8 @@ def composite_oit(scene: SceneBuffers, view: ViewData, config: FrameConfig,
             ch[:, :H, :W], d[:H, :W], v[:H, :W], view, scene.material_table,
             config.width, config.height, row0=row0_px)
         col = shade_ops.shade_deferred(
-            gb, scene, view, transmission=config.enable_transmission)
+            gb, scene, view, transmission=config.enable_transmission,
+            max_lights=config.oit_max_lights)
         a = jnp.clip(gb.alpha, 0.0, 1.0)
         covered = v[:H, :W] > 0
         if config.enable_transmission:

@@ -41,7 +41,8 @@ NUM_CHANNELS = 8
 
 
 def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
-                   peel_z, peeled: bool, accum: bool):
+                   peel_z, peeled: bool, accum: bool,
+                   tangent: bool = False):
     """The shared per-triangle vector evaluation: edge/depth planes over the
     tile, masked writes of depth/vis + fused attribute resolve. Identical in
     the per-triangle and group kernels (pixel-exact parity)."""
@@ -102,6 +103,10 @@ def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
                    + buf_ref[base + 17 + ch * 3])
             chan_ref[ch] = jnp.where(passd, val, chan_ref[ch])
         chan_ref[5] = jnp.where(passd, buf_ref[base + 10], chan_ref[5])
+        if tangent:
+            # Per-tri FLAT mikktspace tangent theta (lane 30) -> channel 6
+            # (enable_vertex_tangents; shade.tangent_from_theta decodes).
+            chan_ref[6] = jnp.where(passd, buf_ref[base + 30], chan_ref[6])
         return slot_base
 
     return tri_body
@@ -109,7 +114,7 @@ def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
 
 def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
                    tiles_x: int, seeded: bool, peeled: bool = False,
-                   accum: bool = False):
+                   accum: bool = False, tangent: bool = False):
     if peeled:
         # Depth-peeling pass (OIT): fragments must be nearer than the seed
         # depth AND strictly farther than the previous peel layer.
@@ -168,7 +173,8 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
         )
 
     tri_body = _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
-                              peel_z if peeled else None, peeled, accum)
+                              peel_z if peeled else None, peeled, accum,
+                              tangent=tangent)
 
     tx_f = tx.astype(jnp.float32)
     tyg_f = (ty + misc_ref[0]).astype(jnp.float32)
@@ -226,6 +232,7 @@ def _raster_kernel(tile_off_ref, misc_ref, *refs, tile_h: int, tile_w: int,
 def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
                           bigx_ref, bigy_ref, *refs,
                           tile_h: int, tile_w: int, tiles_x: int,
+                          tangent: bool = False,
                           group_rows: int, seeded: bool, peeled: bool = False,
                           accum: bool = False):
     """Group-binned raster: the pair stream is (group, tile) ids; each
@@ -273,7 +280,8 @@ def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
     GSLAB = group_rows * SETUP_LANES       # floats per group slab (mult 128)
 
     tri_body = _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
-                              peel_z if peeled else None, peeled, accum)
+                              peel_z if peeled else None, peeled, accum,
+                              tangent=tangent)
 
     tx_f = tx.astype(jnp.float32)
     tyg_f = (ty + misc_ref[0]).astype(jnp.float32)
@@ -383,7 +391,7 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
         kernel = functools.partial(
             _raster_kernel_groups, tile_h=th, tile_w=tw, tiles_x=tiles_x,
             group_rows=config.group_rows, seeded=seeded, peeled=peeled,
-            accum=accum)
+            accum=accum, tangent=config.enable_vertex_tangents)
         scratch_floats = 2 * config.group_rows * SETUP_LANES
     else:
         # Pad by one slab so ceil-rounded chunk reads stay in bounds; padded
@@ -393,7 +401,8 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
             "max_big_tris must be a multiple of the raster DMA slab"
         kernel = functools.partial(_raster_kernel, tile_h=th, tile_w=tw,
                                    tiles_x=tiles_x, seeded=seeded,
-                                   peeled=peeled, accum=accum)
+                                   peeled=peeled, accum=accum,
+                                   tangent=config.enable_vertex_tangents)
         scratch_floats = 2 * CHUNK * SETUP_LANES
     img_spec = pl.BlockSpec((th, tw), lambda i, j, *_: (i, j),
                             memory_space=pltpu.VMEM)

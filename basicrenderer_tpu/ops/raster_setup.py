@@ -92,6 +92,41 @@ def gather_rows_onehot(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGH)
 
 
+def _onb_cols(nx, ny, nz):
+    """Column form of shade._onb (branchless canonical ONB) — the encode
+    and decode MUST share this construction."""
+    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + nz)
+    b = nx * ny * a
+    return ((1.0 + s * nx * nx * a, s * b, -s * nx),
+            (b, s + ny * ny * a, -ny))
+
+
+def encode_theta_cols(tx, ty, tz, w, nx, ny, nz):
+    """World tangent+handedness -> the per-tri theta wire encoding
+    (angle within the canonical ONB of the world normal; +4pi when
+    w < 0). (T,)-column math; shade.tangent_from_theta inverts it
+    per pixel."""
+    nl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    nx, ny, nz = nx * nl, ny * nl, nz * nl
+    d = tx * nx + ty * ny + tz * nz
+    tx, ty, tz = tx - d * nx, ty - d * ny, tz - d * nz
+    t0, b0 = _onb_cols(nx, ny, nz)
+    ct = tx * t0[0] + ty * t0[1] + tz * t0[2]
+    st = tx * b0[0] + ty * b0[1] + tz * b0[2]
+    theta = jnp.arctan2(st, ct)
+    return theta + jnp.where(w < 0.0, 4.0 * jnp.pi, 0.0)
+
+
+def rotate_cols_3x3(m_cols, idx, x, y, z):
+    """Apply per-row 3x3s given as flattened-matrix column lists; `idx`
+    maps the 9 entries into m_cols positions (row-major)."""
+    ox = m_cols[idx[0]] * x + m_cols[idx[1]] * y + m_cols[idx[2]] * z
+    oy = m_cols[idx[3]] * x + m_cols[idx[4]] * y + m_cols[idx[5]] * z
+    oz = m_cols[idx[6]] * x + m_cols[idx[7]] * y + m_cols[idx[8]] * z
+    return ox, oy, oz
+
+
 def transform_geometry(positions: jnp.ndarray, normals: jnp.ndarray,
                        vert_object: jnp.ndarray, object_mats: jnp.ndarray,
                        object_normal_mats: jnp.ndarray, viewproj: jnp.ndarray
@@ -140,6 +175,21 @@ def transform_normals(normals: jnp.ndarray, vert_object: jnp.ndarray,
     return jnp.einsum("vij,vj->vi", nm, normals)
 
 
+def vertex_world_theta(scene, world_normals: jnp.ndarray) -> jnp.ndarray:
+    """(V,) per-vertex world-space tangent theta for the packed (non-clod)
+    setup path: object tangents (SceneBuffers.tangents) rotated by the
+    per-vertex MODEL 3x3, encoded against the world vertex normal."""
+    t4 = scene.tangents
+    O = scene.object_mats.shape[0]
+    mrows = gather_rows_onehot(scene.object_mats.reshape(O, 16),
+                               scene.vert_object)
+    mc = [mrows[:, i] for i in range(16)]
+    wtx, wty, wtz = rotate_cols_3x3(mc, (0, 1, 2, 4, 5, 6, 8, 9, 10),
+                                    t4[:, 0], t4[:, 1], t4[:, 2])
+    return encode_theta_cols(wtx, wty, wtz, t4[:, 3], world_normals[:, 0],
+                             world_normals[:, 1], world_normals[:, 2])
+
+
 def triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray, tri_valid: jnp.ndarray,
                    config: FrameConfig,
                    world_normals: Optional[jnp.ndarray] = None,
@@ -172,7 +222,8 @@ def triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray, tri_valid: jnp.ndarr
 
 
 def _setup_from_corners(g0, g1, g2, tri_valid, config: FrameConfig,
-                        has_normals: bool, has_uvs: bool) -> TriangleSetup:
+                        has_normals: bool, has_uvs: bool,
+                        tangent_col=None) -> TriangleSetup:
     """Shared column math: per-corner rows g_i = [clip4 | wnormal3 | uv2]
     -> TriangleSetup. Everything stays (T,)-shaped (see layout note above)."""
     W, H = config.width, config.height
@@ -268,10 +319,12 @@ def _setup_from_corners(g0, g1, g2, tri_valid, config: FrameConfig,
     return TriangleSetup(screen, z, inv_w, edges, zplane, attr_planes,
                          inv_area2, bbox, valid,
                          _lane_columns(e0, e1, zplane_c, plane_cols, valid,
-                                       tx0, ty0, tx1, ty1))
+                                       tx0, ty0, tx1, ty1,
+                                       tangent_col=tangent_col))
 
 
-def _lane_columns(e0, e1, zplane_c, plane_cols, valid, tx0, ty0, tx1, ty1):
+def _lane_columns(e0, e1, zplane_c, plane_cols, valid, tx0, ty0, tx1, ty1,
+                  tangent_col=None):
     """The 32 payload columns in lane order (ids/material filled by pack).
     Lanes 11-14 carry the tile bbox as floats (see layout above); the
     kernels derive edge2 from the barycentric identity."""
@@ -297,7 +350,13 @@ def _lane_columns(e0, e1, zplane_c, plane_cols, valid, tx0, ty0, tx1, ty1):
     # iw plane — plane_cols[0] — is NOT shipped).
     for p in plane_cols[1:]:
         cols.extend(p)
-    cols.append(jnp.zeros((T,), jnp.float32))  # lane 30 (unused)
+    # Lane 30: per-tri FLAT mikktspace tangent theta when vertex tangents
+    # are on (framedata.SceneBuffers.cluster_tangents); the OIT path
+    # repurposes 30/31 for its optical-depth packing (ops/oit.py).
+    if tangent_col is not None:
+        cols.append(jnp.where(valid, tangent_col, 0.0))
+    else:
+        cols.append(jnp.zeros((T,), jnp.float32))  # lane 30 (unused)
     cols.append(jnp.zeros((T,), jnp.float32))  # lane 31 (unused)
     return cols
 
@@ -604,8 +663,31 @@ def triangle_setup_clustered(scene, comp, viewproj: jnp.ndarray,
         tri_ok = comp.valid & keep
         extra = (elanes, ebbox, evalid)
         ovf = ovf + r_ovf
+    tangent_col = None
+    if config.enable_vertex_tangents:
+        # Per-tri FLAT mikktspace tangent (lane 30; decoded at resolve by
+        # shade.tangent_from_theta): fetch the corner-0 OBJECT tangent
+        # rows with the same slot gather order as the vertex slabs, rotate
+        # to world with the MODEL 3x3 (tangents are covariant), and encode
+        # theta against the corner-0 WORLD normal — baking an object-space
+        # angle would break under instance rotation (ONB(Rn) != R ONB(n)).
+        # Streaming note: cluster_tangents is the resident table; the pool
+        # slabs don't carry tangents, so the feature needs full residency.
+        G2 = scene.cluster_tangents.shape[0]
+        trows = scene.cluster_tangents[jnp.clip(gids, 0, G2 - 1)]
+        M_ = MESHLET_TRIS
+        otx = trows[:, 0:M_].reshape(-1)
+        oty = trows[:, M_:2 * M_].reshape(-1)
+        otz = trows[:, 2 * M_:3 * M_].reshape(-1)
+        otw = trows[:, 3 * M_:4 * M_].reshape(-1)
+        wtx, wty, wtz = rotate_cols_3x3(
+            m_cols, (0, 1, 2, 4, 5, 6, 8, 9, 10), otx, oty, otz)
+        wn = gs[0]                      # corner-0 rows [clip4 | wn3 | uv2]
+        tangent_col = encode_theta_cols(wtx, wty, wtz, otw,
+                                        wn[:, 4], wn[:, 5], wn[:, 6])
     setup = _setup_from_corners(gs[0], gs[1], gs[2], tri_ok, config,
-                                has_normals=True, has_uvs=True)
+                                has_normals=True, has_uvs=True,
+                                tangent_col=tangent_col)
     lanes = pack_setup_lanes(setup, comp.material, comp.object)
     lanes, bbox, valid = lanes, setup.bbox, setup.valid
     if extra is not None:
@@ -624,10 +706,12 @@ def triangle_setup_packed(clip: jnp.ndarray, indices: jnp.ndarray,
                           tri_valid: jnp.ndarray, config: FrameConfig,
                           world_normals: jnp.ndarray, uvs: jnp.ndarray,
                           tri_material: Optional[jnp.ndarray] = None,
-                          tri_object: Optional[jnp.ndarray] = None
+                          tri_object: Optional[jnp.ndarray] = None,
+                          vertex_theta: Optional[jnp.ndarray] = None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Production setup: returns ONLY 2D arrays (lanes (T, SETUP_LANES),
-    bbox (T, 4) i32, valid (T,) bool).
+    bbox (T, 4) i32, valid (T,) bool). `vertex_theta` (V,) rides the
+    corner row gather and lands as the per-tri FLAT tangent lane (30).
 
     TPU layout note: every materialized array pads its minor two dims to
     (8, 128), so rank-3 intermediates like (T, 3, 3) blow up ~40x in HBM and
@@ -639,13 +723,21 @@ def triangle_setup_packed(clip: jnp.ndarray, indices: jnp.ndarray,
         parts.append(world_normals)
     if uvs is not None:
         parts.append(uvs)
+    use_tangent = (config.enable_vertex_tangents
+                   and vertex_theta is not None)
+    if use_tangent:
+        parts.append(vertex_theta[:, None])
     packed = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else clip
     g0 = packed[indices[:, 0]]
     g1 = packed[indices[:, 1]]
     g2 = packed[indices[:, 2]]
     g0, g1, g2 = jax.lax.optimization_barrier((g0, g1, g2))
+    tangent_col = g0[:, -1] if use_tangent else None
+    if use_tangent:
+        g0, g1, g2 = g0[:, :-1], g1[:, :-1], g2[:, :-1]
     setup = _setup_from_corners(g0, g1, g2, tri_valid, config,
-                                world_normals is not None, uvs is not None)
+                                world_normals is not None, uvs is not None,
+                                tangent_col=tangent_col)
     lanes = pack_setup_lanes(setup, tri_material, tri_object)
     lanes, bbox, valid = lanes, setup.bbox, setup.valid
     ovf = jnp.int32(0)

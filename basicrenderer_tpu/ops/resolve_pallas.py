@@ -38,7 +38,7 @@ NUM_CHANNELS = 8
 
 def _resolve_kernel(tile_off_ref, misc_ref, flat_ref, vis_ref, out_ref,
                     buf_ref, sem_ref, *, tile_h: int, tile_w: int,
-                    tiles_x: int):
+                    tiles_x: int, tangent: bool = False):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * tiles_x + tx
@@ -82,6 +82,9 @@ def _resolve_kernel(tile_off_ref, misc_ref, flat_ref, vis_ref, out_ref,
                 val = A * px + B * py + Cc
                 out_ref[ch] = jnp.where(mask, val, out_ref[ch])
             out_ref[5] = jnp.where(mask, buf_ref[base + 10], out_ref[5])
+            if tangent:
+                # Per-tri FLAT tangent theta (lane 30) -> channel 6.
+                out_ref[6] = jnp.where(mask, buf_ref[base + 30], out_ref[6])
         return slot_base
 
     def walk(row0_chunks, nrows):
@@ -120,6 +123,7 @@ def resolve_attributes_pallas(pairs: BinnedPairs, vis: jnp.ndarray,
     flat = jnp.pad(pairs.pair_data, ((0, CHUNK), (0, 0))).reshape(-1)
 
     kernel = functools.partial(_resolve_kernel, tile_h=th, tile_w=tw,
+                               tangent=config.enable_vertex_tangents,
                                tiles_x=tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -185,7 +189,10 @@ def resolve_attributes_ref(pairs: BinnedPairs, vis: jnp.ndarray,
                     + d[17 + ch * 3]
                 chans.append(val)
             chans.append(jnp.broadcast_to(d[10], (th, tw)))
-            chans.append(jnp.zeros((th, tw), jnp.float32))
+            if config.enable_vertex_tangents:
+                chans.append(jnp.broadcast_to(d[30], (th, tw)))
+            else:
+                chans.append(jnp.zeros((th, tw), jnp.float32))
             chans.append(jnp.zeros((th, tw), jnp.float32))
             new = jnp.stack(chans)                      # (8, th, tw)
             return jnp.where(mask[None], new, acc)

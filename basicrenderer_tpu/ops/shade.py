@@ -63,6 +63,10 @@ class GBuffer(NamedTuple):
     aniso_strength: jnp.ndarray = None  # (H, W) f32 GGX anisotropy
     aniso_rotation: jnp.ndarray = None  # (H, W) f32 tangent rotation (rad)
     ior: jnp.ndarray = None           # (H, W) f32 index of refraction
+    tangent_theta: jnp.ndarray = None  # (H, W) f32 encoded mikktspace
+    #                                   tangent (tangent_from_theta); only
+    #                                   meaningful under
+    #                                   FrameConfig.enable_vertex_tangents
 
 
 def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
@@ -130,6 +134,33 @@ def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
     )
 
 
+def _onb(n: jnp.ndarray):
+    """Branchless canonical ONB of a unit normal (Duff et al. / revised
+    Frisvad) — MUST match scene/bridge._tangent_theta's numpy twin."""
+    s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t0 = jnp.stack([1.0 + s * n[..., 0] ** 2 * a, s * b, -s * n[..., 0]],
+                   -1)
+    b0 = jnp.stack([b, s + n[..., 1] ** 2 * a, -n[..., 1]], -1)
+    return t0, b0
+
+
+def tangent_from_theta(n: jnp.ndarray, enc: jnp.ndarray):
+    """Decode the per-tri mikktspace tangent angle (+4pi = w < 0; encoded
+    by scene/bridge._tangent_theta) against the INTERPOLATED pixel normal.
+    Returns (T, B) each (..., 3), orthonormal to n, B carrying the
+    handedness (reference: mikktspace.c per-wedge frames)."""
+    neg = enc > 2.0 * jnp.pi
+    w = jnp.where(neg, -1.0, 1.0)
+    theta = enc - jnp.where(neg, 4.0 * jnp.pi, 0.0)
+    t0, b0 = _onb(n)
+    t = jnp.cos(theta)[..., None] * t0 + jnp.sin(theta)[..., None] * b0
+    t = t - n * jnp.sum(t * n, -1, keepdims=True)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-9)
+    return t, jnp.cross(n, t) * w[..., None]
+
+
 def inv_w_from_depth(depth: jnp.ndarray, proj: jnp.ndarray) -> jnp.ndarray:
     """1/clip.w recovered from the depth buffer — exactly.
 
@@ -172,6 +203,7 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
     combo = jnp.round(channels[5]).astype(jnp.int32)
     mat_id = combo % OBJ_COMBO
     object_id = combo // OBJ_COMBO
+    tangent_theta = channels[6]
 
     # World position from depth (reverse-Z NDC) + inverse viewproj
     # (column math — see math3d.mat4_columns TPU note).
@@ -230,6 +262,7 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
         aniso_strength=jnp.where(covered, mat[:, 41].reshape(H, W), 0.0),
         aniso_rotation=mat[:, 42].reshape(H, W),
         ior=jnp.where(covered, mat[:, 12].reshape(H, W), 1.5),
+        tangent_theta=tangent_theta,
     )
 
 

@@ -181,13 +181,41 @@ def sample_shadow_cascades(depth: jnp.ndarray, view, cascade_vps: jnp.ndarray,
     iw = 1.0 / jnp.where(jnp.abs(pw) > 1e-12, pw, 1.0)
     px, py, pz = px * iw, py * iw, pz * iw
 
+    # Geometric normal from low-res world-pos gradients (column math):
+    # drives the NORMAL-OFFSET bias below. Depth-only bias cannot fix
+    # curved receivers — the depth range inside ONE shadow texel exceeds
+    # any sane constant, so smooth spheres acne (caught by the ray-traced
+    # ground-truth suite). Offsetting the receiver ~1.5 texels along the
+    # surface normal is the standard fix (reference shadows.hlsli family).
+    def _g(a, axis):
+        app = a[:, -1:] if axis == 1 else a[-1:]
+        return jnp.diff(a, axis=axis, append=app)
+
+    txx, txy, txz = _g(px, 1), _g(py, 1), _g(pz, 1)
+    tyx, tyy, tyz = _g(px, 0), _g(py, 0), _g(pz, 0)
+    gnx = txy * tyz - txz * tyy
+    gny = txz * tyx - txx * tyz
+    gnz = txx * tyy - txy * tyx
+    gnl = jnp.maximum(jnp.sqrt(gnx * gnx + gny * gny + gnz * gnz), 1e-20)
+    gnx, gny, gnz = gnx / gnl, gny / gnl, gnz / gnl
+    # Face the camera (gradient orientation is view-dependent).
+    cx, cy, cz = view.cam_pos[0], view.cam_pos[1], view.cam_pos[2]
+    face = gnx * (cx - px) + gny * (cy - py) + gnz * (cz - pz)
+    sgn = jnp.where(face < 0.0, -1.0, 1.0)
+    gnx, gny, gnz = gnx * sgn, gny * sgn, gnz * sgn
+
     flat_maps = shadow_maps.reshape(-1)
     sel_idx = jnp.zeros((h, w), jnp.int32)
     sel_z = jnp.zeros((h, w), jnp.float32)
     sel_bias = jnp.zeros((h, w), jnp.float32)
     chosen = jnp.zeros((h, w), bool)
     for k in range(K):
-        x, y, z, _w4 = math3d.mat4_columns(cascade_vps[k], px, py, pz)
+        # Normal-offset by ~1.5 shadow texels (world size from the
+        # cascade's NDC scale: x_ndc spans 2 over Rp texels).
+        scale_k = jnp.linalg.norm(cascade_vps[k, 0, :3])
+        off = 1.5 * 2.0 / (Rp * jnp.maximum(scale_k, 1e-12))
+        x, y, z, _w4 = math3d.mat4_columns(
+            cascade_vps[k], px + gnx * off, py + gny * off, pz + gnz * off)
         inside = (jnp.abs(x) < 0.99) & (jnp.abs(y) < 0.99) & (z > 0) & (z < 1)
         use = inside & ~chosen
         u = jnp.clip(((x * 0.5 + 0.5) * Rp).astype(jnp.int32), 0, Rp - 1)

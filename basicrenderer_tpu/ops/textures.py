@@ -587,11 +587,23 @@ def apply_normal_map(normal: jnp.ndarray, world_pos: jnp.ndarray,
 def apply_normal_map_sampled(normal: jnp.ndarray, world_pos: jnp.ndarray,
                              uv: jnp.ndarray, smp: jnp.ndarray,
                              normal_tex: jnp.ndarray,
-                             normal_scale=1.0) -> jnp.ndarray:
+                             normal_scale=1.0, frame=None) -> jnp.ndarray:
     """Tangent-frame perturbation from an already-sampled normal map `smp`
-    (H, W, 4) — the variant the frame uses with the block-window sampler."""
+    (H, W, 4) — the variant the frame uses with the block-window sampler.
+
+    `frame` = (T, B) supplies an explicit per-pixel tangent frame (the
+    mikktspace vertex tangents, shade.tangent_from_theta) — exact on
+    mirrored/atlased UVs where the derivative frame below breaks at seams
+    (reference: src/Utilities/mikktspace.c feeding the vertex stream)."""
     n_ts = smp[..., :3] * 2.0 - 1.0
     n_ts = n_ts.at[..., :2].multiply(normal_scale)
+    if frame is not None:
+        t, b = frame
+        n2 = (t * n_ts[..., 0:1] + b * n_ts[..., 1:2]
+              + normal * n_ts[..., 2:3])
+        n2 = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True),
+                              1e-9)
+        return jnp.where((normal_tex >= 0)[..., None], n2, normal)
 
     dpdx = _ddx(world_pos)
     dpdy = _ddy(world_pos)

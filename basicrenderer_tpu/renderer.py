@@ -138,6 +138,7 @@ class Renderer:
             enable_alpha_mask=any(m.alpha_cutoff >= 0.0
                                   for m in self.materials.materials),
             mask_peels=s.get("maskPeels", 1),
+            enable_vertex_tangents=s.get("vertexTangents", False),
             max_shadow_lights=self._count_shadow_spots(),
             max_shadow_cubes=self._count_shadow_points(),
             enable_coat=any(m.coat_weight > 0.0
@@ -517,6 +518,14 @@ class Renderer:
             out = frame_fn(*args, **kwargs)
         if config.enable_streaming:
             self._touched_dev = out.get("touched_groups")
+            if self._touched_dev is not None:
+                # Start the device->host copy NOW so next frame's
+                # np.asarray finds it staged (the fetch otherwise costs a
+                # full round trip on remote backends).
+                try:
+                    self._touched_dev.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
         if config.enable_texture_streaming:
             self._tex_wanted_dev = out.get("tex_wanted")
         self.telemetry.record_frame_outputs(out)

@@ -68,6 +68,9 @@ class PackedGeometry:
     #                                       vertex pages (models/pageblob.py)
     cluster_dequant: np.ndarray = None    # (G, 8) f32 per-page AABB min/ext
     cluster_tri_local: np.ndarray = None  # (G, 384) f32 corner slab ids
+    cluster_tangents: np.ndarray = None   # (G, 512) f32 per-tri FLAT
+    #                                       corner-0 OBJECT tangent+w,
+    #                                       plane-major (see pack_geometry)
     cluster_feeds: np.ndarray = None      # (C,) i32 streaming group of c
     cluster_made: np.ndarray = None       # (C,) i32 group c was built from
     geom_group: np.ndarray = None         # (G,) i32 owning group per page
@@ -128,6 +131,12 @@ class SceneRenderBridge:
         cluster_dequant = np.zeros((c.max_geom_clusters, DEQUANT_LANES),
                                    np.float32)
         cluster_dequant[:, 3:6] = 1.0
+        # Per-tri corner-0 OBJECT-SPACE tangent+handedness, plane-major
+        # [tx*128 | ty*128 | tz*128 | w*128] — rotated to world and encoded
+        # as a theta at setup time (raster_setup), so instance rotations
+        # stay correct (ONB(R n) != R ONB(n): a baked angle would not).
+        cluster_tangents = np.zeros((c.max_geom_clusters, 4 * MESHLET_TRIS),
+                                    np.float32)
         cluster_tri_local = np.zeros((c.max_geom_clusters, MESHLET_TRIS * 3),
                                      np.float32)
         cluster_feeds = np.full((c.max_clusters,), -1, np.int32)
@@ -156,6 +165,10 @@ class SceneRenderBridge:
             # Skinned instances deform uniquely -> never share vertex data.
             pack_key = ("skin", eid) if skinned else r.mesh_id
             if pack_key not in mesh_pack:
+                if mesh.tangents is None or len(mesh.tangents) != nv:
+                    from ..models.mesh import compute_tangents
+                    mesh.tangents = compute_tangents(
+                        mesh.positions, mesh.normals, mesh.uvs, mesh.indices)
                 if v_off + nv > c.max_vertices or t_off + nt > c.max_triangles:
                     raise ValueError(
                         f"geometry capacity exceeded: verts {v_off + nv}/"
@@ -213,6 +226,15 @@ class SceneRenderBridge:
                     # the setup einsum extracts per-corner blocks as
                     # contiguous lane slices (raster_setup.py
                     # triangle_setup_clustered).
+                    # Per-tri FLAT tangent from the corner-0 wedge
+                    # (world-theta encode at setup; decode at resolve via
+                    # shade.tangent_from_theta).
+                    tris_g = mesh.indices[lo:lo + cnt]
+                    t4 = mesh.tangents[tris_g[:, 0]]
+                    M_ = MESHLET_TRIS
+                    for comp_i in range(4):
+                        cluster_tangents[
+                            g, comp_i * M_:comp_i * M_ + cnt] = t4[:, comp_i]
                     inv3 = inv.reshape(cnt, 3)
                     for cc in range(3):
                         cluster_tri_local[
@@ -287,7 +309,7 @@ class SceneRenderBridge:
                                      tcl, cluster_table, cluster_object, cl_off,
                                      vjoints, vweights, skin_instances,
                                      cluster_verts, cluster_dequant,
-                                     cluster_tri_local,
+                                     cluster_tri_local, cluster_tangents,
                                      cluster_feeds, cluster_made,
                                      geom_group, grp_off)
         return self.packed
@@ -419,6 +441,7 @@ class SceneRenderBridge:
             cluster_verts=jnp.asarray(p.cluster_verts),
             cluster_dequant=f32(p.cluster_dequant),
             cluster_tri_local=f32(p.cluster_tri_local),
+            cluster_tangents=f32(p.cluster_tangents),
             cluster_feeds=jnp.asarray(p.cluster_feeds),
             cluster_made=jnp.asarray(p.cluster_made),
             geom_slot=jnp.arange(p.cluster_verts.shape[0], dtype=jnp.int32),

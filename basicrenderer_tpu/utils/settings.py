@@ -167,6 +167,9 @@ def make_default_settings() -> SettingsManager:
     s.register("maskPeels", 1, structural=True,
                description="alpha-MASK depth layers (2 = masked-behind-"
                            "masked)")
+    s.register("vertexTangents", False, structural=True,
+               description="mikktspace vertex tangent frames for normal "
+                           "maps (exact on mirrored/atlased UVs)")
     s.register("oitLayers", 4, structural=True, description="K-buffer depth layers")
     s.register("enableAutoExposure", False, structural=True)
     s.register("enableSkinning", False, structural=True)

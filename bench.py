@@ -55,6 +55,79 @@ def _state_call(frame, cfg, buffers, vd, params, state):
     return out
 
 
+def _bench_streaming(width, height):
+    """Steady-state ms/frame of the Renderer-driven streaming loop on the
+    city: per-frame touched-group feedback fetch, page loads into a pool
+    smaller than the scene, residency-patched cut. Returns None if the
+    scene has no streamable groups."""
+    import jax
+    from basicrenderer_tpu.models.city import load_city
+    from basicrenderer_tpu.renderer import Renderer
+    from basicrenderer_tpu.scene.bridge import BridgeCapacities
+
+    caps = BridgeCapacities(max_vertices=1 << 22, max_triangles=1 << 22,
+                            max_objects=512, max_materials=64,
+                            max_lights=1024 + 8, max_clusters=1 << 16,
+                            max_geom_clusters=1 << 15, max_groups=1 << 13)
+    r = Renderer(caps=caps)
+    built = load_city(lod=True, textures=r.textures,
+                      num_point_lights=1000 - 12,
+                      registries=(r.meshes, r.materials, r.skeletons))
+    s = r.settings
+    s.set("renderResolution", (width, height))
+    s.set("tileSize", (32, 128))
+    s.set("maxTrianglePairs", 1 << 18)
+    s.set("enableClod", True)
+    s.set("maxVisibleClusters", 3072)
+    s.set("enableClusteredLighting", True)
+    s.set("enableOcclusionCulling", True)
+    s.set("enableIBL", True)
+    s.set("enableTextures", True)
+    s.set("enableVSM", True)
+    s.set("enableGTAO", True)
+    s.set("enableBloom", True)
+    s.set("enableTAA", True)
+    s.set("enableAutoExposure", True)
+    s.set("enableSSR", True)
+    s.set("enableStreaming", True)
+    s.set("streamingSlots", 4096)
+    r.set_current_scene(built.scene)
+    out = None
+    # Converge pages + caches: warm until the streamer stops loading
+    # (the working set is bigger than one warm pass's load budget).
+    prev_loads, settled = -1, 0
+    for _ in range(150):
+        r.update()
+        out = r.render()
+        loads = r._streamer.loads if r._streamer else 0
+        settled = settled + 1 if loads == prev_loads else 0
+        prev_loads = loads
+        if settled >= 3:
+            break
+    np.asarray(out["image"][0, 0])
+    loads_warm = r._streamer.loads if r._streamer else 0
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            r.update()
+            o = r.render()
+        np.asarray(o["image"][0, 0])
+        return time.perf_counter() - t0
+
+    run(3)
+    t1 = run(12)
+    t2 = run(24)
+    st = r._streamer
+    return {
+        "ms": round((t2 - t1) / 12 * 1000.0, 2),
+        "page_loads_total": int(st.loads) if st else 0,
+        "page_loads_warm": int(loads_warm),
+        "resident_groups": int(st.resident_groups) if st else 0,
+    }
+
+
 def _converged_image(cfg, buffers, vd, params, warm=20):
     import jax
     from basicrenderer_tpu.graph.frame import build_frame_fn
@@ -127,20 +200,27 @@ def main() -> None:
     matrix = {}
     counters = {}
     frames = {}
-    for name, cfg in configs.items():
-        img, frame, state, out = _converged_image(cfg, buffers, vd, params)
+
+    rigs = {}
+
+    def bench_one(name, cfg, bufs, extra_counters=()):
+        img, frame, state, out = _converged_image(cfg, bufs, vd, params)
         frames[name] = (cfg, img)
+        rigs[name] = (cfg, frame, state, bufs)
         counters[name] = {
             "bin_overflow": int(out["bin_overflow"]),
             "cluster_overflow": int(out["cluster_overflow"]),
             "num_pairs": int(out["num_pairs"]),
         }
+        for k in extra_counters:
+            if k in out:
+                counters[name][k] = int(out[k])
 
         def run(n):
             t0 = time.perf_counter()
             o = None
             for _ in range(n):
-                o = _state_call(frame, cfg, buffers, vd, params, state)
+                o = _state_call(frame, cfg, bufs, vd, params, state)
             np.asarray(o["image"][0, 0])
             return time.perf_counter() - t0
 
@@ -151,6 +231,58 @@ def main() -> None:
         matrix[name] = round((t2 - t1) / iters * 1000.0, 2)
         print(f"# {name}: {matrix[name]} ms {counters[name]}",
               file=sys.stderr, flush=True)
+
+    for name, cfg in configs.items():
+        bench_one(name, cfg, buffers)
+
+    # ---- Feature rows (everything shipped must be priced): OIT glass,
+    # Reyes displacement, geometry streaming -------------------------------
+    # full_oit: the city's window glass as OpenPBR transmission — every
+    # pane routes through the K-peel + AVBOIT-tail pipeline (plus a second
+    # alpha-MASK peel for foliage-behind-foliage).
+    for m in built.materials.materials:
+        if m.name == "glass":
+            m.transmission_weight = 0.9
+            m.transmission_color = np.asarray([0.55, 0.7, 0.65], np.float32)
+            m.ior = 1.5
+            m.roughness = 0.05
+    bridge_oit = SceneRenderBridge(built.scene, built.meshes,
+                                   built.materials, caps, textures=tex)
+    cfg_oit = dataclasses.replace(
+        configs["full"], enable_oit=True, oit_layers=2, oit_clusters=512,
+        enable_transmission=True, mask_peels=2)
+    bench_one("full_oit", cfg_oit, bridge_oit.build_scene_buffers(),
+              extra_counters=("oit_overflow",))
+    for m in built.materials.materials:
+        if m.name == "glass":
+            m.transmission_weight = 0.0            # revert for later rows
+
+    # full_reyes: displaced cobbled ground through the micro-tessellation
+    # dice (budgeted, ops/reyes.py).
+    for m in built.materials.materials:
+        if m.name == "cobble":
+            m.displacement_scale = 0.12
+            m.displacement_texture = m.base_color_texture
+    bridge_rey = SceneRenderBridge(built.scene, built.meshes,
+                                   built.materials, caps, textures=tex)
+    cfg_rey = dataclasses.replace(
+        configs["full"], enable_reyes=True, reyes_tris=1024, reyes_dice=4,
+        reyes_px=64.0)
+    bench_one("full_reyes", cfg_rey, bridge_rey.build_scene_buffers())
+    for m in built.materials.materials:
+        if m.name == "cobble":
+            m.displacement_scale = 0.0
+
+    # full_streaming: the Renderer-driven feedback loop (touched-group
+    # fetch -> page loads -> residency-patched cut) on a page pool smaller
+    # than the scene, steady state after the working set converges.
+    stream_row = _bench_streaming(width, height)
+    if stream_row:
+        matrix["full_streaming"] = stream_row["ms"]
+        counters["full_streaming"] = {k: v for k, v in stream_row.items()
+                                      if k != "ms"}
+        print(f"# full_streaming: {stream_row['ms']} ms "
+              f"{counters['full_streaming']}", file=sys.stderr, flush=True)
 
     # RMSE vs the maximum-quality render of the same frame (all sampling
     # rates at full resolution) for the headline + minimal configs.
@@ -175,6 +307,22 @@ def main() -> None:
                   f"{rmse['full_taau_vs_native_hq']}",
                   file=sys.stderr, flush=True)
 
+    # Per-pass device profile of the FULL config: top source lines by
+    # device time (ms/frame) — the per-pass table VERDICT r3 asked every
+    # BENCH to carry so regressions localize.
+    profile = {}
+    try:
+        from basicrenderer_tpu.utils.profiling import profile_fn
+        cfg_f, frame_f, state_f, bufs_f = rigs["full"]
+        kwargs = {"prev_depth": state_f["prev_depth"],
+                  "taa_history": state_f["taa_history"],
+                  "vsm_state": state_f["vsm_state"]}
+        rows = profile_fn(frame_f, bufs_f, vd, params, iters=6, **kwargs)
+        profile = {src: round(ms, 3) for src, ms in rows[:12]}
+        print(f"# profile[full]: {profile}", file=sys.stderr, flush=True)
+    except Exception as e:  # never sink the bench line
+        profile = {"error": f"{type(e).__name__}: {e}"}
+
     # Mosaic lowering smoke: Pallas raster vs jnp twin pixel parity on the
     # real TPU (tools/tpu_smoke.py) — the Mosaic-only regression guard.
     try:
@@ -198,6 +346,7 @@ def main() -> None:
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 4),
         "matrix": matrix,
+        "profile_full_ms": profile,
         "rmse_vs_max_quality": rmse,
         "counters": counters,
     }))
