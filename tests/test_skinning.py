@@ -118,3 +118,61 @@ def test_skinned_render_deforms():
     top = np.asarray(s1.positions[:nv])[-8:]
     assert top[:, 0].mean() < -0.5      # moved toward -X
     assert abs(top[:, 1].mean() - 1.0) < 0.3  # pivoted around mid-height
+
+
+def test_cubicspline_channel():
+    """glTF CUBICSPLINE Hermite evaluation (reference: AnimationClip.h
+    cubic interpolation): smooth easing with zero tangents — the midpoint
+    matches the Hermite smoothstep blend, NOT the linear lerp; endpoint
+    values land exactly."""
+    from basicrenderer_tpu.models.animation import Channel, _sample_channel
+    times = np.array([0.0, 1.0], np.float32)
+    # Two keys [in, value, out]: zero tangents -> pure smoothstep in t.
+    vals = np.array([[0, 0, 0], [0, 0, 0], [0, 0, 0],
+                     [0, 0, 0], [2, 0, 0], [0, 0, 0]], np.float32)
+    ch = Channel(0, "translation", times, vals, "CUBICSPLINE")
+    np.testing.assert_allclose(_sample_channel(ch, 0.0), [0, 0, 0])
+    np.testing.assert_allclose(_sample_channel(ch, 1.0), [2, 0, 0])
+    # Smoothstep(0.25) = 3f^2-2f^3 = 0.15625 -> x = 0.3125 (lerp gives .5)
+    np.testing.assert_allclose(_sample_channel(ch, 0.25)[0], 0.3125,
+                               atol=1e-6)
+    # Non-zero out-tangent at key 0 bends the start: dp/dt(0) = tangent.
+    vals2 = vals.copy()
+    vals2[2] = [4, 0, 0]
+    ch2 = Channel(0, "translation", times, vals2, "CUBICSPLINE")
+    eps = 1e-3
+    d = (_sample_channel(ch2, eps)[0] - _sample_channel(ch2, 0.0)[0]) / eps
+    assert abs(d - 4.0) < 0.05, d
+
+
+def test_clip_blending_and_crossfade():
+    """Two-clip blends mix joint-local TRS (slerped rotations); play(fade=)
+    cross-fades from the previous state (SkeletonManager controllers)."""
+    from basicrenderer_tpu.models.animation import (
+        AnimationClip, Channel, SkeletonRegistry, Skeleton)
+    sk = Skeleton(parents=np.array([-1], np.int32),
+                  inverse_bind=np.eye(4, dtype=np.float32)[None],
+                  rest_pos=np.zeros((1, 3), np.float32),
+                  rest_rot=np.array([[0, 0, 0, 1]], np.float32),
+                  rest_scale=np.ones((1, 3), np.float32))
+    t2 = np.array([0.0, 10.0], np.float32)
+
+    def move_clip(x):
+        return AnimationClip("m", [Channel(
+            0, "translation", t2,
+            np.array([[x, 0, 0], [x, 0, 0]], np.float32))])
+
+    reg = SkeletonRegistry()
+    sid = reg.add(sk)
+    a = reg.add_clip(sid, move_clip(0.0))
+    b = reg.add_clip(sid, move_clip(4.0))
+    reg.set_blend(sid, a, b, 0.25)
+    pal = reg.palette(sid, 1.0)
+    np.testing.assert_allclose(pal[0][:3, 3], [1.0, 0, 0], atol=1e-6)
+    # Cross-fade: at half the fade window the pose is the midpoint.
+    reg.set_blend(sid, a, b, 0.0)          # pose at x=0
+    reg.play(sid, b, t0=2.0, fade=1.0)     # fade to x=4 starting t=2
+    pal_mid = reg.palette(sid, 2.5)
+    np.testing.assert_allclose(pal_mid[0][:3, 3], [2.0, 0, 0], atol=1e-6)
+    pal_end = reg.palette(sid, 3.5)        # fade done
+    np.testing.assert_allclose(pal_end[0][:3, 3], [4.0, 0, 0], atol=1e-6)
