@@ -132,6 +132,8 @@ class UIServer:
                         self._json(ui.settings_payload())
                     elif u.path == "/api/views":
                         self._json({"views": list(DEBUG_VIEWS)})
+                    elif u.path == "/api/scene":
+                        self._json(ui.scene_payload())
                     elif u.path == "/api/telemetry":
                         n = int(q.get("n", ["60"])[0])
                         self._json(ui.telemetry_payload(n))
@@ -155,6 +157,8 @@ class UIServer:
                                 v = tuple(v)
                             ui.renderer.settings.set(k, v)
                         self._json(ui.settings_payload())
+                    elif u.path == "/api/scene/transform":
+                        self._json(ui.apply_transform(body))
                     else:
                         self._json({"error": "not found"}, 404)
                 except Exception as e:
@@ -165,6 +169,66 @@ class UIServer:
         self._thread: Optional[threading.Thread] = None
 
     # -- payloads ----------------------------------------------------------
+    def scene_payload(self) -> Dict[str, Any]:
+        """Scene-graph explorer: entities with transforms + renderables
+        (reference: Menu.h scene tree, Menu.h:163-170)."""
+        from ..scene.components import (Parent, Position, Renderable,
+                                        Rotation, Scale)
+        sc = self.renderer.scene
+        if sc is None:
+            return {"entities": []}
+        w = sc.world
+        ents = []
+        for e, (pos,) in w.query(Position):
+            row: Dict[str, Any] = {"entity": int(e),
+                                   "position": [float(x) for x in pos.value]}
+            names = [t[5:] for t, members in w._tags.items()
+                     if t.startswith("name:") and e in members]
+            if names:
+                row["name"] = names[0]
+            if w.has(e, Rotation):
+                row["rotation"] = [float(x) for x in w.get(e, Rotation).value]
+            if w.has(e, Scale):
+                row["scale"] = [float(x) for x in w.get(e, Scale).value]
+            if w.has(e, Parent):
+                row["parent"] = int(w.get(e, Parent).entity)
+            if w.has(e, Renderable):
+                r = w.get(e, Renderable)
+                row["mesh"] = int(r.mesh_id)
+                row["material"] = int(r.material_id)
+            ents.append(row)
+        return {"entities": ents}
+
+    def apply_transform(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Live scene edit over the deferred-edit protocol: the change
+        queues on world.defer and lands at the next Renderer.update()
+        flush (never mid-frame — reference: Menu transform editing
+        through the scene-update phase, Menu.h:163-170)."""
+        from ..scene.components import Position, Rotation, Scale
+        import numpy as np
+        sc = self.renderer.scene
+        if sc is None:
+            return {"error": "no scene"}
+        eid = int(body["entity"])
+        if not sc.world.is_alive(eid):
+            return {"error": f"entity {eid} not alive"}
+        sets = []
+        for key, ctype, n in (("position", Position, 3),
+                              ("rotation", Rotation, 4),
+                              ("scale", Scale, 3)):
+            if key in body:
+                v = np.asarray(body[key], np.float32).reshape(n)
+                sets.append((ctype, v))
+
+        def apply():
+            for ctype, v in sets:
+                sc.world.set(eid, ctype(v))
+
+        sc.world.defer(apply)
+        return {"queued": {"entity": eid,
+                           "fields": [k for k in ("position", "rotation",
+                                                  "scale") if k in body]}}
+
     def settings_payload(self) -> Dict[str, Any]:
         s = self.renderer.settings
         with s._lock:

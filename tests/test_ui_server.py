@@ -110,3 +110,39 @@ def test_png_encoder_roundtrip():
     rows = [raw[y * (1 + 5 * 3) + 1:(y + 1) * (1 + 5 * 3)] for y in range(4)]
     dec = np.frombuffer(b"".join(rows), np.uint8).reshape(4, 5, 3)
     np.testing.assert_array_equal(dec, img)
+
+
+def test_scene_explorer_and_live_transform_edit():
+    """GET /api/scene lists the graph; POST /api/scene/transform queues a
+    deferred edit that lands at the next update() and changes the frame
+    (reference: Menu.h scene-tree transform editing, Menu.h:163-170)."""
+    r = _make_renderer()
+    ui = UIServer(r).start()
+    try:
+        base = ui.url
+        r.update()
+        img0 = r.render_to_numpy()
+        sc = _get_json(base + "/api/scene")
+        ents = sc["entities"]
+        assert len(ents) >= 1
+        cube = [e for e in ents if "mesh" in e][0]
+        assert cube["position"] == [0.0, 0.5, 0.0]
+        res = _post_json(base + "/api/scene/transform",
+                         {"entity": cube["entity"],
+                          "position": [0.8, 0.5, 0.0]})
+        assert res["queued"]["fields"] == ["position"]
+        # The edit is DEFERRED: it lands on the next update, not before.
+        r.update()
+        img1 = r.render_to_numpy()
+        assert np.abs(img1.astype(int) - img0).mean() > 0.05
+        sc2 = _get_json(base + "/api/scene")
+        cube2 = [e for e in sc2["entities"]
+                 if e["entity"] == cube["entity"]][0]
+        np.testing.assert_allclose(cube2["position"], [0.8, 0.5, 0.0],
+                                   rtol=1e-6)
+        # Bad entity surfaces an error, doesn't 500 the server.
+        res = _post_json(base + "/api/scene/transform",
+                         {"entity": 999999, "position": [0, 0, 0]})
+        assert "error" in res
+    finally:
+        ui.stop()
