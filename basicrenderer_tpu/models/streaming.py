@@ -287,6 +287,12 @@ class GeometryStreamer:
         self.slab_dq = jnp.zeros((num_slots, DEQUANT_LANES), jnp.float32)
         self._upd_v = jax.jit(lambda s, rows, at: jax.lax.dynamic_update_slice(
             s, rows, (at, 0)))
+        # Batched splice: ONE host->device transfer + scatter per update
+        # instead of 3 transfers per page (remote backends pay a round
+        # trip per transfer; 64 loads/frame = 192 round trips otherwise).
+        self._upd_batch = jax.jit(lambda s, rows, slots: s.at[slots].set(
+            rows))
+        self._pending = []               # [(slot, v_row, l_row, dq_row)]
         # Disk mode: an IO worker prefetches requested groups' page bytes
         # into a host staging dict; update() uploads staged groups. The
         # frame loop never blocks on disk (reference: StreamingWorkerMain).
@@ -302,6 +308,7 @@ class GeometryStreamer:
             s = self._free.pop()
             self.geom_slot[p] = s
             self._upload(int(p), s)
+        self._flush_uploads()
 
     def _read_group_pages(self, g: int) -> np.ndarray:
         """IO-thread loader: (n_pages, lanes) u32 for group g from disk."""
@@ -316,15 +323,27 @@ class GeometryStreamer:
     def _upload(self, page: int, slot: int, rows: np.ndarray = None) -> None:
         if rows is None:
             rows = self._page_rows(page)
-        self.slab_v = self._upd_v(self.slab_v,
-                                  jnp.asarray(rows, dtype=jnp.uint32), slot)
-        self.slab_l = self._upd_v(self.slab_l,
-                                  jnp.asarray(self.l_full[page:page + 1],
-                                              dtype=jnp.float32), slot)
-        self.slab_dq = self._upd_v(self.slab_dq,
-                                   jnp.asarray(self.dq_full[page:page + 1],
-                                               dtype=jnp.float32), slot)
+        self._pending.append((slot, rows[0], self.l_full[page],
+                              self.dq_full[page]))
         self.loads += 1
+
+    def _flush_uploads(self) -> None:
+        if not self._pending:
+            return
+        slots = jnp.asarray([p[0] for p in self._pending], jnp.int32)
+        self.slab_v = self._upd_batch(
+            self.slab_v,
+            jnp.asarray(np.stack([p[1] for p in self._pending]),
+                        jnp.uint32), slots)
+        self.slab_l = self._upd_batch(
+            self.slab_l,
+            jnp.asarray(np.stack([p[2] for p in self._pending]),
+                        jnp.float32), slots)
+        self.slab_dq = self._upd_batch(
+            self.slab_dq,
+            jnp.asarray(np.stack([p[3] for p in self._pending]),
+                        jnp.float32), slots)
+        self._pending.clear()
 
     def _load_group(self, g: int) -> bool:
         pages = self.group_pages.get(g)
@@ -412,6 +431,7 @@ class GeometryStreamer:
                 break
             if self._load_group(g):
                 budget -= 1
+        self._flush_uploads()
         return (self.slab_v, self.slab_l, self.slab_dq,
                 jnp.asarray(self.geom_slot), jnp.asarray(self.resident))
 

@@ -90,7 +90,11 @@ def _bench_streaming(width, height):
     s.set("enableAutoExposure", True)
     s.set("enableSSR", True)
     s.set("enableStreaming", True)
-    s.set("streamingSlots", 4096)
+    # Pool sized ABOVE the hero view's working set (~4100 pages): the warmup
+    # exercises loads + LRU, steady state then settles; a pool below the
+    # working set ping-pongs evictions forever (measured: 64 loads/frame
+    # indefinitely at 4096 slots on this view).
+    s.set("streamingSlots", 6144)
     r.set_current_scene(built.scene)
     out = None
     # Converge pages + caches: warm until the streamer stops loading
@@ -124,6 +128,8 @@ def _bench_streaming(width, height):
         "ms": round((t2 - t1) / 12 * 1000.0, 2),
         "page_loads_total": int(st.loads) if st else 0,
         "page_loads_warm": int(loads_warm),
+        "loads_per_frame_steady": round(
+            (int(st.loads) - loads_warm) / 39.0, 1) if st else 0,
         "resident_groups": int(st.resident_groups) if st else 0,
     }
 
@@ -266,8 +272,8 @@ def main() -> None:
     bridge_rey = SceneRenderBridge(built.scene, built.meshes,
                                    built.materials, caps, textures=tex)
     cfg_rey = dataclasses.replace(
-        configs["full"], enable_reyes=True, reyes_tris=1024, reyes_dice=4,
-        reyes_px=64.0)
+        configs["full"], enable_reyes=True, reyes_tris=2048, reyes_dice=4,
+        reyes_px=96.0)
     bench_one("full_reyes", cfg_rey, bridge_rey.build_scene_buffers())
     for m in built.materials.materials:
         if m.name == "cobble":
