@@ -1,0 +1,130 @@
+"""Cluster-scale stress: cost curve of the O(C) LOD cut + compaction.
+
+The reference budgets 30M clusters through a DAG-frontier dispatch
+(reference: Renderer.cpp:2494, computeCulling.hlsl:17-50); this engine's
+vectorized cut scans ALL resident clusters every frame (ops/clod.py) and
+relies on the streamer to bound residency. This tool measures where that
+ceiling actually is on one chip so the budget is a documented number, not
+a hope. Loop-in-jit timing (20 reps per dispatch; the axon tunnel makes
+single-dispatch slopes noisy).
+
+Usage:  python tools/cluster_scale_bench.py [max_log2]
+
+Round-4 measurement (TPU v5 lite, O=512 objects, loop-in-jit x20):
+    C=65536:    cut 1.45 ms   cut+compact(3072) 1.43 ms
+    C=262144:   cut 2.04 ms   cut+compact(3072) 2.01 ms
+    C=1048576:  cut 4.33 ms   cut+compact(3072) 4.35 ms
+~1.2 ms fixed + ~3 ns/cluster; the budgeted compaction adds nothing
+measurable on top of the cut (it fuses into the same scan). A fully
+resident 1M-cluster world pays ~4.3 ms/frame, so past ~0.5M resident
+clusters a group-level pre-cull (frustum-test the ~C/128 streaming
+groups, then scan only survivors' clusters) is the next structural move;
+the streamer's residency budget keeps today's scenes far below that
+line (the city bench holds 64k).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def synth_buffers(C: int, O: int = 512):
+    """Synthetic SceneBuffers with C plausible clusters over O objects."""
+    import jax.numpy as jnp
+    from basicrenderer_tpu.graph.framedata import SceneBuffers
+    from basicrenderer_tpu.models.clusters import CLUSTER_STRIDE
+
+    rng = np.random.default_rng(0)
+    tbl = np.zeros((C, CLUSTER_STRIDE), np.float32)
+    tbl[:, :3] = rng.uniform(-50, 50, (C, 3))        # center
+    tbl[:, 3] = rng.uniform(0.5, 2.0, C)             # radius
+    tbl[:, 4] = rng.uniform(0.001, 0.1, C)           # self err
+    tbl[:, 5] = tbl[:, 4] * 2.5                      # parent err
+    tbl[:, 6] = rng.integers(0, 4, C)                # level
+    tbl[:, 7] = np.arange(C) * 128                   # tri offset
+    tbl[:, 8] = 128                                  # tri count
+    tbl[:, 12:16] = tbl[:, 0:4]
+    tbl[:, 16:20] = tbl[:, 0:4]
+    cobj = rng.integers(0, O, C).astype(np.int32)
+    mats = np.tile(np.eye(4, dtype=np.float32), (O, 1, 1))
+    mats[:, :3, 3] = rng.uniform(-5, 5, (O, 3))
+    z1 = jnp.zeros(1, jnp.float32)
+    zi = jnp.zeros(1, jnp.int32)
+    return SceneBuffers(
+        positions=z1.reshape(1, 1) * jnp.zeros((1, 3)),
+        normals=jnp.zeros((1, 3)), tangents=jnp.zeros((1, 4)),
+        uvs=jnp.zeros((1, 2)), vert_object=zi, indices=jnp.zeros((1, 3), jnp.int32),
+        tri_material=zi, tri_object=zi, num_tris=jnp.int32(0),
+        num_verts=jnp.int32(0), object_mats=jnp.asarray(mats),
+        object_normal_mats=jnp.tile(jnp.eye(3), (O, 1, 1)),
+        object_bounds=jnp.zeros((O, 4)), object_valid=jnp.ones(O, bool),
+        material_table=jnp.zeros((1, 48)), lights=jnp.zeros((1, 16)),
+        num_lights=jnp.int32(0), num_dir_lights=jnp.int32(0),
+        vert_joints=jnp.zeros((1, 4), jnp.int32),
+        vert_weights=jnp.zeros((1, 4)), joint_palette=jnp.zeros((1, 16)),
+        vertex_table=jnp.zeros((1, 10)),
+        cluster_verts=jnp.zeros((1, 1152), jnp.uint32),
+        cluster_dequant=jnp.zeros((1, 8)),
+        cluster_tri_local=jnp.zeros((1, 384)),
+        cluster_feeds=jnp.full((C,), -1, jnp.int32),
+        cluster_made=jnp.full((C,), -1, jnp.int32),
+        geom_slot=zi, group_resident=jnp.ones(1, bool),
+        tri_cluster=zi, cluster_table=jnp.asarray(tbl),
+        cluster_object=jnp.asarray(cobj), num_clusters=jnp.int32(C),
+        tex_strips=jnp.zeros((1, 128), jnp.uint32),
+        tex_flags=jnp.zeros(1, jnp.int32), env_sh=jnp.zeros((9, 3)),
+        env_specular=jnp.zeros((1, 6, 4, 4, 3)),
+        env_brdf_lut=jnp.zeros((4, 4, 2)),
+    )
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from basicrenderer_tpu.graph.framedata import FrameConfig, make_view
+    from basicrenderer_tpu.ops import clod
+    from basicrenderer_tpu.utils import math3d
+
+    max_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    cfg = FrameConfig(width=1920, height=1080, enable_clod=True,
+                      max_visible_clusters=3072)
+    view_m = np.asarray(math3d.np_look_at([0, 10, 60], [0, 0, 0],
+                                          [0, 1, 0]), np.float32)
+    proj_m = np.asarray(math3d.np_perspective(1.05, 16 / 9, 0.1, None),
+                        np.float32)
+    vd = make_view(view_m, proj_m, np.array([0, 10, 60], np.float32))
+
+    for lg in range(16, max_log2 + 1, 2):
+        C = 1 << lg
+        buffers = synth_buffers(C)
+
+        def cut_only(scene, view, eps):
+            def body(i, acc):
+                sel, _ = clod.select_cluster_cut(
+                    scene, view, cfg, jnp.float32(1.0) + eps * i * 1e-12)
+                return acc + jnp.sum(sel)
+            return jax.lax.fori_loop(0, 20, body, jnp.int32(0))
+
+        def cut_compact(scene, view, eps):
+            def body(i, acc):
+                sel, _ = clod.select_cluster_cut(
+                    scene, view, cfg, jnp.float32(1.0) + eps * i * 1e-12)
+                comp = clod.compact_visible_tris(
+                    cut=sel, scene=scene, max_visible=3072)
+                return acc + comp.indices[0, 0] + jnp.sum(sel)
+            return jax.lax.fori_loop(0, 20, body, jnp.int32(0))
+
+        for name, fn in (("cut", cut_only), ("cut+compact", cut_compact)):
+            j = jax.jit(fn)
+            np.asarray(j(buffers, vd, jnp.float32(1e-9)))     # compile
+            t0 = time.perf_counter()
+            np.asarray(j(buffers, vd, jnp.float32(2e-9)))
+            ms = (time.perf_counter() - t0) / 20 * 1000.0
+            print(f"C={C}: {name} {ms:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
