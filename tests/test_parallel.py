@@ -100,3 +100,27 @@ def test_sharded_frame_other_mesh_sizes():
     mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
     out = jax.jit(build_sharded_frame_fn(config, mesh))(buffers, vd, params)
     assert np.asarray(out["image"]).shape == (64, 128, 3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_vsm_matches_single_device():
+    """Virtual shadow maps under tile sharding: the VSM page cache is
+    replicated state threaded across frames; two sharded steps must match
+    two single-device steps exactly (pages render identically on every
+    shard; only the screen-space sample is row-local)."""
+    from basicrenderer_tpu.ops import vsm as vsm_ops
+    n = 8
+    config = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                         max_pairs=1 << 12, use_pallas_raster=False,
+                         enable_clod=True, max_visible_clusters=128,
+                         enable_vsm=True, shadow_clusters=64)
+    buffers, vd, params = _frame_inputs()
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    sharded = jax.jit(build_sharded_frame_fn(config, mesh))
+    single = jax.jit(build_frame_fn(config))
+    out_s = sharded(buffers, vd, params, vsm_state=vsm_ops.init_state())
+    out_1 = single(buffers, vd, params, vsm_state=vsm_ops.init_state())
+    # Second frame consumes the converged page cache.
+    out_s = sharded(buffers, vd, params, vsm_state=out_s["vsm_state"])
+    out_1 = single(buffers, vd, params, vsm_state=out_1["vsm_state"])
+    _assert_match(out_s, out_1)
