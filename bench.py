@@ -131,6 +131,11 @@ def _bench_streaming(width, height):
         "loads_per_frame_steady": round(
             (int(st.loads) - loads_warm) / 39.0, 1) if st else 0,
         "resident_groups": int(st.resident_groups) if st else 0,
+        # The delta vs the `full` row is dominated by the touched-group
+        # device->host fetch each frame, which on THIS rig crosses the
+        # remote-TPU tunnel (~100 ms round trip); the frame itself does no
+        # extra steady-state work (loads_per_frame_steady ~ 0).
+        "note": "includes per-frame feedback fetch over the remote tunnel",
     }
 
 
