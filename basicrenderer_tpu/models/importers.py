@@ -466,5 +466,21 @@ def load_model(path: str, scene: Scene, meshes: MeshRegistry,
             return load_usdc(path, scene, meshes, materials, parent)
         from .usd import load_usda
         return load_usda(path, scene, meshes, materials, parent)
-    raise ValueError(f"unsupported model format: {ext} "
-                     "(supported: .gltf, .glb, .obj, .usda, .usdc, .usdz)")
+    # Assimp-breadth formats (reference: AssimpLoader.cpp via
+    # ModelLoader.cpp:14-45 catch-all dispatch).
+    if ext == ".fbx":
+        from .fbx import load_fbx
+        return load_fbx(path, scene, meshes, materials, skeletons, parent,
+                        textures=textures)
+    if ext == ".dae":
+        from .meshformats import load_dae
+        return load_dae(path, scene, meshes, materials, parent)
+    if ext == ".ply":
+        from .meshformats import load_ply
+        return load_ply(path, scene, meshes, materials, parent)
+    if ext == ".stl":
+        from .meshformats import load_stl
+        return load_stl(path, scene, meshes, materials, parent)
+    raise ValueError(f"unsupported model format: {ext} (supported: .gltf, "
+                     ".glb, .obj, .usda, .usdc, .usdz, .fbx, .dae, .ply, "
+                     ".stl)")
