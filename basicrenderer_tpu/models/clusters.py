@@ -58,8 +58,16 @@ def _load_native():
         try:
             subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", so, src],
                            check=True, capture_output=True)
-        except Exception:
-            pass
+        except Exception as e:
+            # Loud: the numpy fallback is a low-quality decimator meant for
+            # tests only; silently shipping it would render garbage LODs.
+            import logging
+            detail = getattr(e, "stderr", b"") or b""
+            logging.getLogger(__name__).error(
+                "native QEM build FAILED (%r); falling back to the "
+                "low-quality drop-every-other-triangle decimator. LOD "
+                "quality will be poor. g++ stderr: %s",
+                e, detail.decode("utf-8", "replace")[:2000])
     if os.path.exists(so):
         lib = ctypes.CDLL(so)
         lib.simplify_qem.restype = ctypes.c_float

@@ -24,9 +24,8 @@ and file textures connected via OP links (DiffuseColor -> sRGB base
 color map, NormalMap/Bump -> linear normal map — the semantic mapping of
 AssimpLoader.cpp:97-120).
 
-Skin deformers (Deformer::Skin/Cluster) import as a Skeleton +
-per-vertex joints/weights when a SkeletonRegistry is passed, matching
-AssimpLoader's aiBone path.
+Not yet imported: skin deformers (Deformer::Skin/Cluster) and
+AnimationCurveNode curves — static geometry/material/hierarchy only.
 """
 
 from __future__ import annotations
@@ -162,8 +161,13 @@ def _read_ascii(text: str) -> FbxNode:
         if comment is not None:
             continue
         if key is not None:
-            if key == "a" and cur is not None:   # array payload: fold into
-                continue                         # the enclosing node's props
+            if key == "a":
+                # FBX 7.x array payload `*N { a: v, v, ... }`: fold the
+                # values into the enclosing block node's props (cur is None
+                # inside the block, so numbers append to stack[-1] which is
+                # the array node itself).
+                cur = None
+                continue
             cur = FbxNode(key.strip(), [])
             stack[-1].children.append(cur)
         elif brace == "{":
@@ -183,10 +187,22 @@ def _read_ascii(text: str) -> FbxNode:
             tgt.props.append(v)
     # Collapse numeric prop runs into arrays for the nodes readers treat
     # as arrays (Vertices, PolygonVertexIndex, ...): binary parity.
+    _ARRAY_NODES = {
+        "Vertices", "PolygonVertexIndex", "Normals", "NormalsIndex",
+        "UV", "UVIndex", "Materials", "Indexes", "Weights", "Edges",
+        "KeyTime", "KeyValueFloat", "KeyAttrFlags", "KeyAttrDataFloat",
+        "KeyAttrRefCount", "Matrix", "Transform", "TransformLink",
+        "Colors", "ColorIndex", "Tangents", "TangentsIndex",
+        "Binormals", "BinormalsIndex", "Smoothing", "Points",
+    }
+
     def fold(n: FbxNode):
-        if len(n.props) > 4 and all(np.isscalar(p) and not isinstance(p, str)
-                                    for p in n.props):
-            n.props = [np.asarray(n.props, np.float64)]
+        numeric = n.props and all(
+            np.isscalar(p) and not isinstance(p, str) for p in n.props)
+        if numeric and (len(n.props) > 4 or n.name in _ARRAY_NODES):
+            dt = (np.int64 if all(isinstance(p, (int, np.integer))
+                                  for p in n.props) else np.float64)
+            n.props = [np.asarray(n.props, dt)]
         for c in n.children:
             fold(c)
     fold(root)
@@ -288,12 +304,15 @@ def _extract_geometry(geom: FbxNode) -> Optional[dict]:
     corner_poly_arr = np.asarray(corner_poly, np.int64)
     corner_to_vertex_full = decoded                 # per original corner
     ctv = decoded[corners]                          # per triangulated corner
+    # Polygon id per ORIGINAL pvi corner (ByPolygon layer mapping needs it):
+    # corner j belongs to polygon (#polygon-ends before j).
+    ends = np.flatnonzero(pvi < 0)
+    orig_corner_poly = np.searchsorted(ends, np.arange(len(pvi)),
+                                       side="left").astype(np.int64)
 
     normals = _layer_values(geom, "LayerElementNormal", "Normals",
                             "NormalsIndex", 3,
-                            corner_to_vertex_full, None
-                            if len(corner_poly) == 0 else
-                            np.zeros(len(pvi), np.int64))
+                            corner_to_vertex_full, orig_corner_poly)
     # ByPolygon mapping for normals needs the ORIGINAL corner->polygon map:
     if normals is not None and len(normals) == len(pvi):
         normals = normals[corners]
@@ -402,21 +421,26 @@ def load_fbx(path: str, scene: Scene, meshes: MeshRegistry,
         by_id[int(oid)] = node
         kind[int(oid)] = node.name
 
-    # Connections: child -> [(parent, prop-or-None)]
+    # Connections: child -> [parents] AND parent -> [children in file
+    # order]. Slot order (e.g. LayerElementMaterial indices) is defined by
+    # the per-model connection record order, so the ordered parent->children
+    # map is authoritative for slot binding.
     oo_parents: Dict[int, List[int]] = {}
+    oo_children: Dict[int, List[int]] = {}
     op_links: Dict[int, List[Tuple[int, str]]] = {}
     if conns is not None:
         for c in conns.find_all("C") + conns.find_all("Connect"):
             if len(c.props) >= 3 and c.props[0] == "OO":
-                oo_parents.setdefault(int(c.props[1]), []).append(
-                    int(c.props[2]))
+                cid, pid = int(c.props[1]), int(c.props[2])
+                oo_parents.setdefault(cid, []).append(pid)
+                oo_children.setdefault(pid, []).append(cid)
             elif len(c.props) >= 4 and c.props[0] == "OP":
                 op_links.setdefault(int(c.props[1]), []).append(
                     (int(c.props[2]), str(c.props[3])))
 
     def children_of(pid: int, want: str) -> List[int]:
-        return [cid for cid, ps in oo_parents.items()
-                if pid in ps and kind.get(cid) == want]
+        return [cid for cid in oo_children.get(pid, [])
+                if kind.get(cid) == want]
 
     # Materials.
     mat_id_for: Dict[int, int] = {}

@@ -105,8 +105,14 @@ def load_ply(path: str, scene: Scene, meshes: MeshRegistry,
                 for p in props:
                     vert_cols[p[2]] = np.asarray(arr[p[2]], np.float64)
             else:
+                # Generic row walk: vertex elements that contain list
+                # properties still collect their scalar columns; the face
+                # list is selected by PROPERTY NAME (vertex_indices), not
+                # by whichever list happened to be read last.
+                col_acc = ({p[-1]: [] for p in props if p[0] == "scalar"}
+                           if name == "vertex" else None)
                 for _ in range(count):
-                    vals = []
+                    face_vals = None
                     for p in props:
                         if p[0] == "list":
                             cnt_t = _PLY_DTYPES[p[1]]
@@ -115,11 +121,19 @@ def load_ply(path: str, scene: Scene, meshes: MeshRegistry,
                             it = _PLY_DTYPES[p[2]]
                             vals = np.frombuffer(body, it, n, off)
                             off += it().itemsize * n
+                            if p[-1] in ("vertex_indices", "vertex_index"):
+                                face_vals = vals
                         else:
                             it = _PLY_DTYPES[p[1]]
+                            if col_acc is not None:
+                                col_acc[p[-1]].append(
+                                    float(np.frombuffer(body, it, 1, off)[0]))
                             off += it().itemsize
-                    if name == "face":
-                        face_lists.append([int(x) for x in vals])
+                    if name == "face" and face_vals is not None:
+                        face_lists.append([int(x) for x in face_vals])
+                if col_acc:
+                    for k, v in col_acc.items():
+                        vert_cols[k] = np.asarray(v, np.float64)
 
     pos = np.stack([vert_cols[c] for c in ("x", "y", "z")], 1)
     nrm = (np.stack([vert_cols[c] for c in ("nx", "ny", "nz")], 1)

@@ -62,8 +62,12 @@ class SettingsManager:
         with self._lock:
             s = self._settings.get(name)
             if s is None:
-                self.register(name, value)
-                s = self._settings[name]
+                # The reference's typed registry rejects unknown keys at the
+                # template layer (SettingsManager.h:13-90); auto-registering
+                # here silently creates dead settings on typos.
+                raise KeyError(
+                    f"unknown setting {name!r} — settings must be declared "
+                    f"with register() before set()")
             if s.value == value:
                 return
             s.value = value
@@ -102,8 +106,15 @@ class SettingsManager:
             json.dump(self.to_dict(), f, indent=2, sort_keys=True)
 
     def load_json(self, path: str) -> None:
+        import logging
         with open(path) as f:
             for k, v in json.load(f).items():
+                if not self.registered(k):
+                    # Stale keys from older configs must not resurrect as
+                    # dead settings — skip loudly instead.
+                    logging.getLogger(__name__).warning(
+                        "settings: skipping unknown key %r from %s", k, path)
+                    continue
                 self.set(k, v)
 
 

@@ -107,7 +107,7 @@ f 1/1/1 2/2/1 3/3/1 4/4/1
 
 
 def test_unknown_format_raises(tmp_path):
-    p = str(tmp_path / "x.fbx")
+    p = str(tmp_path / "x.xyz123")
     open(p, "w").write("")
     with pytest.raises(ValueError, match="unsupported"):
         load_model(p, Scene(), MeshRegistry(), MaterialRegistry())
