@@ -494,40 +494,61 @@ class Renderer:
         if config.enable_texture_streaming and \
                 getattr(self, "_tex_streamer", None):
             # Pipelined sampler feedback (same pattern as geometry
-            # streaming below): previous frame's wanted mips -> stream
-            # mip rows -> splice atlas + residency flags into this frame.
-            w_prev = getattr(self, "_tex_wanted_dev", None)
-            if w_prev is not None:
-                strips, flags = self._tex_streamer.update(np.asarray(w_prev))
-                self._buffers = self._buffers.replace(
-                    tex_strips=strips, tex_flags=flags)
-                args[0] = self._buffers
+            # streaming below): a completed worker tick's atlas state is
+            # spliced in; the fetch + stream never block the frame.
+            fut = getattr(self, "_tex_future", None)
+            if fut is not None and fut.done():
+                self._tex_future = None
+                res = fut.result()
+                if res is not None:
+                    strips, flags = res
+                    self._buffers = self._buffers.replace(
+                        tex_strips=strips, tex_flags=flags)
+                    args[0] = self._buffers
         if config.enable_streaming and getattr(self, "_streamer", None):
-            # Pipelined GPU feedback: consume the PREVIOUS frame's touched
-            # groups (its compute has drained by now), stream pages, and
-            # splice the pool state into this frame's buffers.
-            t_prev = getattr(self, "_touched_dev", None)
-            if t_prev is not None:
-                sv, sl, sdq, gs, gr = self._streamer.update(
-                    np.asarray(t_prev))
-                self._buffers = self._buffers.replace(
-                    cluster_verts=sv, cluster_tri_local=sl,
-                    cluster_dequant=sdq, geom_slot=gs, group_resident=gr)
-                args[0] = self._buffers
+            # Pipelined GPU feedback (reference: the fenced N-frames-later
+            # readback, CLodStreamingSystem.cpp:1091-1195): the device->host
+            # feedback fetch AND the page-pool update run on a worker
+            # thread; the frame thread only splices a COMPLETED tick's pool
+            # state — and only when that tick actually loaded or evicted
+            # (a steady-state frame pays nothing).
+            fut = getattr(self, "_stream_future", None)
+            if fut is not None and fut.done():
+                self._stream_future = None
+                res = fut.result()
+                if res is not None:
+                    sv, sl, sdq, gs, gr = res
+                    self._buffers = self._buffers.replace(
+                        cluster_verts=sv, cluster_tri_local=sl,
+                        cluster_dequant=sdq, geom_slot=gs, group_resident=gr)
+                    args[0] = self._buffers
         with self.telemetry.stage("dispatch"):
             out = frame_fn(*args, **kwargs)
-        if config.enable_streaming:
-            self._touched_dev = out.get("touched_groups")
-            if self._touched_dev is not None:
-                # Start the device->host copy NOW so next frame's
-                # np.asarray finds it staged (the fetch otherwise costs a
-                # full round trip on remote backends).
+        if config.enable_streaming and getattr(self, "_streamer", None) \
+                and getattr(self, "_stream_future", None) is None:
+            td = out.get("touched_groups")
+            if td is not None:
+                # Stage the device->host copy, then fetch + stream on the
+                # worker. At most one tick in flight; ticks therefore run
+                # every ~fetch-latency frames, which is the reference's
+                # frames-in-flight feedback cadence.
                 try:
-                    self._touched_dev.copy_to_host_async()
+                    td.copy_to_host_async()
                 except (AttributeError, RuntimeError):
                     pass
-        if config.enable_texture_streaming:
-            self._tex_wanted_dev = out.get("tex_wanted")
+                self._stream_future = self._feedback_pool().submit(
+                    self._stream_tick, td)
+        if config.enable_texture_streaming and \
+                getattr(self, "_tex_streamer", None) and \
+                getattr(self, "_tex_future", None) is None:
+            wd = out.get("tex_wanted")
+            if wd is not None:
+                try:
+                    wd.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+                self._tex_future = self._feedback_pool().submit(
+                    self._tex_tick, wd)
         self.telemetry.record_frame_outputs(out)
         self.telemetry.end_frame()
         if config.enable_occlusion or config.enable_taa:
@@ -538,6 +559,40 @@ class Renderer:
             self._vsm_state = out["vsm_state"]
         self._frame_index += 1
         return out
+
+    # -- streaming feedback workers -----------------------------------------
+    def _feedback_pool(self):
+        """Single-thread worker for feedback fetch + pool updates: ticks
+        for one streamer are serialized; geometry and texture ticks may
+        interleave (they touch disjoint state)."""
+        pool = getattr(self, "_fb_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="feedback")
+            self._fb_pool = pool
+        return pool
+
+    def _stream_tick(self, touched_dev):
+        """Worker-thread geometry streaming tick: fetch the feedback
+        (blocking is fine here — we're off the frame path), run the page
+        pool, and return new device tables only when residency changed."""
+        st = self._streamer
+        t = np.asarray(touched_dev)
+        loads0, ev0 = st.loads, st.evictions
+        res = st.update(t)
+        if st.loads == loads0 and st.evictions == ev0:
+            return None
+        return res
+
+    def _tex_tick(self, wanted_dev):
+        st = self._tex_streamer
+        w = np.asarray(wanted_dev)
+        loads0 = st.loads
+        res = st.update(w)
+        if st.loads == loads0:
+            return None
+        return res
 
     def render_to_numpy(self) -> np.ndarray:
         """Render + sync: returns the (H, W, 3) uint8 image."""
