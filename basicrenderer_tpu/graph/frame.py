@@ -46,6 +46,25 @@ def object_mask_to_tris(object_visible: jnp.ndarray, tri_object: jnp.ndarray
     return ok[:, 0] > 0.5
 
 
+def _opaque_row_filter(config: FrameConfig):
+    """Transparency-flag routing of the opaque pass (lane 10: 0 opaque,
+    1 transparent, 2 MASK) as a per-row predicate."""
+    if not (config.enable_oit or config.enable_alpha_mask):
+        return None
+
+    def filt(flag):
+        ok = jnp.ones_like(flag, bool)
+        if config.enable_oit:
+            # Transparent clusters render through the OIT peeling passes
+            # (ops/oit.py); keep only non-blended ones here.
+            ok = ok & ~((flag > 0.5) & (flag < 1.5))
+        if config.enable_alpha_mask:
+            # Alpha-MASK clusters render through the masked pass.
+            ok = ok & (flag < 1.5)
+        return ok
+    return filt
+
+
 def clod_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
              params: FrameParams, frustum: bool = True,
              return_bounds: bool = False):
@@ -57,15 +76,9 @@ def clod_cut(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                                       frustum=frustum,
                                       return_bounds=return_bounds)
     cut = out[0]
-    flag = scene.cluster_table[:, 10]   # 0 opaque, 1 transparent, 2 MASK
-    if config.enable_oit:
-        # Transparent clusters render through the OIT peeling passes
-        # (ops/oit.py); keep only non-blended ones here.
-        cut = cut & ~((flag > 0.5) & (flag < 1.5))
-    if config.enable_alpha_mask:
-        # Alpha-MASK clusters render through the masked pass (alpha-tested
-        # merge into the opaque buffers).
-        cut = cut & (flag < 1.5)
+    filt = _opaque_row_filter(config)
+    if filt is not None:
+        cut = cut & filt(scene.cluster_table[:, 10])
     return (cut,) + out[2:] if return_bounds else cut
 
 
@@ -73,8 +86,16 @@ def clod_compact(scene: SceneBuffers, view: ViewData, config: FrameConfig,
                  params: FrameParams, frustum: bool = True,
                  max_visible: int = None):
     """Virtualized-geometry LOD cut + visible-triangle compaction. Returns
-    (indices, material, object, valid, overflow) sized max_visible * 128."""
+    (indices, material, object, valid, overflow) sized max_visible * 128.
+    With config.cut_windows > 0 the cut runs the budgeted window pre-cull
+    (cost tracks the cut, not the table — the DAG-frontier analogue)."""
     from ..ops import clod as clod_ops
+    tau = params.clod_error_px if params is not None else jnp.float32(1.0)
+    if config.cut_windows > 0:
+        return clod_ops.cut_slots_windowed(
+            scene, view, config, tau,
+            max_visible or config.max_visible_clusters, frustum=frustum,
+            row_filter=_opaque_row_filter(config))
     cut = clod_cut(scene, view, config, params, frustum=frustum)
     return clod_ops.compact_visible_tris(
         cut=cut, scene=scene,
@@ -226,7 +247,6 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         # candidates against the fresh HZB and rasters the newly-visible
         # ones into the seeded buffers.
         from ..ops import clod as clod_ops
-        cut = clod_cut(scene, view, config, params)
         prev_hzb = culling.build_hzb(gather_rows(prev_depth),
                                      config.hzb_levels)
 
@@ -251,7 +271,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                 max_pairs=min(config.max_pairs,
                               max(budget * 256, 1 << 14)),
                 max_group_pairs=min(config.max_group_pairs,
-                                    max(budget * 32, 1 << 12)))
+                                    max(budget * 1024
+                                        // config.group_rows, 1 << 12)))
             prs = raster_setup.bin_clustered(lanes, bboxt, valid, bcfg)
             d, v, ch = visibility_pass(localize(prs), lcfg, init=init,
                                        tile_row0=row0_tiles)
@@ -264,8 +285,7 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         # its coarse footprint culled ~3x less (city bench: 12% vs 20%);
         # at Kc=3k the exact 4-corner test costs ~0.1 ms.
         Kc = config.max_visible_clusters
-        comp1 = clod_ops.compact_visible_tris(cut=cut, scene=scene,
-                                              max_visible=Kc)
+        comp1 = clod_compact(scene, view, config, params, max_visible=Kc)
         cw, rw = clod_ops.slot_world_spheres(comp1, scene)
         bb, zn, behind = culling.project_sphere_bounds(
             view.viewproj, cw, rw, config.width, full_h)

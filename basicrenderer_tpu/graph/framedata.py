@@ -120,6 +120,14 @@ class SceneBuffers:
     # FrameConfig.enable_vertex_tangents; size-1 placeholder otherwise.
     cluster_tangents: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((1, 512), jnp.float32))
+    # Cluster-window pre-cull table (ops/clod.cut_slots_windowed; the
+    # DAG-frontier analogue — reference: computeCulling.hlsl hierarchy).
+    # One row per 128 consecutive cluster-table rows:
+    # [cx, cy, cz, r (object-space union of tight spheres),
+    #  max parent_err, object id (-1 = mixed/none), live count, pad].
+    # Size-1 placeholder when the bridge didn't pack windows.
+    cluster_windows: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((1, 8), jnp.float32))
 
 
 @struct.dataclass
@@ -173,7 +181,15 @@ class FrameConfig:
     # gather), skipping non-overlapping rows with a scalar bbox test
     # (ops/raster_setup.bin_groups, ops/raster_pallas group kernel).
     group_binning: bool = True
-    group_rows: int = 32              # rows per group (divides MESHLET_TRIS)
+    group_rows: int = 32              # rows per BIN group (8, 16 or 32; the
+    #                                   raster DMA slab stays 32 rows — finer
+    #                                   groups only narrow the row walk)
+    # Hierarchical (window-level) pre-cull for the LOD cut: >0 enables the
+    # budgeted two-phase cut (ops/clod.cut_slots_windowed) with this many
+    # surviving 128-cluster windows; 0 = the O(C) separable scan. The
+    # reference's DAG-frontier traversal analogue (computeCulling.hlsl:17-50)
+    # — cut cost tracks the CUT, not the table capacity.
+    cut_windows: int = 0
     max_group_pairs: int = 1 << 15    # (group, tile) bin capacity
     max_tiles_per_group: int = 16     # small-group bin span cap
     max_big_groups: int = 256         # global large-group list capacity

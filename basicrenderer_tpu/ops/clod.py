@@ -151,15 +151,26 @@ def compact_visible_tris(scene: SceneBuffers, cut: jnp.ndarray,
     Returns (indices (Kt, 3) i32, tri_material (Kt,), tri_object (Kt,),
     tri_valid (Kt,) bool, overflow () i32)."""
     C = cut.shape[0]
-    T = scene.indices.shape[0]
     Kc = max_visible
     slot = jnp.sort(jnp.where(cut, jnp.arange(C, dtype=jnp.int32), C))
     if Kc <= C:
         slot = slot[:Kc]
     else:   # budget exceeds table capacity: pad with the dead sentinel
         slot = jnp.pad(slot, (0, Kc - C), constant_values=C)
-    live_slot = slot < C
     overflow = jnp.maximum(jnp.sum(cut) - Kc, 0)
+    return _compact_from_slots(scene, slot, overflow, max_visible,
+                               tris_per_cluster)
+
+
+def _compact_from_slots(scene: SceneBuffers, slot: jnp.ndarray,
+                        overflow: jnp.ndarray, max_visible: int,
+                        tris_per_cluster: int = 128) -> "CompactedTris":
+    """Shared compaction tail: sorted cluster ids (sentinel = C) ->
+    CompactedTris. Identical output for the full-scan and windowed cuts."""
+    C = scene.cluster_table.shape[0]
+    T = scene.indices.shape[0]
+    Kc = max_visible
+    live_slot = slot < C
     ci = jnp.minimum(slot, C - 1)
     rows = scene.cluster_table[ci]                    # (Kc, 12) small gather
     off = rows[:, 7].astype(jnp.int32)
@@ -184,6 +195,135 @@ def compact_visible_tris(scene: SceneBuffers, cut: jnp.ndarray,
                          slot_cluster=jnp.where(live_slot, ci, -1),
                          slot_object=obj_of_slot,
                          slot_bound=rows[:, 16:20])
+
+
+def cut_slots_windowed(scene: SceneBuffers, view: ViewData,
+                       config: FrameConfig, tau_px: jnp.ndarray,
+                       max_visible: int, frustum: bool = True,
+                       row_filter=None) -> CompactedTris:
+    """Two-phase budgeted LOD cut: the hierarchical-culling analogue of the
+    reference's DAG-frontier traversal (computeCulling.hlsl:17-50; 30M
+    budget Renderer.cpp:2494). Cost tracks the CUT, not the table:
+
+    Phase A tests the C/128 precomputed cluster WINDOWS
+    (SceneBuffers.cluster_windows — object-space union sphere + max parent
+    error): a window whose conservative parent screen error can't exceed
+    tau contains no cut member (cut requires parent_px > tau), and a
+    window outside the frustum contains no visible one. Mixed-object
+    windows always survive (conservative).
+
+    Phase B budget-compacts the surviving window ids (a C/128-key sort),
+    gathers their table rows as WIDE (128*STRIDE-lane) slabs — row gathers
+    amortize per ROW on TPU, so this is ~µs — and runs the exact
+    select_cluster_cut math on the Wmax*128 survivors only.
+
+    `row_filter(flag_lane) -> bool` applies the pass's transparency-flag
+    selection (clod_cut's opaque/MASK routing). Output is bit-identical to
+    compact_visible_tris(select_cluster_cut(...)) whenever the window
+    budget suffices; window overflow folds into CompactedTris.overflow."""
+    from ..models.clusters import CLUSTER_STRIDE
+    wt = scene.cluster_windows
+    NW = wt.shape[0]
+    C = scene.cluster_table.shape[0]
+    assert C % 128 == 0 and NW == C // 128, (
+        f"cut_windows needs a packed window table: C={C}, windows={NW} "
+        "(bridge.pack_cluster_windows)")
+    O = scene.object_mats.shape[0]
+    Wmax = min(config.cut_windows, NW)
+    f = _screen_error_factor(view, config.height)
+    cam = view.cam_pos
+
+    # ---- Phase A: window tests (NW rows of column math) -------------------
+    obj = wt[:, 5].astype(jnp.int32)
+    mixed = obj < 0
+    mw = raster_setup.gather_rows_onehot(
+        scene.object_mats.reshape(O, 16), jnp.clip(obj, 0, O - 1))
+    wscale = jnp.sqrt(jnp.maximum(
+        jnp.maximum(mw[:, 0] ** 2 + mw[:, 4] ** 2 + mw[:, 8] ** 2,
+                    mw[:, 1] ** 2 + mw[:, 5] ** 2 + mw[:, 9] ** 2),
+        mw[:, 2] ** 2 + mw[:, 6] ** 2 + mw[:, 10] ** 2))
+    px, py, pz = wt[:, 0], wt[:, 1], wt[:, 2]
+    wx = mw[:, 0] * px + mw[:, 1] * py + mw[:, 2] * pz + mw[:, 3]
+    wy = mw[:, 4] * px + mw[:, 5] * py + mw[:, 6] * pz + mw[:, 7]
+    wz = mw[:, 8] * px + mw[:, 9] * py + mw[:, 10] * pz + mw[:, 11]
+    rw = wt[:, 3] * wscale
+    dist = jnp.sqrt((wx - cam[0]) ** 2 + (wy - cam[1]) ** 2
+                    + (wz - cam[2]) ** 2)
+    dist = jnp.maximum(dist - rw, view.near)
+    # Conservative upper bound of any member's parent_px: max err over the
+    # window, min possible (dist - r) via the union sphere.
+    ppx_max = wt[:, 4] * wscale * f / dist
+    survive = (wt[:, 6] > 0.5) & (mixed | (ppx_max > tau_px))
+    if frustum:
+        planes = math3d.frustum_planes(view.viewproj)
+        inf = math3d.sphere_in_frustum(
+            planes, jnp.stack([wx, wy, wz], -1), rw)
+        survive = survive & (mixed | inf)
+
+    # ---- Window budget compaction + wide-row slab gather ------------------
+    wsel = jnp.sort(jnp.where(survive, jnp.arange(NW, dtype=jnp.int32), NW))
+    if Wmax <= NW:
+        wsel = wsel[:Wmax]
+    else:
+        wsel = jnp.pad(wsel, (0, Wmax - NW), constant_values=NW)
+    w_overflow = jnp.maximum(jnp.sum(survive) - Wmax, 0)
+    live_w = wsel < NW
+    wi = jnp.minimum(wsel, NW - 1)
+    L = CLUSTER_STRIDE
+    rows = scene.cluster_table.reshape(NW, 128 * L)[wi] \
+        .reshape(Wmax * 128, L)
+    cobj = scene.cluster_object.reshape(NW, 128)[wi].reshape(-1)
+    feeds = scene.cluster_feeds.reshape(NW, 128)[wi].reshape(-1)
+    made = scene.cluster_made.reshape(NW, 128)[wi].reshape(-1)
+    gid = (wi[:, None] * 128
+           + jnp.arange(128, dtype=jnp.int32)[None, :]).reshape(-1)
+    live = (jnp.repeat(live_w, 128)
+            & (gid < scene.num_clusters))
+
+    # ---- Phase B: the exact per-cluster cut on the survivors --------------
+    m = raster_setup.gather_rows_onehot(
+        scene.object_mats.reshape(O, 16), cobj)          # (Wmax*128, 16)
+    scale = jnp.sqrt(jnp.maximum(
+        jnp.maximum(m[:, 0] ** 2 + m[:, 4] ** 2 + m[:, 8] ** 2,
+                    m[:, 1] ** 2 + m[:, 5] ** 2 + m[:, 9] ** 2),
+        m[:, 2] ** 2 + m[:, 6] ** 2 + m[:, 10] ** 2))
+
+    def project_px(center_l, radius_l, err_l):
+        cx, cy, cz = center_l[:, 0], center_l[:, 1], center_l[:, 2]
+        ax = m[:, 0] * cx + m[:, 1] * cy + m[:, 2] * cz + m[:, 3]
+        ay = m[:, 4] * cx + m[:, 5] * cy + m[:, 6] * cz + m[:, 7]
+        az = m[:, 8] * cx + m[:, 9] * cy + m[:, 10] * cz + m[:, 11]
+        rr = radius_l * scale
+        d = jnp.sqrt((ax - cam[0]) ** 2 + (ay - cam[1]) ** 2
+                     + (az - cam[2]) ** 2)
+        d = jnp.maximum(d - rr, view.near)
+        return err_l * scale * f / d, jnp.stack([ax, ay, az], -1), rr
+
+    self_px, _, _ = project_px(rows[:, 0:3], rows[:, 3], rows[:, 4])
+    parent_px, _, _ = project_px(rows[:, 12:15], rows[:, 15], rows[:, 5])
+    _, center_w, radius_w = project_px(rows[:, 16:19], rows[:, 19],
+                                       jnp.zeros_like(rows[:, 4]))
+    GR = scene.group_resident.shape[0]
+    res_feeds = (feeds < 0) | scene.group_resident[jnp.clip(feeds, 0,
+                                                            GR - 1)]
+    res_made = (made < 0) | scene.group_resident[jnp.clip(made, 0, GR - 1)]
+    eff_self = jnp.where(res_made, self_px, 0.0)
+    cut = live & res_feeds & (eff_self <= tau_px) & (parent_px > tau_px)
+    if frustum:
+        cut = cut & math3d.sphere_in_frustum(planes, center_w, radius_w)
+    if row_filter is not None:
+        cut = cut & row_filter(rows[:, 10])
+
+    # ---- Slot compaction by global cluster id (order parity) --------------
+    key = jnp.where(cut, gid, C)
+    slot = jnp.sort(key)
+    Kc = max_visible
+    if Kc <= slot.shape[0]:
+        slot = slot[:Kc]
+    else:
+        slot = jnp.pad(slot, (0, Kc - slot.shape[0]), constant_values=C)
+    overflow = jnp.maximum(jnp.sum(cut) - Kc, 0) + w_overflow
+    return _compact_from_slots(scene, slot, overflow, max_visible)
 
 
 def slot_world_spheres(comp: CompactedTris, scene: SceneBuffers

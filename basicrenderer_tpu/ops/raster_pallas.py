@@ -277,7 +277,15 @@ def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
           .astype(jnp.float32)
           + ((ty + misc_ref[0]) * tile_h).astype(jnp.float32) + 0.5)
 
-    GSLAB = group_rows * SETUP_LANES       # floats per group slab (mult 128)
+    # The HBM lane buffer is 1-D tiled at 1024 floats, so DMA slices must
+    # be whole 32-row slabs. Bin groups SMALLER than a slab (group_rows 8 or
+    # 16) still DMA their containing slab; only the row WALK narrows to the
+    # subgroup — that's the point: Morton-coherent sub-windows have tighter
+    # tile boxes, so far fewer dead rows are scanned per (group, tile) pair.
+    slab_rows = max(32, group_rows)
+    sub = slab_rows // group_rows          # subgroups per DMA slab
+    GSLAB = slab_rows * SETUP_LANES        # floats per DMA slab (mult 1024)
+    GROWS = group_rows * SETUP_LANES       # floats per bin group
 
     tri_body = _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
                               peel_z if peeled else None, peeled, accum,
@@ -304,7 +312,7 @@ def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
         return slot_base
 
     def get_dma(slot, gid):
-        off = pl.multiple_of(gid * GSLAB, GSLAB)
+        off = pl.multiple_of((gid // sub) * GSLAB, GSLAB)
         dst = pl.multiple_of(slot * GSLAB, GSLAB)
         return pltpu.make_async_copy(
             flat_ref.at[pl.ds(off, GSLAB)],
@@ -327,11 +335,13 @@ def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
             def _():
                 get_dma((p + 1) % 2, gid_ref[start + p + 1]).start()
 
-            get_dma(slot, gid_ref[start + p]).wait()
+            g = gid_ref[start + p]
+            get_dma(slot, g).wait()
             # Full unroll (Pallas fori_loop supports only 1 or num_steps):
             # lets the compiler pipeline row j+1's SMEM scalar loads under
             # row j's vector evaluation (measured −6% on the city frame).
-            jax.lax.fori_loop(0, group_rows, row_body, slot * GSLAB,
+            jax.lax.fori_loop(0, group_rows, row_body,
+                              slot * GSLAB + (g % sub) * GROWS,
                               unroll=group_rows)
             return 0
 
@@ -354,10 +364,11 @@ def _raster_kernel_groups(tile_off_ref, misc_ref, gid_ref, big_ref,
 
         @pl.when(hit)
         def _():
-            dma = get_dma(0, big_ref[p])
+            g = big_ref[p]
+            dma = get_dma(0, g)
             dma.start()
             dma.wait()
-            jax.lax.fori_loop(0, group_rows, row_body, 0,
+            jax.lax.fori_loop(0, group_rows, row_body, (g % sub) * GROWS,
                               unroll=group_rows)
         return 0
 
@@ -392,7 +403,9 @@ def raster_tiles_pallas(pairs: BinnedPairs, config: FrameConfig,
             _raster_kernel_groups, tile_h=th, tile_w=tw, tiles_x=tiles_x,
             group_rows=config.group_rows, seeded=seeded, peeled=peeled,
             accum=accum, tangent=config.enable_vertex_tangents)
-        scratch_floats = 2 * config.group_rows * SETUP_LANES
+        # Two DMA slabs; slabs are whole 32-row windows even when the bin
+        # granularity (group_rows) is finer (1024-float HBM tiling floor).
+        scratch_floats = 2 * max(32, config.group_rows) * SETUP_LANES
     else:
         # Pad by one slab so ceil-rounded chunk reads stay in bounds; padded
         # rows carry tri id 0 and never rasterize.

@@ -77,6 +77,39 @@ class PackedGeometry:
     num_groups: int = 0
 
 
+def pack_cluster_windows(cluster_table: np.ndarray,
+                         cluster_object: np.ndarray,
+                         num_clusters: int, window: int = 128) -> np.ndarray:
+    """Window pre-cull table for ops/clod.cut_slots_windowed: one row per
+    `window` consecutive cluster-table rows —
+    [cx, cy, cz, r, max_parent_err, object(-1 mixed), live_count, pad].
+    The sphere is the object-space union of the window's TIGHT cluster
+    spheres (table lanes 16-19); it is only meaningful when every live
+    cluster in the window shares one object (object >= 0), which the
+    packer's per-instance contiguous layout makes the common case."""
+    C = cluster_table.shape[0]
+    NW = (C + window - 1) // window
+    out = np.zeros((NW, 8), np.float32)
+    out[:, 5] = -1.0
+    for w in range(NW):
+        lo, hi = w * window, min((w + 1) * window, C)
+        live = min(hi, num_clusters) - lo
+        if live <= 0:
+            continue
+        rows = cluster_table[lo:lo + live]
+        objs = np.unique(cluster_object[lo:lo + live])
+        c, r = rows[:, 16:19], rows[:, 19]
+        # Union sphere: center = mean, radius covers every member sphere.
+        cen = c.mean(axis=0)
+        rad = float(np.max(np.linalg.norm(c - cen, axis=1) + r))
+        out[w, 0:3] = cen
+        out[w, 3] = rad
+        out[w, 4] = float(rows[:, 5].max())      # max parent error
+        out[w, 5] = float(objs[0]) if len(objs) == 1 else -1.0
+        out[w, 6] = float(live)
+    return out
+
+
 class SceneRenderBridge:
     def __init__(self, scene: Scene, meshes: MeshRegistry, materials: MaterialRegistry,
                  caps: Optional[BridgeCapacities] = None, skeletons=None,
@@ -448,6 +481,8 @@ class SceneRenderBridge:
             group_resident=jnp.ones((self.caps.max_groups,), bool),
             cluster_table=f32(p.cluster_table),
             cluster_object=jnp.asarray(p.cluster_object),
+            cluster_windows=f32(pack_cluster_windows(
+                p.cluster_table, p.cluster_object, p.num_clusters)),
             num_clusters=jnp.int32(p.num_clusters),
             num_tris=jnp.int32(p.num_tris), num_verts=jnp.int32(p.num_verts),
             object_mats=f32(mats), object_normal_mats=f32(nmats),

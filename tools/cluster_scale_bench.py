@@ -32,23 +32,34 @@ import numpy as np
 
 
 def synth_buffers(C: int, O: int = 512):
-    """Synthetic SceneBuffers with C plausible clusters over O objects."""
+    """Synthetic SceneBuffers with C plausible clusters over O objects.
+
+    Layout matches the bridge's packer: clusters CONTIGUOUS per object,
+    spatially local to their object, LOD levels with geometric error decay
+    — the structure both the windowed pre-cull (cluster_windows) and the
+    reference's DAG traversal exploit."""
     import jax.numpy as jnp
     from basicrenderer_tpu.graph.framedata import SceneBuffers
     from basicrenderer_tpu.models.clusters import CLUSTER_STRIDE
+    from basicrenderer_tpu.scene.bridge import pack_cluster_windows
 
     rng = np.random.default_rng(0)
+    per_obj = C // O
+    obj_pos = rng.uniform(-50, 50, (O, 3)).astype(np.float32)
     tbl = np.zeros((C, CLUSTER_STRIDE), np.float32)
-    tbl[:, :3] = rng.uniform(-50, 50, (C, 3))        # center
-    tbl[:, 3] = rng.uniform(0.5, 2.0, C)             # radius
-    tbl[:, 4] = rng.uniform(0.001, 0.1, C)           # self err
-    tbl[:, 5] = tbl[:, 4] * 2.5                      # parent err
-    tbl[:, 6] = rng.integers(0, 4, C)                # level
+    cobj = (np.arange(C) // per_obj).astype(np.int32)
+    cobj = np.minimum(cobj, O - 1)
+    # Per-cluster LOD level: finer levels fill most rows (4:1 decimation).
+    lvl = np.minimum((np.arange(C) % per_obj) * 5 // per_obj, 4)
+    tbl[:, :3] = obj_pos[cobj] + rng.uniform(-2, 2, (C, 3))
+    tbl[:, 3] = rng.uniform(0.3, 0.8, C)             # radius
+    tbl[:, 4] = 0.002 * (4.0 ** lvl) * rng.uniform(0.8, 1.2, C)
+    tbl[:, 5] = tbl[:, 4] * 4.0                      # parent err
+    tbl[:, 6] = lvl
     tbl[:, 7] = np.arange(C) * 128                   # tri offset
     tbl[:, 8] = 128                                  # tri count
     tbl[:, 12:16] = tbl[:, 0:4]
     tbl[:, 16:20] = tbl[:, 0:4]
-    cobj = rng.integers(0, O, C).astype(np.int32)
     mats = np.tile(np.eye(4, dtype=np.float32), (O, 1, 1))
     mats[:, :3, 3] = rng.uniform(-5, 5, (O, 3))
     z1 = jnp.zeros(1, jnp.float32)
@@ -74,6 +85,7 @@ def synth_buffers(C: int, O: int = 512):
         geom_slot=zi, group_resident=jnp.ones(1, bool),
         tri_cluster=zi, cluster_table=jnp.asarray(tbl),
         cluster_object=jnp.asarray(cobj), num_clusters=jnp.int32(C),
+        cluster_windows=jnp.asarray(pack_cluster_windows(tbl, cobj, C)),
         tex_strips=jnp.zeros((1, 128), jnp.uint32),
         tex_flags=jnp.zeros(1, jnp.int32), env_sh=jnp.zeros((9, 3)),
         env_specular=jnp.zeros((1, 6, 4, 4, 3)),
@@ -117,7 +129,19 @@ def main() -> None:
                 return acc + comp.indices[0, 0] + jnp.sum(sel)
             return jax.lax.fori_loop(0, 20, body, jnp.int32(0))
 
-        for name, fn in (("cut", cut_only), ("cut+compact", cut_compact)):
+        import dataclasses as _dc
+        wcfg = _dc.replace(cfg, cut_windows=1024)
+
+        def cut_windowed(scene, view, eps):
+            def body(i, acc):
+                comp = clod.cut_slots_windowed(
+                    scene, view, wcfg,
+                    jnp.float32(1.0) + eps * i * 1e-12, 3072)
+                return acc + comp.indices[0, 0] + comp.overflow
+            return jax.lax.fori_loop(0, 20, body, jnp.int32(0))
+
+        for name, fn in (("cut", cut_only), ("cut+compact", cut_compact),
+                         ("windowed(1024)+compact", cut_windowed)):
             j = jax.jit(fn)
             np.asarray(j(buffers, vd, jnp.float32(1e-9)))     # compile
             t0 = time.perf_counter()
