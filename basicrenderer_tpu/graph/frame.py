@@ -227,6 +227,55 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                                            lcfg.num_tiles + 1, 0)
         return pairs._replace(tile_offsets=off)
 
+    def halo_rows(x, row_axis=0):
+        """Extend a row-sharded array by one halo row from each neighbor
+        shard (ppermute over ICI); frame edges clamp to the shard's own
+        edge row — identical to the full-frame edge handling."""
+        n = config.height // lcfg.height
+        idx = jax.lax.axis_index(axis)
+        h = x.shape[row_axis]
+
+        def row(i):
+            return jax.lax.slice_in_dim(x, i, i + 1, axis=row_axis)
+
+        top = jax.lax.ppermute(row(h - 1), axis,
+                               [(i, i + 1) for i in range(n - 1)])
+        top = jnp.where(idx == 0, row(0), top)
+        bot = jax.lax.ppermute(row(0), axis,
+                               [(i + 1, i) for i in range(n - 1)])
+        bot = jnp.where(idx == n - 1, row(h - 1), bot)
+        return jnp.concatenate([top, x, bot], axis=row_axis)
+
+    def halo_upsample(img_ds, ds, out_h, out_w, row_axis=1):
+        """Bilinear ds->full upsample that is EXACT across screen-row shard
+        seams: exchange one halo row with each neighbor, resize the
+        extended image, crop. Single-chip this is a plain resize.
+        img_ds: (..., h, w, C) with `row_axis` the row dim."""
+        shp = list(img_ds.shape)
+        shp[row_axis] = out_h
+        shp[row_axis + 1] = out_w
+        if axis is None or ds == 1:
+            return jax.image.resize(img_ds, shp, method="bilinear")
+        ext = halo_rows(img_ds, row_axis)
+        eshp = list(shp)
+        eshp[row_axis] = out_h + 2 * ds
+        up = jax.image.resize(ext, eshp, method="bilinear")
+        return jax.lax.slice_in_dim(up, ds, ds + out_h, axis=row_axis)
+
+    def halo_mipf(u_ds, v_ds):
+        """Per-pixel texture mip estimate with seam-exact row derivatives:
+        the min-|grad| ddy at a shard's first/last row must see the
+        neighbor shard's rows (single-chip: None — the sampler computes
+        it internally, same math)."""
+        if axis is None:
+            return None
+        from ..ops import textures as tex_ops
+        R = tex_ops._infer_strip_resolution(
+            scene.tex_strips.shape[0] // scene.tex_flags.shape[0])
+        M = len(tex_ops.mip_layout(R)[0])
+        ext = halo_rows(jnp.stack([u_ds, v_ds], -1), 0)
+        return tex_ops.compute_mip(ext, R, M)[1:-1]
+
     if config.enable_skinning:
         # Linear-blend skinning prepass rewrites positions/normals so
         # every downstream path consumes deformed geometry
@@ -384,8 +433,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             from the masked depth buffer (shade.inv_w_from_depth)."""
             iwm_p = shade_ops.inv_w_from_depth(dm, view.proj)
             iwm = jnp.where(jnp.abs(iwm_p) > 1e-12, iwm_p, 1.0)
-            uv_m = jnp.stack([chm[3] / iwm, chm[4] / iwm], axis=-1)[:H, :W]
-            mid_m = (jnp.round(chm[5]).astype(jnp.int32)
+            uv_m = jnp.stack([chm[2] / iwm, chm[3] / iwm], axis=-1)[:H, :W]
+            mid_m = (jnp.round(chm[4]).astype(jnp.int32)
                      % raster_setup.OBJ_COMBO)[:H, :W]
             mrow = raster_setup.gather_rows_onehot(
                 scene.material_table, jnp.clip(
@@ -403,10 +452,10 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                 c0m = shade_ops.inv_w_from_depth(
                     downsample2d(dm[:H, :W], ds_m), view.proj)
                 iw_ds = jnp.where(jnp.abs(c0m) > 1e-12, c0m, 1.0)
-                um_ds = downsample2d(chm[3][:H, :W], ds_m) / iw_ds
-                vm_ds = downsample2d(chm[4][:H, :W], ds_m) / iw_ds
+                um_ds = downsample2d(chm[2][:H, :W], ds_m) / iw_ds
+                vm_ds = downsample2d(chm[3][:H, :W], ds_m) / iw_ds
                 midm_ds = jnp.clip(
-                    jnp.round(downsample2d(chm[5][:H, :W], ds_m))
+                    jnp.round(downsample2d(chm[4][:H, :W], ds_m))
                     .astype(jnp.int32) % raster_setup.OBJ_COMBO,
                     0, scene.material_table.shape[0] - 1)
                 trow_ds = raster_setup.gather_rows_onehot(
@@ -415,9 +464,12 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                     .reshape(midm_ds.shape)
                 covered_ds = downsample2d(vm[:H, :W], ds_m) > 0
                 btex_ds = jnp.where(covered_ds, btex_ds, -1)
-                smp_a = tex_ops.sample_pyramid_blocked_planes(
-                    scene.tex_strips, scene.tex_flags, btex_ds[None],
-                    um_ds, vm_ds, H, W, ds_m, filt_m)[0]
+                smp_a = halo_upsample(
+                    tex_ops.sample_pyramid_blocked_planes(
+                        scene.tex_strips, scene.tex_flags, btex_ds[None],
+                        um_ds, vm_ds, H, W, ds_m, filt_m, upsample=False,
+                        mipf=halo_mipf(um_ds, vm_ds)),
+                    ds_m, H, W, row_axis=1)[0]
             else:
                 btex = jnp.round(mrow[:, 13]).astype(jnp.int32) \
                     .reshape(H, W)
@@ -483,10 +535,10 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             c0 = shade_ops.inv_w_from_depth(
                 downsample2d(depth, ds), view.proj)
             iwm = jnp.where(jnp.abs(c0) > 1e-12, c0, 1.0)
-            u_ds = downsample2d(channels[3][:H, :W], ds) / iwm
-            v_ds = downsample2d(channels[4][:H, :W], ds) / iwm
+            u_ds = downsample2d(channels[2][:H, :W], ds) / iwm
+            v_ds = downsample2d(channels[3][:H, :W], ds) / iwm
             mid_ds = jnp.clip(
-                jnp.round(downsample2d(channels[5][:H, :W], ds))
+                jnp.round(downsample2d(channels[4][:H, :W], ds))
                 .astype(jnp.int32) % raster_setup.OBJ_COMBO,
                 0, scene.material_table.shape[0] - 1)
             covered_ds = downsample2d(vis, ds) > 0
@@ -500,7 +552,10 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                 for c in chans])
             smp = tex_ops.sample_pyramid_blocked_planes(
                 scene.tex_strips, scene.tex_flags, tids_ds, u_ds, v_ds,
-                H, W, ds, filt)
+                H, W, ds, filt, upsample=False,
+                mipf=halo_mipf(u_ds, v_ds))
+            # Seam-exact ds->full upsample (halo row exchange when sharded).
+            smp = halo_upsample(smp, ds, H, W, row_axis=1)
             if config.enable_texture_streaming:
                 # Sampler feedback for the texture streamer (readback ->
                 # models/texstream.py; reference: sampler-feedback
@@ -510,6 +565,10 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                     tex_ops._infer_strip_resolution(
                         scene.tex_strips.shape[0]
                         // scene.tex_flags.shape[0]))
+                if axis is not None:
+                    # Sharded: each device saw only its rows' samples —
+                    # the FINEST wanted mip is the cross-shard min.
+                    tex_wanted = jax.lax.pmin(tex_wanted, axis)
         else:
             id_of = {"base": gb.base_tex, "normal": gb.normal_tex,
                      "mr": gb.mr_tex, "emissive": gb.emissive_tex}
@@ -879,7 +938,7 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                 moving_ids = jnp.full((motion_ops.MAX_MOVING,), -1,
                                       jnp.int32)
             du, dv, mvalid, mds = motion_ops.motion_field(
-                depth_p, channels[5], view, prev_viewproj,
+                depth_p, channels[4], view, prev_viewproj,
                 moving_rel, moving_ids, config, row0=row0_px, full_h=full_h,
                 full_w=config.width)
             tdy, tdx, resid = motion_ops.tile_motion(du, dv, mvalid,

@@ -66,18 +66,17 @@ class SceneBuffers:
     # setup path: [pos3, normal3, uv2, objid] — gathered per visible corner.
     vertex_table: jnp.ndarray    # (V, 10) f32
     # Cluster-local vertex pages (the fast setup path + the streaming
-    # substrate): per GEOMETRY cluster, its unique vertices packed into a
-    # fixed slab, and per-corner slab indices for its <=128 triangles.
-    # Profiled: gathering (V, 10)-row corners costs ~33 ns/row (narrow
-    # unaligned rows); fetching whole slabs as wide rows + extracting
-    # corners with a one-hot MXU einsum is ~10x cheaper.
+    # substrate): per GEOMETRY cluster, its <=128 triangles' corner values
+    # stored CORNER-MAJOR (row j = corner*128 + tri) in a fixed slab —
+    # per-corner data is a contiguous lane slice of the gathered wide row,
+    # no indirection. (History: per-vertex pages + a one-hot corner-
+    # extraction einsum cost ~2.1 ms/frame at city scale; per-corner
+    # (V, 10)-row gathers before that cost ~33 ns/row.)
     cluster_verts: jnp.ndarray     # (S, SLAB*3) u32 QUANTIZED planar wide
     #                                 rows [px|py, pz|oct, u|v blocks]
     #                                 (models/pageblob.py; pool slab when
     #                                 streaming; full table otherwise)
     cluster_dequant: jnp.ndarray   # (S, 8) f32 per-page AABB min3 + ext3
-    cluster_tri_local: jnp.ndarray  # (S, 384) f32 corner slab indices
-    #                                 (t*3+c order; ids < SLAB, f32-exact)
     # Streaming (ops/clod.py residency patching + models/streaming.py):
     # geom_slot translates geometry-cluster page ids into pool slots
     # (identity when fully resident); group_resident gates the LOD cut.

@@ -36,7 +36,8 @@ from typing import Dict, Optional
 import numpy as np
 
 MAGIC = b"BRPB"
-VERSION = 2  # v2: tri_local is CORNER-MAJOR (j = corner*meshlet + tri)
+VERSION = 3  # v3: pages are CORNER-MAJOR (row j = corner*meshlet + tri);
+#                the tri_local indirection table is gone
 
 # Dequant row layout: [aabb_min xyz, aabb_extent xyz, pad, pad]
 DEQUANT_LANES = 8
@@ -138,9 +139,9 @@ class PageBlobContainer:
       [12:..] header JSON (num_pages, slab_verts, meshlet_tris, num_groups)
       geom_group   (G,)   i32   — owning streaming group per page (-1 pinned)
       dequant      (G, 8) f32   — per-page AABB min/extent
-      tri_local    (G, 3*meshlet_tris) u16 — corner slab indices
       locators     (G, 2) u64   — byte offset + length of each page blob
-      page blobs   G x (3*slab_verts) u32 — quantized planar vertex pages
+      page blobs   G x (3*slab_verts) u32 — quantized planar CORNER-MAJOR
+                                  vertex pages (row j = corner*meshlet + tri)
 
     The locator table mirrors the reference's per-page blob locators
     (CLodCache.h) even though this version writes fixed-stride blobs —
@@ -166,10 +167,6 @@ class PageBlobContainer:
         self.dequant = np.fromfile(path, np.float32, g * DEQUANT_LANES,
                                    offset=off).reshape(g, DEQUANT_LANES)
         off += 4 * g * DEQUANT_LANES
-        tl = 3 * self.header.meshlet_tris
-        self.tri_local = np.fromfile(path, np.uint16, g * tl,
-                                     offset=off).reshape(g, tl)
-        off += 2 * g * tl
         self.locators = np.fromfile(path, np.uint64, g * 2,
                                     offset=off).reshape(g, 2)
         # Page blobs are memory-mapped: the streaming worker reads only the
@@ -194,23 +191,21 @@ class PageBlobContainer:
 
 
 def write_container(path: str, packed_pages: np.ndarray,
-                    tri_local: np.ndarray, geom_group: np.ndarray,
+                    geom_group: np.ndarray,
                     dequant: np.ndarray, num_groups: int,
                     num_pages: Optional[int] = None) -> None:
     """Serialize the packed scene geometry into a page-blob container.
 
-    packed_pages: (G, 3*SLAB) u32; tri_local: (G, 3*meshlet) int-like;
+    packed_pages: (G, 3*SLAB) u32 corner-major quantized pages;
     geom_group: (G,) i32; dequant: (G, 8) f32.
     """
     g = int(num_pages if num_pages is not None else packed_pages.shape[0])
     slab3 = packed_pages.shape[1]
-    meshlet3 = tri_local.shape[1]
     meta = {"num_pages": g, "slab_verts": slab3 // 3,
-            "meshlet_tris": meshlet3 // 3, "num_groups": int(num_groups)}
+            "meshlet_tris": slab3 // 9, "num_groups": int(num_groups)}
     blob = json.dumps(meta).encode()
     page_bytes = 4 * slab3
-    fixed = 12 + len(blob) + 4 * g + 4 * g * DEQUANT_LANES + 2 * g * meshlet3 \
-        + 16 * g
+    fixed = 12 + len(blob) + 4 * g + 4 * g * DEQUANT_LANES + 16 * g
     locs = np.empty((g, 2), np.uint64)
     locs[:, 0] = fixed + np.arange(g, dtype=np.uint64) * page_bytes
     locs[:, 1] = page_bytes
@@ -219,7 +214,6 @@ def write_container(path: str, packed_pages: np.ndarray,
         f.write(MAGIC + struct.pack("<II", VERSION, len(blob)) + blob)
         np.ascontiguousarray(geom_group[:g], np.int32).tofile(f)
         np.ascontiguousarray(dequant[:g], np.float32).tofile(f)
-        np.ascontiguousarray(tri_local[:g], np.uint16).tofile(f)
         locs.tofile(f)
         np.ascontiguousarray(packed_pages[:g], np.uint32).tofile(f)
     os.replace(tmp, path)

@@ -248,7 +248,6 @@ class GeometryStreamer:
         self.container = container
         if container is not None:
             self.geom_group = container.geom_group
-            self.l_full = container.tri_local.astype(np.float32)
             self.dq_full = container.dequant
             self.v_full = None                      # pages live on disk
             v_lanes = container.page_lanes
@@ -256,7 +255,6 @@ class GeometryStreamer:
             self.group_pages = dict(container.group_pages)
         else:
             self.v_full = packed.cluster_verts      # (G, SLAB*3) u32 host
-            self.l_full = packed.cluster_tri_local  # (G, 384) host
             self.dq_full = packed.cluster_dequant   # (G, 8) f32 host
             self.geom_group = packed.geom_group     # (G,) host
             v_lanes = self.v_full.shape[1]
@@ -283,7 +281,6 @@ class GeometryStreamer:
         self.evictions = 0
         self._free = list(range(num_slots))[::-1]
         self.slab_v = jnp.zeros((num_slots, v_lanes), jnp.uint32)
-        self.slab_l = jnp.zeros((num_slots, self.l_full.shape[1]), jnp.float32)
         self.slab_dq = jnp.zeros((num_slots, DEQUANT_LANES), jnp.float32)
         self._upd_v = jax.jit(lambda s, rows, at: jax.lax.dynamic_update_slice(
             s, rows, (at, 0)))
@@ -323,8 +320,7 @@ class GeometryStreamer:
     def _upload(self, page: int, slot: int, rows: np.ndarray = None) -> None:
         if rows is None:
             rows = self._page_rows(page)
-        self._pending.append((slot, rows[0], self.l_full[page],
-                              self.dq_full[page]))
+        self._pending.append((slot, rows[0], self.dq_full[page]))
         self.loads += 1
 
     def _flush_uploads(self) -> None:
@@ -335,13 +331,9 @@ class GeometryStreamer:
             self.slab_v,
             jnp.asarray(np.stack([p[1] for p in self._pending]),
                         jnp.uint32), slots)
-        self.slab_l = self._upd_batch(
-            self.slab_l,
-            jnp.asarray(np.stack([p[2] for p in self._pending]),
-                        jnp.float32), slots)
         self.slab_dq = self._upd_batch(
             self.slab_dq,
-            jnp.asarray(np.stack([p[3] for p in self._pending]),
+            jnp.asarray(np.stack([p[2] for p in self._pending]),
                         jnp.float32), slots)
         self._pending.clear()
 
@@ -398,7 +390,7 @@ class GeometryStreamer:
 
     def update(self, touched: np.ndarray):
         """Feed one frame's touched-group feedback; returns the device-side
-        (slab_v, slab_l, slab_dq, geom_slot, group_resident) to splice into
+        (slab_v, slab_dq, geom_slot, group_resident) to splice into
         SceneBuffers. `touched` is either a bool mask or a f32 PRIORITY
         array (ops/clod.touched_groups — reference: CLodPriorityMode
         Max/Sum): when the per-frame load budget is short, the most
@@ -432,7 +424,7 @@ class GeometryStreamer:
             if self._load_group(g):
                 budget -= 1
         self._flush_uploads()
-        return (self.slab_v, self.slab_l, self.slab_dq,
+        return (self.slab_v, self.slab_dq,
                 jnp.asarray(self.geom_slot), jnp.asarray(self.resident))
 
     def stop(self) -> None:

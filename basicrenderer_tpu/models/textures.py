@@ -122,14 +122,26 @@ class TextureRegistry:
         from ..utils.taskpool import shared_pool
         return shared_pool().map(fn, layers)
 
-    def strip_pyramid(self, capacity: Optional[int] = None
+    def strip_pyramid(self, capacity: Optional[int] = None,
+                      fmt: str = "rgba8"
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Strip-layout atlas for the block-window sampler
         (ops/textures.sample_pyramid_blocked): every mip row is stored as
         128-texel strips at TWO x phases (0 and 64), so any 128-wide
         x window whose base is 64-aligned is ONE gathered row. Returns
         (strips (N * ROWS, 128) uint32, flags (N,) int32); row layout is
-        given by strip_layout(resolution)."""
+        given by strip_layout(resolution).
+
+        fmt="bc3" stores BC3-COMPRESSED block rows instead (4x less HBM
+        and 4x less sampler gather bandwidth; the sampler decodes blocks
+        with pure lane math — ops/textures.bc3_decode_rows). One strip
+        row = 32 BC3 blocks = a 128-texel x window by 4 texel rows;
+        layout strip_layout_bc. Reference: compressed-at-rest VRAM
+        textures (TextureProcessingManager + bc7_compress_mode6.hlsl —
+        BC3 here; BC7 needs per-block mode search the TPU sampler would
+        have to undo per tap)."""
+        if fmt == "bc3":
+            return self._strip_pyramid_bc3(capacity)
         from ..ops.textures import strip_layout
         n = capacity or max(len(self.images), 1)
         r = self.resolution
@@ -154,6 +166,61 @@ class TextureRegistry:
                     for ph in range(nph):
                         sl = packed[:, ph * 64: ph * 64 + 128]
                         out[base + ph * sz: base + (ph + 1) * sz] = sl
+                if sz > sizes[-1]:
+                    level = self._downsample(level, sz, i)
+            return out
+
+        live = range(min(len(self.images), n))
+        for i, rows in zip(live, self._map_layers(one_layer, live)):
+            flags[i] = FLAG_SRGB if self.srgb[i] else 0
+            strips[i * rows_per_layer:(i + 1) * rows_per_layer] = rows
+        return strips, flags
+
+    def _strip_pyramid_bc3(self, capacity: Optional[int] = None
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        from ..ops.textures import strip_layout_bc
+        from .texprocess import bc3_encode
+        n = capacity or max(len(self.images), 1)
+        r = self.resolution
+        sizes, _offsets = mip_layout(r)
+        row_of_mip, rows_per_layer = strip_layout_bc(r)
+        strips = np.zeros((n * rows_per_layer, 128), np.uint32)
+        flags = np.zeros((n,), np.int32)
+
+        def band_rows(band_u8: np.ndarray) -> np.ndarray:
+            """(4*R, 128, 4) u8 texel band -> (R, 128) u32 interleaved
+            BC3 block rows ([a_lo, a_hi, c_ends, c_idx] per block)."""
+            blocks = bc3_encode(band_u8)                 # (R*32, 16) u8
+            w = np.ascontiguousarray(blocks).view('<u4') # (R*32, 4)
+            return w.reshape(-1, 128)
+
+        def encode_u8(level: np.ndarray, srgb: bool) -> np.ndarray:
+            rgb = level[..., :3]
+            if srgb:
+                rgb = np.where(rgb <= 0.0031308, rgb * 12.92,
+                               1.055 * np.maximum(rgb, 1e-8) ** (1 / 2.4)
+                               - 0.055)
+            q = np.clip(np.concatenate([rgb, level[..., 3:]], -1)
+                        * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            return q
+
+        def one_layer(i: int) -> np.ndarray:
+            out = np.zeros((rows_per_layer, 128), np.uint32)
+            level = self.images[i]
+            for m, sz in enumerate(sizes):
+                img8 = encode_u8(level, self.srgb[i])    # (sz, sz, 4) u8
+                base = row_of_mip[m]
+                nbr = max(sz // 4, 1)
+                if sz <= 128:
+                    ys = np.arange(4 * nbr) % sz         # wrap-fill tiny
+                    xs = np.arange(128) % sz             # mips and tile x
+                    out[base:base + nbr] = band_rows(img8[ys][:, xs])
+                else:
+                    nph = sz // 64 - 1
+                    for ph in range(nph):
+                        band = img8[:, ph * 64: ph * 64 + 128]
+                        out[base + ph * nbr: base + (ph + 1) * nbr] = \
+                            band_rows(band)
                 if sz > sizes[-1]:
                     level = self._downsample(level, sz, i)
             return out

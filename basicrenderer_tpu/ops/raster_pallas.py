@@ -34,9 +34,12 @@ from ..graph.framedata import FrameConfig
 from .raster_setup import BinnedPairs, GroupBinnedPairs, SETUP_LANES
 
 CHUNK = 128  # pairs per DMA slab
-# Channels: [nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused, accum-count].
-# 1/w is NOT a channel — the resolve derives it from the depth buffer
-# (shade.inv_w_from_depth): 3 fewer vector ops per hit row.
+# Channels: [octu/w, octv/w, u/w, v/w, mat_id, tangent, unused, accum].
+# 1/w is NOT a channel (the resolve derives it from the depth buffer,
+# shade.inv_w_from_depth) and normals ride as TWO octahedral planes —
+# together 3 planes fewer per hit row than the round-3 layout in the
+# vector-issue-bound raster loop. Accum (OIT beyond-K) mode repurposes
+# channels [0, 4, 5, 6, 7] for alpha/optical-depth/count sums.
 NUM_CHANNELS = 8
 
 
@@ -97,16 +100,16 @@ def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
         # planes under the same pass mask (reference VisUtilEvaluate
         # equivalent, done during raster — overdrawn writes are later
         # overwritten by closer triangles, exactly like a GBuffer raster).
-        for ch in range(5):
+        for ch in range(4):
             val = (buf_ref[base + 15 + ch * 3] * px
                    + buf_ref[base + 16 + ch * 3] * py
                    + buf_ref[base + 17 + ch * 3])
             chan_ref[ch] = jnp.where(passd, val, chan_ref[ch])
-        chan_ref[5] = jnp.where(passd, buf_ref[base + 10], chan_ref[5])
+        chan_ref[4] = jnp.where(passd, buf_ref[base + 10], chan_ref[4])
         if tangent:
-            # Per-tri FLAT mikktspace tangent theta (lane 30) -> channel 6
+            # Per-tri FLAT mikktspace tangent theta (lane 27) -> channel 5
             # (enable_vertex_tangents; shade.tangent_from_theta decodes).
-            chan_ref[6] = jnp.where(passd, buf_ref[base + 30], chan_ref[6])
+            chan_ref[5] = jnp.where(passd, buf_ref[base + 27], chan_ref[5])
         return slot_base
 
     return tri_body

@@ -47,16 +47,19 @@ from ..graph.framedata import FrameConfig
 #      and the ROW SCAN — not the vector evaluation — bounded the whole
 #      kernel (measured: frame time tracked rows-scanned at ~65 ns/row
 #      across tile_h {32, 16, 8}). Invalid rows carry inverted ranges.
-#  15-17: nx/w plane   (world-space normal x over clip w)
-#  18-20: ny/w plane
-#  21-23: nz/w plane
-#  24-26: u/w plane
-#  27-29: v/w plane
-#  30-31: unused
+#  15-17: octu/w plane (octahedral world-normal u over clip w)
+#  18-20: octv/w plane
+#  21-23: u/w plane
+#  24-26: v/w plane
+#  27: per-tri FLAT tangent theta (vertex-tangent mode)
+#  28-29: unused
+#  30-31: OIT per-channel optical-depth packing (ops/oit.py)
 # There is NO 1/w plane: z_ndc = za + zb/w per projection, so the resolve
-# derives 1/w from the depth buffer (shade.inv_w_from_depth) — 3 fewer
-# vector ops per hit row and 3 lanes freed for the float bbox (the DMA
-# slab length group_rows*SETUP_LANES must stay a multiple of 1024).
+# derives 1/w from the depth buffer (shade.inv_w_from_depth). Normals ride
+# as TWO octahedral planes, not three components — with the 1/w drop
+# that's 4 attribute planes per hit row in the vector-issue-bound raster
+# loop (was 6 in round 3). The DMA slab length group_rows*SETUP_LANES
+# must stay a multiple of 1024.
 SETUP_LANES = 32
 # Lane-13 packing: combo = material + OBJ_COMBO * object. Exact in f32 while
 # material < 1024 and object < 8192 (combo < 2^23).
@@ -70,7 +73,7 @@ class TriangleSetup(NamedTuple):
     inv_w: jnp.ndarray         # (T, 3) f32 1/clip.w (perspective correction)
     edges: jnp.ndarray         # (T, 3, 3) f32 barycentric weight planes
     zplane: jnp.ndarray        # (T, 3) f32 depth plane coefficients
-    attr_planes: jnp.ndarray   # (T, 6, 3) f32 [1/w, nx/w, ny/w, nz/w, u/w, v/w]
+    attr_planes: jnp.ndarray   # (T, 5, 3) f32 [1/w, octu/w, octv/w, u/w, v/w]
     inv_area2: jnp.ndarray     # (T,) f32 signed
     bbox: jnp.ndarray          # (T, 4) i32 tile-space x0,y0,x1,y1 inclusive
     valid: jnp.ndarray         # (T,) bool
@@ -90,6 +93,18 @@ def gather_rows_onehot(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     # table's three 8-bit mantissa chunks reconstruct full f32 — bit-exact
     # gathers at half the MXU passes of HIGHEST (the package default).
     return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGH)
+
+
+def oct_encode_cols(nx, ny, nz):
+    """(T,)-column octahedral encode: unit-ish normal -> (ou, ov) in
+    [-1, 1] (the wire form of the raster's normal channels; decoded per
+    pixel by shade.oct_decode_cols)."""
+    an = jnp.maximum(jnp.abs(nx) + jnp.abs(ny) + jnp.abs(nz), 1e-20)
+    x, y = nx / an, ny / an
+    fold = nz < 0.0
+    xf = jnp.where(fold, (1.0 - jnp.abs(y)) * jnp.where(x >= 0, 1.0, -1.0), x)
+    yf = jnp.where(fold, (1.0 - jnp.abs(x)) * jnp.where(y >= 0, 1.0, -1.0), y)
+    return xf, yf
 
 
 def _onb_cols(nx, ny, nz):
@@ -276,18 +291,25 @@ def _setup_from_corners(g0, g1, g2, tri_valid, config: FrameConfig,
     zplane_c = plane_from(*z_c)
 
     # Perspective-correct attribute planes: attr/w and 1/w are affine in
-    # screen space (standard rational-linear interpolation).
+    # screen space (standard rational-linear interpolation). Normals ride
+    # as OCTAHEDRAL coordinates (2 planes instead of 3): one plane fewer
+    # per hit row in the vector-issue-bound raster loop. Oct-lerp across a
+    # triangle is exact at the corners and within ~1e-3 inside (corner
+    # normals of one smooth-shaded triangle are close); the resolve
+    # re-normalizes after decode (shade.oct_decode_cols).
     plane_cols = [plane_from(*iw_c)]
     zero = jnp.zeros_like(s)
     off = 4
     if world_normals is not None:
-        for c in range(3):
-            plane_cols.append(plane_from(g0[:, off + c] * iw_c[0],
-                                         g1[:, off + c] * iw_c[1],
-                                         g2[:, off + c] * iw_c[2]))
+        ocs = [oct_encode_cols(g[:, off], g[:, off + 1], g[:, off + 2])
+               for g in (g0, g1, g2)]
+        for c in range(2):
+            plane_cols.append(plane_from(ocs[0][c] * iw_c[0],
+                                         ocs[1][c] * iw_c[1],
+                                         ocs[2][c] * iw_c[2]))
         off += 3
     else:
-        plane_cols += [(zero, zero, zero)] * 3
+        plane_cols += [(zero, zero, zero)] * 2
     if uvs is not None:
         for c in range(2):
             plane_cols.append(plane_from(g0[:, off + c] * iw_c[0],
@@ -346,18 +368,21 @@ def _lane_columns(e0, e1, zplane_c, plane_cols, valid, tx0, ty0, tx1, ty1,
     cols.append(jnp.where(valid, tx1.astype(jnp.float32), -1.0))
     cols.append(jnp.where(valid, ty0.astype(jnp.float32), 4096.0))
     cols.append(jnp.where(valid, ty1.astype(jnp.float32), -1.0))
-    # The 5 attribute planes (1/w is derived from depth at resolve, so the
-    # iw plane — plane_cols[0] — is NOT shipped).
+    # The 4 attribute planes — lanes 15-26: [octu/w, octv/w, u/w, v/w]
+    # (1/w is derived from depth at resolve, so the iw plane —
+    # plane_cols[0] — is NOT shipped; normals are 2 octahedral planes).
     for p in plane_cols[1:]:
         cols.extend(p)
-    # Lane 30: per-tri FLAT mikktspace tangent theta when vertex tangents
+    # Lane 27: per-tri FLAT mikktspace tangent theta when vertex tangents
     # are on (framedata.SceneBuffers.cluster_tangents); the OIT path
-    # repurposes 30/31 for its optical-depth packing (ops/oit.py).
+    # packs lanes 30/31 with its optical depths (ops/oit.py).
     if tangent_col is not None:
         cols.append(jnp.where(valid, tangent_col, 0.0))
     else:
-        cols.append(jnp.zeros((T,), jnp.float32))  # lane 30 (unused)
-    cols.append(jnp.zeros((T,), jnp.float32))  # lane 31 (unused)
+        cols.append(jnp.zeros((T,), jnp.float32))  # lane 27 (unused)
+    z = jnp.zeros((T,), jnp.float32)
+    cols += [z, z, z, z]                       # lanes 28-31 (28/29 unused;
+    #                                            30/31 = OIT optical depth)
     return cols
 
 
@@ -594,9 +619,12 @@ def triangle_setup_clustered(scene, comp, viewproj: jnp.ndarray,
     path; reference: cluster-local vertex fetch in softwareRaster.hlsl).
 
     `comp` is a clod.CompactedTris. Per visible cluster slot this fetches
-    the geometry cluster's vertex slab as ONE wide gathered row and
-    extracts the 384 corner rows with a one-hot MXU einsum — profiled ~10x
-    cheaper than per-corner (V, 10)-row gathers (which cost ~33 ns/row).
+    the geometry cluster's vertex slab as ONE wide gathered row. Pages are
+    CORNER-MAJOR (bridge.pack_geometry: row j = corner*128 + tri), so the
+    per-corner values are contiguous lane slices of the unpacked planes —
+    no indirection at all. (History: per-vertex pages + a one-hot MXU
+    corner-extraction einsum cost ~2.1 ms/frame at city scale; per-corner
+    (V, 10)-row gathers before that cost ~33 ns/row.)
     Returns (lanes, bbox, valid) like triangle_setup_packed.
     """
     from ..models.clusters import MESHLET_TRIS, SLAB_VERTS
@@ -611,31 +639,18 @@ def triangle_setup_clustered(scene, comp, viewproj: jnp.ndarray,
     slots = scene.geom_slot[jnp.clip(comp.geom, 0, G - 1)]
     gids = jnp.clip(slots, 0, scene.cluster_verts.shape[0] - 1)
     slabs = scene.cluster_verts[gids]                  # (Kc, SLAB*3) u32
-    locals_ = scene.cluster_tri_local[gids]            # (Kc, 384) f32
     dq = scene.cluster_dequant[gids]                   # (Kc, 8) f32
     Kc = gids.shape[0]
     # Quantized planar unpack (models/pageblob.py): three contiguous
     # SLAB-lane u32 blocks, each holding two 16-bit values. The unpacked
-    # VALUES (<= 65535) are f32-exact, so corner extraction stays the
-    # one-hot MXU einsum; dequantization runs AFTER extraction on (Kt,)
-    # columns (_dequantized_corner_cols).
+    # VALUES (<= 65535) are f32-exact; dequantization runs AFTER corner
+    # slicing on (Kt,) columns (_dequantized_corner_cols).
     w0 = slabs[:, 0:SLAB_VERTS]
     w1 = slabs[:, SLAB_VERTS:2 * SLAB_VERTS]
     w2 = slabs[:, 2 * SLAB_VERTS:3 * SLAB_VERTS]
-    # Channel-second-minor layout (Kc, 6, SLAB): the extraction einsum's
-    # output keeps SLAB_VERTS=384 in the 128-lane axis and the 6 channels
-    # in sublanes — the previous "kcs,ksd->kcd" form put d=6 minor, padding
-    # it to 128 lanes (21x wasted MXU/output work; profiled 2.8 -> ~1 ms).
-    planes_t = jnp.stack(
+    corners = jnp.stack(
         [w0 & 0xFFFF, w0 >> 16, w1 & 0xFFFF, w1 >> 16,
          w2 & 0xFFFF, w2 >> 16], axis=1).astype(jnp.float32)  # (Kc, 6, S)
-    li = locals_.astype(jnp.int32)                     # (Kc, 384) CORNER-
-    #                                                    MAJOR (bridge.py)
-    oh = (li[:, :, None]
-          == jnp.arange(SLAB_VERTS, dtype=jnp.int32)[None, None, :]
-          ).astype(jnp.float32)
-    corners = jnp.einsum("kds,kcs->kdc", planes_t, oh,
-                         precision=jax.lax.Precision.HIGH)  # exact f32
     # Per-slot matrix fetch (Kc one-hot rows instead of Kc*128): expand to
     # per-triangle COLUMNS (materializing a (Kt, 25) row table would pad
     # 25 -> 128 lanes).

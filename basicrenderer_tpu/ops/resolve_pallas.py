@@ -73,18 +73,19 @@ def _resolve_kernel(tile_off_ref, misc_ref, flat_ref, vis_ref, out_ref,
 
         @pl.when(hit)
         def _():
-            # 5 attr/w planes (lanes 15..29), mat id lane 10 (1/w derives
-            # from the depth buffer at resolve: shade.inv_w_from_depth).
-            for ch in range(5):
+            # 4 attr/w planes (lanes 15..26: oct-normal + uv), mat id lane
+            # 10 (1/w derives from the depth buffer at resolve:
+            # shade.inv_w_from_depth).
+            for ch in range(4):
                 A = buf_ref[base + 15 + ch * 3]
                 B = buf_ref[base + 16 + ch * 3]
                 Cc = buf_ref[base + 17 + ch * 3]
                 val = A * px + B * py + Cc
                 out_ref[ch] = jnp.where(mask, val, out_ref[ch])
-            out_ref[5] = jnp.where(mask, buf_ref[base + 10], out_ref[5])
+            out_ref[4] = jnp.where(mask, buf_ref[base + 10], out_ref[4])
             if tangent:
-                # Per-tri FLAT tangent theta (lane 30) -> channel 6.
-                out_ref[6] = jnp.where(mask, buf_ref[base + 30], out_ref[6])
+                # Per-tri FLAT tangent theta (lane 27) -> channel 5.
+                out_ref[5] = jnp.where(mask, buf_ref[base + 27], out_ref[5])
         return slot_base
 
     def walk(row0_chunks, nrows):
@@ -184,15 +185,16 @@ def resolve_attributes_ref(pairs: BinnedPairs, vis: jnp.ndarray,
             tri_id = d[9].astype(jnp.int32)
             mask = (vis_t == tri_id) & (tri_id > 0)
             chans = []
-            for ch in range(5):
+            for ch in range(4):
                 val = d[15 + ch * 3] * px + d[16 + ch * 3] * py \
                     + d[17 + ch * 3]
                 chans.append(val)
             chans.append(jnp.broadcast_to(d[10], (th, tw)))
             if config.enable_vertex_tangents:
-                chans.append(jnp.broadcast_to(d[30], (th, tw)))
+                chans.append(jnp.broadcast_to(d[27], (th, tw)))
             else:
                 chans.append(jnp.zeros((th, tw), jnp.float32))
+            chans.append(jnp.zeros((th, tw), jnp.float32))
             chans.append(jnp.zeros((th, tw), jnp.float32))
             new = jnp.stack(chans)                      # (8, th, tw)
             return jnp.where(mask[None], new, acc)

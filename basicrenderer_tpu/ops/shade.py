@@ -134,6 +134,18 @@ def resolve_gbuffer(vis: jnp.ndarray, depth: jnp.ndarray,
     )
 
 
+def oct_decode_cols(ou, ov):
+    """Octahedral (ou, ov) in [-1, 1] -> unit normal component planes
+    (inverse of raster_setup.oct_encode_cols; the raster interpolates the
+    encoded coordinates perspective-correctly)."""
+    z = 1.0 - jnp.abs(ou) - jnp.abs(ov)
+    t = jnp.maximum(-z, 0.0)
+    x = ou - jnp.where(ou >= 0.0, t, -t)
+    y = ov - jnp.where(ov >= 0.0, t, -t)
+    rl = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+    return x * rl, y * rl, z * rl
+
+
 def _onb(n: jnp.ndarray):
     """Branchless canonical ONB of a unit normal (Duff et al. / revised
     Frisvad) — MUST match scene/bridge._tangent_theta's numpy twin."""
@@ -183,8 +195,9 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
                           full_w: int, full_h: int, row0=0) -> GBuffer:
     """Build the GBuffer from resolve-pass channel images (no gathers).
 
-    channels: (8, H, W) = [nx/w, ny/w, nz/w, u/w, v/w, mat_id, unused,
-    accum] cropped to the visible region (1/w derives from `depth`).
+    channels: (8, H, W) = [octu/w, octv/w, u/w, v/w, mat_id, tangent,
+    unused, accum] cropped to the visible region (1/w derives from
+    `depth`; normals decode from the two octahedral channels).
     `full_w/full_h` are the full framebuffer dimensions (differ from H/W
     when shading a screen shard at `row0`).
     """
@@ -192,18 +205,16 @@ def gbuffer_from_channels(channels: jnp.ndarray, depth: jnp.ndarray,
     covered = vis > 0
     inv_w = inv_w_from_depth(depth, view.proj)
     safe_iw = jnp.where(jnp.abs(inv_w) > 1e-12, inv_w, 1.0)
-    nrm = jnp.stack([channels[0] / safe_iw, channels[1] / safe_iw,
-                     channels[2] / safe_iw], axis=-1)
-    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
-    nrm = nrm / jnp.maximum(nlen, 1e-12)
-    uv = jnp.stack([channels[3] / safe_iw, channels[4] / safe_iw], axis=-1)
+    nrm = jnp.stack(oct_decode_cols(channels[0] / safe_iw,
+                                    channels[1] / safe_iw), axis=-1)
+    uv = jnp.stack([channels[2] / safe_iw, channels[3] / safe_iw], axis=-1)
     # Lane 10 carries material + OBJ_COMBO * object (ops/raster_setup.py);
     # the object id rides along for the motion-vector pass.
     from .raster_setup import OBJ_COMBO
-    combo = jnp.round(channels[5]).astype(jnp.int32)
+    combo = jnp.round(channels[4]).astype(jnp.int32)
     mat_id = combo % OBJ_COMBO
     object_id = combo // OBJ_COMBO
-    tangent_theta = channels[6]
+    tangent_theta = channels[5]
 
     # World position from depth (reverse-Z NDC) + inverse viewproj
     # (column math — see math3d.mat4_columns TPU note).

@@ -91,8 +91,14 @@ def ssr(hdr: jnp.ndarray, depth: jnp.ndarray, normal: jnp.ndarray,
     # HZB ray march, FFXManager/sssr shaders.)
     coarse = config.ssr_coarse_steps
     cc = 4                                   # coarse cell = cc march texels
-    hc, wc = h // cc, w // cc
-    dc = d[:hc * cc, :wc * cc].reshape(hc, cc, wc, cc).max((1, 3))
+    # Floor at one cell: tiny shard heights (narrow screen-row shards on a
+    # big mesh) must not produce an empty coarse mip.
+    hc, wc = max(h // cc, 1), max(w // cc, 1)
+    dsrc = d
+    if h < hc * cc or w < wc * cc:
+        dsrc = jnp.pad(d, ((0, max(hc * cc - h, 0)),
+                           (0, max(wc * cc - w, 0))))
+    dc = dsrc[:hc * cc, :wc * cc].reshape(hc, cc, wc, cc).max((1, 3))
     dx_c = (ex - x0) / coarse
     dy_c = (ey - y0) / coarse
     dz_c = (ez - z0) / coarse

@@ -266,23 +266,38 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
                                   ds: int = 1, filter: str = "bilinear",
                                   block_chunk: int = 2048,
                                   kernel: bool = None,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  upsample: bool = True,
+                                  mipf: jnp.ndarray = None,
+                                  fmt: str = "rgba8") -> jnp.ndarray:
     """Plane-input variant: tids (K, h, w), u_ds/v_ds (h, w) ALREADY at the
-    sampling rate (h = H//ds). Returns (K, H, W, 4) upsampled to full res."""
+    sampling rate (h = H//ds). Returns (K, H, W, 4) upsampled to full res;
+    `upsample=False` returns the ds-rate image (K, h, w, 4) — screen-row
+    shards upsample with a seam halo instead (graph/frame halo_upsample).
+    `mipf` (h, w) overrides the internal per-pixel mip estimate (shards
+    pass a halo-computed one so row derivatives at seams match the
+    single-chip frame)."""
     K = tids.shape[0]
     N = tex_flags.shape[0]
     NR, _sw = strips.shape
     RPL_total = NR // N
-    R = _infer_strip_resolution(RPL_total)
+    bc = fmt == "bc3"
+    R = (_infer_strip_resolution_bc(RPL_total) if bc
+         else _infer_strip_resolution(RPL_total))
     sizes, _ = mip_layout(R)
     M = len(sizes)
-    row_offs, RPL = strip_layout(R)
+    row_offs, RPL = strip_layout_bc(R) if bc else strip_layout(R)
+    # BC3: gather 7 BLOCK rows per window (28 texel rows after decode);
+    # RGBA8: 24 texel rows directly.
+    WR_G = 7 if bc else WROWS
+    WR = 28 if bc else WROWS
     h, w = u_ds.shape
     ph = (-h) % BLOCK
     pw = (-w) % BLOCK
 
     st = jnp.stack([u_ds, v_ds], axis=-1)
-    mipf = compute_mip(st, R, M)
+    if mipf is None:
+        mipf = compute_mip(st, R, M)
     if ph or pw:
         st = jnp.pad(st, ((0, ph), (0, pw), (0, 0)), mode="edge")
         mipf = jnp.pad(mipf, ((0, ph), (0, pw)), mode="edge")
@@ -343,9 +358,11 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
 
     # Static per-mip constants -> per-job-block values (J, nb).
     rm = jnp.zeros((J, nb), jnp.int32)
+    rm_b = jnp.zeros((J, nb), jnp.int32)     # bc3: BLOCK rows per mip
     off = jnp.zeros((J, nb), jnp.int32)
     for m, sz in enumerate(sizes):
         rm = jnp.where(mb == m, sz, rm)
+        rm_b = jnp.where(mb == m, max(sz // 4, 1), rm_b)
         off = jnp.where(mb == m, row_offs[m], off)
     rf = rm.astype(jnp.float32)
     wide = rm > 128                          # phase-strip regime
@@ -361,10 +378,21 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     xb = jnp.where(wide, xb, 0)
     y0 = jnp.floor(tymin).astype(jnp.int32)
 
-    # Window row ids (J, nb, WROWS) in each job's layer.
-    jrow = jnp.arange(WROWS, dtype=jnp.int32)[None, None, :]
-    yrow = jnp.remainder(y0[:, :, None] + jrow, rm[:, :, None])
-    phase_rows = jnp.where(wide, (xb // 64) * rm, 0)
+    # Window row ids (J, nb, WR_G) in each job's layer. BC3 rows are
+    # block rows: the window starts at the 4-aligned block row containing
+    # y0, wraps at the mip's block-row count, and decodes to 4 texel rows
+    # each — texel-level wrap is exact because mip heights are multiples
+    # of 4 (tiny mips wrap-fill their one block at encode time).
+    jrow = jnp.arange(WR_G, dtype=jnp.int32)[None, None, :]
+    if bc:
+        y0b = jnp.floor_divide(y0, 4)
+        yrow = jnp.remainder(y0b[:, :, None] + jrow, rm_b[:, :, None])
+        phase_rows = jnp.where(wide, (xb // 64) * rm_b, 0)
+        y0_win = y0b * 4                     # first decoded texel row
+    else:
+        yrow = jnp.remainder(y0[:, :, None] + jrow, rm[:, :, None])
+        phase_rows = jnp.where(wide, (xb // 64) * rm, 0)
+        y0_win = y0
     rows_k = layer_j[:, :, None] * RPL + off[:, :, None] \
         + phase_rows[:, :, None] + yrow                         # (J, nb, W)
 
@@ -378,13 +406,13 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     ix1 = jnp.where(wide[:, :, None], ix0 + 1, jnp.remainder(ix0 + 1, 128))
     iy0f = jnp.floor(tyf)
     fy = tyf - iy0f
-    wy0 = jnp.clip(iy0f.astype(jnp.int32) - y0[:, :, None], 0, WROWS - 2)
+    wy0 = jnp.clip(iy0f.astype(jnp.int32) - y0_win[:, :, None], 0, WR - 2)
 
     if filter == "nearest":
         ixn = jnp.where(fx > 0.5, ix1, ix0)
         fx = jnp.zeros_like(fx)
         ix0 = ix1 = ixn
-        wy0 = jnp.clip(wy0 + (fy > 0.5), 0, WROWS - 1).astype(jnp.int32)
+        wy0 = jnp.clip(wy0 + (fy > 0.5), 0, WR - 1).astype(jnp.int32)
         fy = jnp.zeros_like(fy)
 
     flat = strips  # (NR, 128)
@@ -404,31 +432,35 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
         x_hat = ix0.astype(jnp.float32) + fx
         yf = wy0.astype(jnp.float32) + fy
         out = _blocked_kernel_eval(flat, rows_k, x_hat, yf, P,
-                                   interpret=interpret)   # (J, nb, P, 4)
+                                   interpret=interpret,
+                                   decode=bc3_decode_rows if bc else None,
+                                   wrows=WR)              # (J, nb, P, 4)
     else:
         lanes = jnp.arange(128, dtype=jnp.int32)[None, None, None, :]
-        jj = jnp.arange(WROWS, dtype=jnp.int32)[None, None, None, :]
+        jj = jnp.arange(WR, dtype=jnp.int32)[None, None, None, :]
 
         def chunk_fn(args):
             rows_c, ix0c, ix1c, fxc, wy0c, fyc = args
-            # rows_c (J, cb, WROWS); the rest (J, cb, P).
+            # rows_c (J, cb, WR_G); the rest (J, cb, P).
             cb = ix0c.shape[1]
             wx = ((lanes == ix0c[..., None]).astype(bf16)
                   * (1 - fxc)[..., None].astype(bf16)
                   + (lanes == ix1c[..., None]).astype(bf16)
                   * fxc[..., None].astype(bf16))            # (J, cb, P, 128)
             win = flat[rows_c.reshape(-1)]                  # row gathers
-            w32 = win.reshape(J * cb, WROWS, 128).astype(jnp.uint32)
+            w32 = win.reshape(J * cb, WR_G, 128).astype(jnp.uint32)
+            if bc:
+                w32 = bc3_decode_rows(w32)                  # (J*cb, WR, 128)
             ch = jnp.stack([(w32 >> s) & 0xFF for s in (0, 8, 16, 24)],
-                           axis=-1).astype(bf16)        # (J*cb, WROWS, 128, 4)
-            op = ch.transpose(0, 2, 1, 3).reshape(J * cb, 128, WROWS * 4)
+                           axis=-1).astype(bf16)        # (J*cb, WR, 128, 4)
+            op = ch.transpose(0, 2, 1, 3).reshape(J * cb, 128, WR * 4)
             x_red = jnp.einsum("bpx,bxc->bpc", wx.reshape(J * cb, P, 128), op,
                                precision=jax.lax.Precision.DEFAULT)
-            x_red = x_red.reshape(J, cb, P, WROWS, 4)       # stays bf16
+            x_red = x_red.reshape(J, cb, P, WR, 4)          # stays bf16
             wy = ((jj == wy0c[..., None]).astype(bf16) * (1 - fyc)[..., None]
                   .astype(bf16)
                   + (jj == (wy0c + 1)[..., None]).astype(bf16)
-                  * fyc[..., None].astype(bf16))            # (J, cb, P, WROWS)
+                  * fyc[..., None].astype(bf16))            # (J, cb, P, WR)
             return jnp.sum(x_red * wy[..., None], axis=3,
                            dtype=jnp.float32)               # (J, cb, P, 4)
 
@@ -441,7 +473,7 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
                 cfg[1] = (0, pad_b)
                 return jnp.pad(x, cfg)
 
-            rows_p = padc(rows_k).reshape(J, nchunk, block_chunk, WROWS) \
+            rows_p = padc(rows_k).reshape(J, nchunk, block_chunk, WR_G) \
                 .transpose(1, 0, 2, 3)
             parts = [padc(x).reshape(J, nchunk, block_chunk, P)
                      .transpose(1, 0, 2, 3)
@@ -467,15 +499,17 @@ def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
 
     img = _unblockify(out, hp, wp)[:h, :w]              # (h, w, K, 4)
     img = img.transpose(2, 0, 1, 3)                     # (K, h, w, 4)
-    if ds > 1:
+    if ds > 1 and upsample:
         img = jax.image.resize(img, (K, H, W, 4), method="bilinear")
     return img
 
 
-def _tex_block_kernel(win_ref, wt_ref, out_ref, *, js: int):
+def _tex_block_kernel(win_ref, wt_ref, out_ref, *, js: int,
+                      wrows: int = WROWS):
     """Fused window evaluation for `js` block jobs per grid step.
 
-    win_ref: (js, WROWS, 128) u32 gathered window rows;
+    win_ref: (js, wrows, 128) u32 window rows (gathered; BC3 mode decodes
+    block rows to these RGBA8 texel rows first);
     wt_ref:  (js, 8, P) f32 — row 0 = fractional x tap center in window
              lanes, row 1 = fractional y tap center in window rows;
     out_ref: (js, 4, P) f32 RGBA in [0, 255].
@@ -489,10 +523,10 @@ def _tex_block_kernel(win_ref, wt_ref, out_ref, *, js: int):
     # Mosaic iota must be integer-typed; cast after.
     lanes = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0).astype(
         jnp.float32)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (WROWS, 1), 0).astype(
+    jj = jax.lax.broadcasted_iota(jnp.int32, (wrows, 1), 0).astype(
         jnp.float32)
     for j in range(js):
-        w32 = win_ref[j]                               # (WROWS, 128) u32
+        w32 = win_ref[j]                               # (wrows, 128) u32
         x = wt_ref[j, 0:1, :]                          # (1, P)
         d = lanes - x                                  # (128, P)
         wx = (jnp.maximum(1.0 - jnp.abs(d), 0.0)
@@ -517,24 +551,29 @@ def _tex_block_kernel(win_ref, wt_ref, out_ref, *, js: int):
 
 def _blocked_kernel_eval(strips: jnp.ndarray, rows_k: jnp.ndarray,
                          x_hat: jnp.ndarray, yf: jnp.ndarray, P: int,
-                         js: int = 8, interpret: bool = False) -> jnp.ndarray:
+                         js: int = 8, interpret: bool = False,
+                         decode=None, wrows: int = WROWS) -> jnp.ndarray:
     """Gather window rows (XLA row gather — cheap) and run the fused Mosaic
-    evaluator. rows_k (J, nb, WROWS); x_hat/yf (J, nb, P).
+    evaluator. rows_k (J, nb, R); x_hat/yf (J, nb, P). `decode` maps the
+    gathered (JN, R, 128) rows to (JN, wrows, 128) RGBA8 texel rows (BC3
+    block decode); identity when None (R == wrows).
     Returns (J, nb, P, 4) f32 in [0, 255]."""
-    J, nb, _ = rows_k.shape
+    J, nb, R = rows_k.shape
     JN = J * nb
     pad = (-JN) % js
-    win = strips[rows_k.reshape(-1)].reshape(JN, WROWS, 128)
+    win = strips[rows_k.reshape(-1)].reshape(JN, R, 128)
+    if decode is not None:
+        win = decode(win)
     wt = jnp.stack([x_hat.reshape(JN, P), yf.reshape(JN, P)], axis=1)
     wt = jnp.pad(wt, ((0, pad), (0, 6), (0, 0)))       # (JN', 8, P)
     win = jnp.pad(win, ((0, pad), (0, 0), (0, 0)))
     steps = (JN + pad) // js
 
     out = pl.pallas_call(
-        functools.partial(_tex_block_kernel, js=js),
+        functools.partial(_tex_block_kernel, js=js, wrows=wrows),
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((js, WROWS, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((js, wrows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((js, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -548,6 +587,84 @@ def _blocked_kernel_eval(strips: jnp.ndarray, rows_k: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
+def strip_layout_bc(resolution: int) -> Tuple[Tuple[int, ...], int]:
+    """(row offset of each mip, rows per layer) in the BC3 strip pyramid:
+    rows are BLOCK rows (one row = 32 BC3 blocks = 128 texels x 4 texel
+    rows, interleaved [a_lo, a_hi, c_ends, c_idx] per block). Mips below
+    4 texels wrap-fill one block row."""
+    sizes, _ = mip_layout(resolution)
+    offs = []
+    off = 0
+    for sz in sizes:
+        offs.append(off)
+        nbr = max(sz // 4, 1)
+        off += nbr if sz <= 128 else (sz // 64 - 1) * nbr
+    return tuple(offs), off
+
+
+def bc3_decode_rows(win: jnp.ndarray) -> jnp.ndarray:
+    """(B, R, 128) u32 BC3 block rows -> (B, R*4, 128) u32 RGBA8-packed
+    texel rows. Pure lane math, no gathers: the per-texel sub-x and
+    texel-row indices are STATIC (block rows are 4-texel-aligned), so
+    every bit extraction is a static-shift vector op. Matches
+    models/texprocess.bc3_decode (encoder guarantees 4-color BC1 mode and
+    8-step a0>=a1 BC4 mode)."""
+    B, R, _ = win.shape
+    w = win.reshape(B, R, 32, 4)
+
+    def rep(x):   # one value per block -> its 4 texel lanes
+        return jnp.repeat(x, 4, axis=-1)               # (B, R, 128)
+
+    a_lo = rep(w[..., 0])
+    a_hi = rep(w[..., 1])
+    c_end = rep(w[..., 2])
+    c_idx = rep(w[..., 3])
+    a0 = (a_lo & 0xFF).astype(jnp.float32)
+    a1 = ((a_lo >> 8) & 0xFF).astype(jnp.float32)
+    low = (a_lo >> 16) | ((a_hi & 0xFFFF) << 16)       # alpha idx bits 0-31
+    hi16 = a_hi >> 16                                  # alpha idx bits 32-47
+    q0 = c_end & 0xFFFF
+    q1 = c_end >> 16
+    # RGB565 bit-replicating expand (same as texprocess._dequant565).
+    r0 = ((q0 >> 11) & 31).astype(jnp.float32) * (255.0 / 31.0)
+    g0 = ((q0 >> 5) & 63).astype(jnp.float32) * (255.0 / 63.0)
+    b0 = (q0 & 31).astype(jnp.float32) * (255.0 / 31.0)
+    r1 = ((q1 >> 11) & 31).astype(jnp.float32) * (255.0 / 31.0)
+    g1 = ((q1 >> 5) & 63).astype(jnp.float32) * (255.0 / 63.0)
+    b1 = (q1 & 31).astype(jnp.float32) * (255.0 / 31.0)
+    sx = jnp.arange(128, dtype=jnp.int32) % 4          # (128,) static
+
+    def q8(x):
+        return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint32)
+
+    rows = []
+    for yy in range(4):
+        t = 4 * yy + sx                                # (128,) static
+        ci = (c_idx >> (2 * t)) & 3
+        # 4-color palette weight of c0: [1, 0, 2/3, 1/3][ci].
+        w0 = jnp.where(ci == 0, 1.0,
+                       jnp.where(ci == 1, 0.0,
+                                 jnp.where(ci == 2, 2.0 / 3.0, 1.0 / 3.0)))
+        rr = q8(r0 * w0 + r1 * (1.0 - w0))
+        gg = q8(g0 * w0 + g1 * (1.0 - w0))
+        bb = q8(b0 * w0 + b1 * (1.0 - w0))
+        bp = 3 * t                                     # static, 0..45
+        ai = jnp.where(
+            bp <= 29, (low >> bp) & 7,
+            jnp.where(bp == 30,
+                      ((low >> 30) & 3) | ((hi16 & 1) << 2),
+                      (hi16 >> jnp.maximum(bp - 32, 0)) & 7)
+        ).astype(jnp.float32)
+        # 8-step palette: [a0, a1, lerp (8-k)/7 for k>=2].
+        aa = q8(jnp.where(ai == 0.0, a0,
+                          jnp.where(ai == 1.0, a1,
+                                    (a0 * (8.0 - ai) + a1 * (ai - 1.0))
+                                    * (1.0 / 7.0))))
+        rows.append(rr | (gg << 8) | (bb << 16) | (aa << 24))
+    return jnp.stack(rows, axis=2).reshape(B, R * 4, 128)
+
+
+@functools.lru_cache(maxsize=None)
 def _infer_strip_resolution(rows_per_layer: int) -> int:
     r = MIN_MIP
     while r <= 1 << 16:
@@ -555,6 +672,16 @@ def _infer_strip_resolution(rows_per_layer: int) -> int:
             return r
         r *= 2
     raise ValueError(f"no strip layout has {rows_per_layer} rows")
+
+
+@functools.lru_cache(maxsize=None)
+def _infer_strip_resolution_bc(rows_per_layer: int) -> int:
+    r = MIN_MIP
+    while r <= 1 << 16:
+        if strip_layout_bc(r)[1] == rows_per_layer:
+            return r
+        r *= 2
+    raise ValueError(f"no BC3 strip layout has {rows_per_layer} rows")
 
 
 def _ddx(img):

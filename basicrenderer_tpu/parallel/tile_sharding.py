@@ -49,12 +49,10 @@ from ..graph.framedata import FrameConfig, FrameParams, SceneBuffers, ViewData
 AXIS = "sp"
 
 # Output keys that hold per-row image data (row-sharded over the mesh);
-# everything else in the frame dict is a replicated scalar counter.
+# everything else in the frame dict — counters, streaming feedback
+# (touched_groups / tex_wanted, cross-shard-reduced inside the body),
+# VSM state — is replicated.
 _SHARDED_KEYS = ("image", "hdr", "depth", "depth_padded", "vis", "taa_out")
-
-_OUT_KEYS = ("image", "hdr", "depth", "depth_padded", "vis", "bin_overflow",
-             "num_pairs", "cluster_overflow", "light_overflow", "oit_overflow",
-             "taa_out")
 
 
 def build_sharded_frame_fn(config: FrameConfig, mesh: Mesh, axis: str = AXIS):
@@ -86,11 +84,27 @@ def build_sharded_frame_fn(config: FrameConfig, mesh: Mesh, axis: str = AXIS):
                 vsm_state if have_vsm else None,
                 config=config, lcfg=lcfg, row0_tiles=row0, axis=axis)
 
-        out_keys = _OUT_KEYS + (("vsm_state", "vsm_stats") if have_vsm
-                                and config.enable_vsm else ())
-        # VSM state/stats are replicated pytrees; P() applies leaf-wise.
+        # Derive out_specs from the body's ACTUAL output tree (probed with
+        # the single-shard body — identical keys): a hand-kept whitelist
+        # silently dropped config-dependent outputs (touched_groups,
+        # tex_wanted — streaming could never run sharded).
+        def _local(x):
+            if have_prev and x is prev_depth or have_hist and x is taa_history:
+                return jax.ShapeDtypeStruct(
+                    (x.shape[0] // n,) + x.shape[1:], x.dtype)
+            return x
+
+        probe = jax.eval_shape(
+            lambda s, v, p, pd, th, vs: _render_body(
+                s, v, p, pd if have_prev else None,
+                th if have_hist else None, vs if have_vsm else None,
+                config=config, lcfg=lcfg, row0_tiles=0, axis=None),
+            scene, view, params,
+            _local(prev_depth) if have_prev else 0.0,
+            _local(taa_history) if have_hist else 0.0,
+            vsm_state if have_vsm else 0.0)
         out_specs = {k: P(axis) if k in _SHARDED_KEYS else P()
-                     for k in out_keys}
+                     for k in probe}
         sharded = shard_map(
             run, mesh=mesh,
             in_specs=(P(), P(), P(),

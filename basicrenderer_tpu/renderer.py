@@ -324,10 +324,10 @@ class Renderer:
             self._streamer = GeometryStreamer(
                 self._bridge.packed, self.caps.max_groups,
                 self.settings.get("streamingSlots"), container=container)
-            sv, sl, sdq, gs, gr = self._streamer.update(
+            sv, sdq, gs, gr = self._streamer.update(
                 np.zeros(self.caps.max_groups, bool))
             self._buffers = self._buffers.replace(
-                cluster_verts=sv, cluster_tri_local=sl, cluster_dequant=sdq,
+                cluster_verts=sv, cluster_dequant=sdq,
                 geom_slot=gs, group_resident=gr)
         # Texture streaming: disk container + feedback streamer
         # (models/texstream.py). With no container path configured, the
@@ -517,9 +517,9 @@ class Renderer:
                 self._stream_future = None
                 res = fut.result()
                 if res is not None:
-                    sv, sl, sdq, gs, gr = res
+                    sv, sdq, gs, gr = res
                     self._buffers = self._buffers.replace(
-                        cluster_verts=sv, cluster_tri_local=sl,
+                        cluster_verts=sv,
                         cluster_dequant=sdq, geom_slot=gs, group_resident=gr)
                     args[0] = self._buffers
         with self.telemetry.stage("dispatch"):

@@ -67,7 +67,6 @@ class PackedGeometry:
     cluster_verts: np.ndarray = None      # (G, SLAB*3) u32 quantized planar
     #                                       vertex pages (models/pageblob.py)
     cluster_dequant: np.ndarray = None    # (G, 8) f32 per-page AABB min/ext
-    cluster_tri_local: np.ndarray = None  # (G, 384) f32 corner slab ids
     cluster_tangents: np.ndarray = None   # (G, 512) f32 per-tri FLAT
     #                                       corner-0 OBJECT tangent+w,
     #                                       plane-major (see pack_geometry)
@@ -170,8 +169,6 @@ class SceneRenderBridge:
         # stay correct (ONB(R n) != R ONB(n): a baked angle would not).
         cluster_tangents = np.zeros((c.max_geom_clusters, 4 * MESHLET_TRIS),
                                     np.float32)
-        cluster_tri_local = np.zeros((c.max_geom_clusters, MESHLET_TRIS * 3),
-                                     np.float32)
         cluster_feeds = np.full((c.max_clusters,), -1, np.int32)
         cluster_made = np.full((c.max_clusters,), -1, np.int32)
         # -2 = unused capacity, -1 = live pinned page, >=0 = group
@@ -244,35 +241,36 @@ class SceneRenderBridge:
                     lo = int(template[ci, 7])
                     cnt = int(template[ci, 8])
                     tris = mesh.indices[lo:lo + cnt]         # (cnt, 3) local
-                    uniq, inv = np.unique(tris, return_inverse=True)
-                    if len(uniq) > SLAB_VERTS:
-                        raise ValueError(
-                            f"cluster has {len(uniq)} unique verts > slab")
                     g = g_off + ci
+                    # CORNER-MAJOR page rows (j = corner*MESHLET_TRIS +
+                    # tri): the page stores each corner's values directly
+                    # (384 corners = 3 * 128 tris, the same slab size a
+                    # 384-vertex page had), so the setup path slices
+                    # per-corner lane blocks with NO indirection — the
+                    # one-hot corner-extraction einsum this replaced cost
+                    # ~2.1 ms/frame at city scale.
+                    # Pad dead corner rows with this cluster's own first
+                    # vertex — a foreign vertex would bloat the page's
+                    # quantization AABB (dequant range = union of rows).
+                    fill = int(tris[0, 0]) if cnt > 0 else 0
+                    corner_ids = np.full(SLAB_VERTS, fill, np.int64)
+                    for cc in range(3):
+                        corner_ids[cc * MESHLET_TRIS:
+                                   cc * MESHLET_TRIS + cnt] = tris[:, cc]
                     rows10 = np.concatenate(
-                        [mesh.positions[uniq], mesh.normals[uniq],
-                         mesh.uvs[uniq], np.zeros((len(uniq), 2), np.float32)],
-                        axis=1)
+                        [mesh.positions[corner_ids],
+                         mesh.normals[corner_ids], mesh.uvs[corner_ids],
+                         np.zeros((SLAB_VERTS, 2), np.float32)], axis=1)
                     cluster_verts[g], cluster_dequant[g] = \
                         quantize_page(rows10, SLAB_VERTS)
-                    # CORNER-MAJOR layout (j = corner*MESHLET_TRIS + tri):
-                    # the setup einsum extracts per-corner blocks as
-                    # contiguous lane slices (raster_setup.py
-                    # triangle_setup_clustered).
                     # Per-tri FLAT tangent from the corner-0 wedge
                     # (world-theta encode at setup; decode at resolve via
                     # shade.tangent_from_theta).
-                    tris_g = mesh.indices[lo:lo + cnt]
-                    t4 = mesh.tangents[tris_g[:, 0]]
+                    t4 = mesh.tangents[tris[:, 0]]
                     M_ = MESHLET_TRIS
                     for comp_i in range(4):
                         cluster_tangents[
                             g, comp_i * M_:comp_i * M_ + cnt] = t4[:, comp_i]
-                    inv3 = inv.reshape(cnt, 3)
-                    for cc in range(3):
-                        cluster_tri_local[
-                            g, cc * MESHLET_TRIS:cc * MESHLET_TRIS + cnt] \
-                            = inv3[:, cc]
                 template[:, 11] = g_off + np.arange(ncl_g)
                 # Streaming groups: offset this mesh's group ids into the
                 # global space; top level / non-LOD clusters stay -1
@@ -342,7 +340,7 @@ class SceneRenderBridge:
                                      tcl, cluster_table, cluster_object, cl_off,
                                      vjoints, vweights, skin_instances,
                                      cluster_verts, cluster_dequant,
-                                     cluster_tri_local, cluster_tangents,
+                                     cluster_tangents,
                                      cluster_feeds, cluster_made,
                                      geom_group, grp_off)
         return self.packed
@@ -354,7 +352,6 @@ class SceneRenderBridge:
         from ..models.pageblob import write_container
         p = self.packed if self.packed is not None else self.pack_geometry()
         write_container(path, p.cluster_verts,
-                        p.cluster_tri_local.astype(np.uint16),
                         p.geom_group, p.cluster_dequant, p.num_groups)
 
     # -- hot path ----------------------------------------------------------
@@ -473,7 +470,6 @@ class SceneRenderBridge:
             tri_cluster=jnp.asarray(p.tri_cluster),
             cluster_verts=jnp.asarray(p.cluster_verts),
             cluster_dequant=f32(p.cluster_dequant),
-            cluster_tri_local=f32(p.cluster_tri_local),
             cluster_tangents=f32(p.cluster_tangents),
             cluster_feeds=jnp.asarray(p.cluster_feeds),
             cluster_made=jnp.asarray(p.cluster_made),

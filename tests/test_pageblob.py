@@ -75,8 +75,6 @@ def test_container_roundtrip(tmp_path):
     assert c.header.num_groups == p.num_groups
     np.testing.assert_array_equal(c.geom_group, p.geom_group)
     np.testing.assert_allclose(c.dequant, p.cluster_dequant)
-    np.testing.assert_array_equal(c.tri_local,
-                                  p.cluster_tri_local.astype(np.uint16))
     # Every page reads back bit-exact through its locator.
     for g in (0, 1, c.header.num_pages // 2, c.header.num_pages - 1):
         np.testing.assert_array_equal(c.read_page(g), p.cluster_verts[g])
@@ -105,11 +103,11 @@ def test_streamer_disk_matches_host(tmp_path):
         want = sorted(host.group_pages.keys())[:8]
         for g in want:
             touched[g] = True
-        hv, hl, hdq, hslot, hres = host.update(touched)
+        hv, hdq, hslot, hres = host.update(touched)
         # Disk loads are async: poll until the IO thread has staged + the
         # streamer consumed all wanted groups.
         for _ in range(200):
-            dv, dl, ddq, dslot, dres = disk.update(touched)
+            dv, ddq, dslot, dres = disk.update(touched)
             if all(disk.resident[g] for g in want):
                 break
             time.sleep(0.02)

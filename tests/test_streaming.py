@@ -91,7 +91,6 @@ def test_geometry_streamer_parent_chain_closure():
     G = 3
     packed = types.SimpleNamespace(
         cluster_verts=np.arange(G * 8, dtype=np.uint32).reshape(G, 8),
-        cluster_tri_local=np.zeros((G, 4), np.float32),
         cluster_dequant=np.zeros((G, 8), np.float32),
         geom_group=np.arange(G, dtype=np.int32),
         cluster_feeds=np.array([0, 1, 2, -1], np.int32),
@@ -125,7 +124,6 @@ def test_geometry_streamer_priority_order():
     G = 3
     packed = types.SimpleNamespace(
         cluster_verts=np.arange(G * 8, dtype=np.uint32).reshape(G, 8),
-        cluster_tri_local=np.zeros((G, 4), np.float32),
         cluster_dequant=np.zeros((G, 8), np.float32),
         geom_group=np.arange(G, dtype=np.int32),
         cluster_feeds=np.array([0, 1, 2], np.int32),

@@ -10,17 +10,17 @@ single-dispatch slopes noisy).
 
 Usage:  python tools/cluster_scale_bench.py [max_log2]
 
-Round-4 measurement (TPU v5 lite, O=512 objects, loop-in-jit x20):
-    C=65536:    cut 1.45 ms   cut+compact(3072) 1.43 ms
-    C=262144:   cut 2.04 ms   cut+compact(3072) 2.01 ms
-    C=1048576:  cut 4.33 ms   cut+compact(3072) 4.35 ms
-~1.2 ms fixed + ~3 ns/cluster; the budgeted compaction adds nothing
-measurable on top of the cut (it fuses into the same scan). A fully
-resident 1M-cluster world pays ~4.3 ms/frame, so past ~0.5M resident
-clusters a group-level pre-cull (frustum-test the ~C/128 streaming
-groups, then scan only survivors' clusters) is the next structural move;
-the streamer's residency budget keeps today's scenes far below that
-line (the city bench holds 64k).
+Round-5 measurement (TPU v5 lite, O=512 objects, loop-in-jit x20):
+    C=65536:    cut 1.65   cut+compact(3072) 1.64   windowed(1024) 1.67 ms
+    C=262144:   cut 2.03   cut+compact(3072) 2.13   windowed(1024) 2.09 ms
+    C=1048576:  cut 4.60   cut+compact(3072) 4.25   windowed(1024) 2.37 ms
+The full scan is ~1.2 ms fixed + ~3 ns/cluster. The windowed pre-cull
+(ops/clod.cut_slots_windowed — the DAG-frontier analogue) breaks the
+O(C) slope: past ~256k resident clusters its cost tracks the surviving
+window budget, 1.8-2.4 ms at 1M (45-57%% of the scan). Its floor is the
+wide row-slab gather of the surviving windows (~1.7 ms at Wmax=1024;
+Wmax=512 measured 1.83 ms end-to-end) — NOT the one-hot matrix fetch
+(0.31 ms) or the window tests (~0.03 ms).
 """
 
 from __future__ import annotations
@@ -79,7 +79,6 @@ def synth_buffers(C: int, O: int = 512):
         vertex_table=jnp.zeros((1, 10)),
         cluster_verts=jnp.zeros((1, 1152), jnp.uint32),
         cluster_dequant=jnp.zeros((1, 8)),
-        cluster_tri_local=jnp.zeros((1, 384)),
         cluster_feeds=jnp.full((C,), -1, jnp.int32),
         cluster_made=jnp.full((C,), -1, jnp.int32),
         geom_slot=zi, group_resident=jnp.ones(1, bool),
