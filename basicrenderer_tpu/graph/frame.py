@@ -270,8 +270,9 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         if axis is None:
             return None
         from ..ops import textures as tex_ops
-        R = tex_ops._infer_strip_resolution(
-            scene.tex_strips.shape[0] // scene.tex_flags.shape[0])
+        R = tex_ops.infer_strip_resolution(
+            scene.tex_strips.shape[0] // scene.tex_flags.shape[0],
+            config.tex_format)
         M = len(tex_ops.mip_layout(R)[0])
         ext = halo_rows(jnp.stack([u_ds, v_ds], -1), 0)
         return tex_ops.compute_mip(ext, R, M)[1:-1]
@@ -468,14 +469,15 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                     tex_ops.sample_pyramid_blocked_planes(
                         scene.tex_strips, scene.tex_flags, btex_ds[None],
                         um_ds, vm_ds, H, W, ds_m, filt_m, upsample=False,
-                        mipf=halo_mipf(um_ds, vm_ds)),
+                        mipf=halo_mipf(um_ds, vm_ds),
+                        fmt=config.tex_format),
                     ds_m, H, W, row_axis=1)[0]
             else:
                 btex = jnp.round(mrow[:, 13]).astype(jnp.int32) \
                     .reshape(H, W)
                 smp_a = tex_ops.sample_pyramid_blocked(
                     scene.tex_strips, scene.tex_flags, btex[None], uv_m,
-                    ds_m, filt_m)[0]
+                    ds_m, filt_m, fmt=config.tex_format)[0]
             alpha_m = jnp.pad(smp_a[..., 3] * factor_a,
                               ((0, lcfg.padded_height - H),
                                (0, lcfg.padded_width - W)))
@@ -553,7 +555,7 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             smp = tex_ops.sample_pyramid_blocked_planes(
                 scene.tex_strips, scene.tex_flags, tids_ds, u_ds, v_ds,
                 H, W, ds, filt, upsample=False,
-                mipf=halo_mipf(u_ds, v_ds))
+                mipf=halo_mipf(u_ds, v_ds), fmt=config.tex_format)
             # Seam-exact ds->full upsample (halo row exchange when sharded).
             smp = halo_upsample(smp, ds, H, W, row_axis=1)
             if config.enable_texture_streaming:
@@ -562,9 +564,9 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                 # residency).
                 tex_wanted = tex_ops.wanted_mips(
                     scene.tex_flags, tids_ds, u_ds, v_ds,
-                    tex_ops._infer_strip_resolution(
+                    tex_ops.infer_strip_resolution(
                         scene.tex_strips.shape[0]
-                        // scene.tex_flags.shape[0]))
+                        // scene.tex_flags.shape[0], config.tex_format))
                 if axis is not None:
                     # Sharded: each device saw only its rows' samples —
                     # the FINEST wanted mip is the cross-shard min.
@@ -574,7 +576,8 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                      "mr": gb.mr_tex, "emissive": gb.emissive_tex}
             tex_ids = jnp.stack([id_of[c] for c in chans])
             smp = tex_ops.sample_pyramid_blocked(
-                scene.tex_strips, scene.tex_flags, tex_ids, gb.uv, ds, filt)
+                scene.tex_strips, scene.tex_flags, tex_ids, gb.uv, ds, filt,
+                fmt=config.tex_format)
         # Barrier in (K*4, H, W) layout: stops XLA from re-running the whole
         # sampler inside every consumer fusion (producer duplication — the
         # measured cost was 13x), and keeps the padded minor dims image-
@@ -822,6 +825,20 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
         vox_ref = local_rows(vox_ref)
         vox_ref_tr = local_rows(vox_ref_tr)
 
+    rt_col = rt_hit = None
+    if config.enable_rt_reflect and config.enable_clod:
+        # Triangle-accurate reflections over the resident cut (the
+        # reference's CLAS/BLAS/TLAS trace, TPU-reshaped —
+        # ops/rt_reflect.py). Recomputes the opaque compaction; XLA CSEs
+        # it against the geometry pass when the configs match.
+        from ..ops import rt_reflect as rt_ops
+        comp_rt = clod_compact(scene, view, config, params)
+        rt_col, rt_hit = rt_ops.trace_reflections(
+            scene, comp_rt, gather_rows(depth), gather_rows(gb.normal),
+            view, config, full_h=full_h)
+        rt_col = local_rows(rt_col)
+        rt_hit = local_rows(rt_hit)
+
     ao = None
     if config.enable_gtao:
         # XeGTAO analogue (shift-tap variant, ops/post.py). Cross-row taps
@@ -851,6 +868,11 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
             # Ray-traced (voxel) radiance replaces the environment where
             # the cone hit scene geometry.
             prefiltered = vox_ref + prefiltered * vox_ref_tr[..., None]
+        if rt_col is not None:
+            # Triangle-accurate hits override the voxel/env tiers; SSR
+            # (on-screen, full-detail) still overrides everything below.
+            prefiltered = prefiltered * (1.0 - rt_hit[..., None]) \
+                + rt_col * rt_hit[..., None]
         if ssr_col is not None:
             # SSR hits replace the prefiltered environment radiance.
             prefiltered = prefiltered * (1.0 - ssr_wgt[..., None]) \

@@ -183,6 +183,15 @@ class FrameConfig:
     group_rows: int = 32              # rows per BIN group (8, 16 or 32; the
     #                                   raster DMA slab stays 32 rows — finer
     #                                   groups only narrow the row walk)
+    # Triangle-accurate ray-traced reflections over the resident cut
+    # (ops/rt_reflect.py; reference: CLodRayTracingSystem + 
+    # rayTracedReflections.rt.hlsl). Consumes SSR misses; voxel tier
+    # remains the final fallback.
+    enable_rt_reflect: bool = False
+    rt_downscale: int = 4             # reflection ray grid = screen / ds
+    rt_nodes_per_ray: int = 2         # BVH L1 nodes visited per ray
+    rt_candidates: int = 4            # clusters intersected per node
+    rt_ray_eps: float = 0.02          # self-intersection offset (world)
     # Hierarchical (window-level) pre-cull for the LOD cut: >0 enables the
     # budgeted two-phase cut (ops/clod.cut_slots_windowed) with this many
     # surviving 128-cluster windows; 0 = the O(C) separable scan. The
@@ -209,6 +218,11 @@ class FrameConfig:
     #                                   ds4 cuts the per-pixel gathers 4x
     enable_textures: bool = False
     texture_downscale: int = 2
+    # Atlas-at-rest format: "rgba8" | "bc3" (BC3-compressed block rows —
+    # 4x less HBM + sampler gather bandwidth; models/textures.strip_pyramid
+    # + ops/textures.bc3_decode_rows; reference: compressed-at-rest VRAM
+    # textures, TextureProcessingManager).
+    tex_format: str = "rgba8"
     texture_filter: str = "bilinear"   # "nearest" | "bilinear"
     # Which channel samples the frame traces (renderer derives from the
     # materials actually registered — unused channels cost nothing).

@@ -234,7 +234,8 @@ def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
                            tex_ids: jnp.ndarray, uv: jnp.ndarray,
                            downscale: int = 1, filter: str = "bilinear",
                            block_chunk: int = 2048, kernel: bool = None,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           fmt: str = "rgba8") -> jnp.ndarray:
     """Full-rate sampling of K channel layers sharing one UV image.
 
     strips: (N * rows_per_layer, 128) uint32 (models/textures.strip_pyramid)
@@ -257,7 +258,7 @@ def sample_pyramid_blocked(strips: jnp.ndarray, tex_flags: jnp.ndarray,
     return sample_pyramid_blocked_planes(
         strips, tex_flags, tids, st[..., 0], st[..., 1],
         uv.shape[0], uv.shape[1], ds, filter, block_chunk,
-        kernel=kernel, interpret=interpret)
+        kernel=kernel, interpret=interpret, fmt=fmt)
 
 
 def sample_pyramid_blocked_planes(strips: jnp.ndarray, tex_flags: jnp.ndarray,
@@ -672,6 +673,12 @@ def _infer_strip_resolution(rows_per_layer: int) -> int:
             return r
         r *= 2
     raise ValueError(f"no strip layout has {rows_per_layer} rows")
+
+
+def infer_strip_resolution(rows_per_layer: int, fmt: str = "rgba8") -> int:
+    """Atlas resolution from rows-per-layer for either strip format."""
+    return (_infer_strip_resolution_bc(rows_per_layer) if fmt == "bc3"
+            else _infer_strip_resolution(rows_per_layer))
 
 
 @functools.lru_cache(maxsize=None)

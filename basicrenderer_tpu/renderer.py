@@ -68,9 +68,16 @@ class Renderer:
     # -- scene management --------------------------------------------------
     def set_current_scene(self, scene: Scene) -> None:
         self._scene = scene
-        self._bridge = SceneRenderBridge(scene, self.meshes, self.materials,
-                                         self.caps, skeletons=self.skeletons,
-                                         textures=self.textures)
+        self._bridge = SceneRenderBridge(
+            scene, self.meshes, self.materials, self.caps,
+            skeletons=self.skeletons, textures=self.textures,
+            tex_format=self.settings.get("textureFormat", "rgba8"))
+        if self.settings.get("textureFormat") == "bc3" and \
+                self.settings.get("enableTextureStreaming"):
+            raise ValueError(
+                "textureFormat=bc3 + enableTextureStreaming is not "
+                "supported yet: the texstream container streams RGBA8 "
+                "strip rows")
         if len(self.textures):
             self.settings.set("enableTextures", True)
         self._buffers = None  # force geometry re-upload
@@ -123,6 +130,7 @@ class Renderer:
             enable_ibl=s.get("enableIBL"),
             enable_textures=s.get("enableTextures", False),
             enable_texture_streaming=s.get("enableTextureStreaming", False),
+            tex_format=s.get("textureFormat", "rgba8"),
             tex_channels=self._live_tex_channels(),
             enable_bloom=s.get("enableBloom"),
             enable_gtao=s.get("enableGTAO"),
@@ -168,6 +176,7 @@ class Renderer:
             reyes_dice=s.get("reyesDiceRate", 4),
             reyes_px=s.get("reyesPixelThreshold", 48.0),
             enable_voxel_rt=s.get("enableVoxelRT", False),
+            enable_rt_reflect=s.get("enableRTReflections", False),
             enable_voxel_fallback=s.get("enableVoxelFallback", False),
             voxel_n=s.get("voxelResolution", 64),
             voxel_level_offsets=_vox_offsets(s.get("voxelResolution", 64)),

@@ -112,7 +112,7 @@ def pack_cluster_windows(cluster_table: np.ndarray,
 class SceneRenderBridge:
     def __init__(self, scene: Scene, meshes: MeshRegistry, materials: MaterialRegistry,
                  caps: Optional[BridgeCapacities] = None, skeletons=None,
-                 textures=None):
+                 textures=None, tex_format: str = "rgba8"):
         self.scene = scene
         self.meshes = meshes
         self.materials = materials
@@ -120,6 +120,7 @@ class SceneRenderBridge:
         self.packed: Optional[PackedGeometry] = None
         self.skeletons = skeletons  # models.animation.SkeletonRegistry
         self.textures = textures    # models.textures.TextureRegistry
+        self.tex_format = tex_format  # atlas-at-rest format (FrameConfig)
 
     def snapshot_joint_palette(self, t: float = 0.0) -> np.ndarray:
         """(max_joints, 16) object-space skinning palette for all skinned
@@ -447,7 +448,8 @@ class SceneRenderBridge:
         if env_brdf_lut is None:
             env_brdf_lut = np.zeros((32, 32, 2), np.float32)
         if self.textures and len(self.textures):
-            tex_pyr, tex_flags = self.textures.strip_pyramid()
+            tex_pyr, tex_flags = self.textures.strip_pyramid(
+                fmt=self.tex_format)
         else:
             from ..ops.textures import strip_layout
             tex_pyr = np.full((strip_layout(4)[1], 128), 0xFFFFFFFF,

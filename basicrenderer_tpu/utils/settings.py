@@ -140,6 +140,10 @@ def make_default_settings() -> SettingsManager:
     s.register("enableTextures", False, structural=True)
     s.register("enableGTAO", False, structural=True)
     s.register("enableSSR", False, structural=True)
+    s.register("enableRTReflections", False, structural=True,
+               description="triangle-accurate ray-traced reflections over "
+                           "the resident cluster cut (SSR-miss consumer; "
+                           "reference: CLodRayTracingSystem)")
     s.register("enableVoxelRT", False, structural=True,
                description="ray-traced reflection fallback over the scene "
                            "voxel pyramid (SSR-miss consumer; reference: "
@@ -150,6 +154,9 @@ def make_default_settings() -> SettingsManager:
                            "VoxelGroupBuilder)")
     s.register("voxelResolution", 64, structural=True,
                description="voxel pyramid level-0 edge cells")
+    s.register("textureFormat", "rgba8", structural=True,
+               description="atlas-at-rest format: rgba8 | bc3 (BC3 "
+                           "blocks, 4x smaller; decoded in the sampler)")
     s.register("enableTextureStreaming", False, structural=True,
                description="mip-granular texture residency streamed from "
                            "a disk container by sampler feedback")

@@ -320,6 +320,27 @@ def main() -> None:
                   f"{rmse['full_taau_vs_native_hq']}",
                   file=sys.stderr, flush=True)
 
+    # full_bc3: the FULL config with the BC3 compressed-at-rest atlas
+    # (reference: compressed VRAM textures, TextureProcessingManager).
+    # Reports the HBM reduction and the RMSE vs the RGBA8 frame.
+    if _elapsed() < BUDGET_S:
+        bridge_bc = SceneRenderBridge(built.scene, built.meshes,
+                                      built.materials, caps, textures=tex,
+                                      tex_format="bc3")
+        bufs_bc = bridge_bc.build_scene_buffers()
+        cfg_bc = dataclasses.replace(configs["full"], tex_format="bc3")
+        bench_one("full_bc3", cfg_bc, bufs_bc)
+        counters["full_bc3"]["atlas_bytes_rgba8"] = int(
+            buffers.tex_strips.nbytes)
+        counters["full_bc3"]["atlas_bytes_bc3"] = int(
+            bufs_bc.tex_strips.nbytes)
+        rmse["full_bc3_vs_rgba8"] = round(float(np.sqrt(np.mean(
+            (frames["full_bc3"][1] - frames["full"][1]) ** 2))), 5)
+        print(f"# rmse[full_bc3] vs rgba8: {rmse['full_bc3_vs_rgba8']}  "
+              f"atlas {counters['full_bc3']['atlas_bytes_rgba8']} -> "
+              f"{counters['full_bc3']['atlas_bytes_bc3']} B",
+              file=sys.stderr, flush=True)
+
     # Mosaic lowering smoke: Pallas raster vs jnp twin pixel parity on the
     # real TPU (tools/tpu_smoke.py) — the Mosaic-only regression guard.
     try:
