@@ -224,3 +224,50 @@ class SkeletonRegistry:
                 prev_trs = clips[prev[0]].sample_trs(sk, t - prev[1])
             trs = blend_trs(prev_trs, trs, w)
         return palette_from_trs(sk, trs)
+
+
+# ---------------------------------------------------------------------------
+# Rigid node-TRS animation (FBX AnimationStack / Assimp aiNodeAnim analogue)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class NodeTrack:
+    """Animated TRS channels of one scene entity (Channel.joint unused)."""
+    entity: int
+    channels: List[Channel]
+
+
+@dataclasses.dataclass
+class NodeAnimation:
+    """Rigid node animation: drives scene entities' Position/Rotation/Scale
+    components — the consumption path for FBX AnimationCurveNode stacks
+    (reference: Assimp aiNodeAnim import, AssimpLoader.cpp:240-400; joint
+    clips go through SkeletonRegistry instead)."""
+    name: str
+    tracks: List[NodeTrack]
+
+    @property
+    def duration(self) -> float:
+        return max((float(ch.times[-1]) for tr in self.tracks
+                    for ch in tr.channels if len(ch.times)), default=0.0)
+
+    def apply(self, scene, t: float, loop: bool = True) -> None:
+        """Sample every track at time t and write the entities' TRS
+        components (tagging them transform-dirty); the caller runs
+        scene.propagate_transforms() once afterwards."""
+        from ..scene.components import (Position, Rotation, Scale,
+                                        TAG_TRANSFORM_DIRTY)
+        dur = self.duration
+        if loop and dur > 0:
+            t = t % dur
+        for tr in self.tracks:
+            for ch in tr.channels:
+                v = _sample_channel(ch, t)
+                if ch.path == "translation":
+                    scene.world.set(tr.entity, Position(v))
+                elif ch.path == "rotation":
+                    q = v / max(np.linalg.norm(v), 1e-9)
+                    scene.world.set(tr.entity, Rotation(q))
+                elif ch.path == "scale":
+                    scene.world.set(tr.entity, Scale(v))
+            scene.world.add_tag(tr.entity, TAG_TRANSFORM_DIRTY)

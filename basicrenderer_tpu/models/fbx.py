@@ -24,8 +24,12 @@ and file textures connected via OP links (DiffuseColor -> sRGB base
 color map, NormalMap/Bump -> linear normal map — the semantic mapping of
 AssimpLoader.cpp:97-120).
 
-Not yet imported: skin deformers (Deformer::Skin/Cluster) and
-AnimationCurveNode curves — static geometry/material/hierarchy only.
+AnimationStack/Layer/CurveNode/Curve stacks import as rigid node-TRS
+clips (models.animation.NodeAnimation; the aiNodeAnim analogue): component
+curves merge on the union of key times, rotations compose Euler-XYZ with
+PreRotation exactly like the static path. Not yet imported: skin
+deformers (Deformer::Skin/Cluster) — node hierarchies animate, meshes
+bind rigidly to their nodes.
 """
 
 from __future__ import annotations
@@ -546,4 +550,109 @@ def load_fbx(path: str, scene: Scene, meshes: MeshRegistry,
     created.append(top)
     for oid in roots:
         build(oid, top)
-    return {"nodes": created}
+    clips = _extract_node_animations(by_id, kind, op_links, oo_parents,
+                                     node_entity, model_trs)
+    return {"nodes": created, "clips": clips}
+
+
+_KTIME = 46186158000.0      # FBX KTime ticks per second
+
+
+def _extract_node_animations(by_id, kind, op_links, oo_parents,
+                             node_entity, model_trs):
+    """AnimationStack/Layer/CurveNode/Curve -> NodeAnimation clips
+    (reference: Assimp's aiAnimation/aiNodeAnim extraction the reference
+    consumes through AssimpLoader.cpp:240-400). Component curves
+    (d|X/d|Y/d|Z, KeyTime ticks + KeyValueFloat) merge on the union of
+    their key times; rotations are Euler-XYZ degrees composed with the
+    model's PreRotation exactly like the static path (model_trs)."""
+    from .animation import Channel, NodeAnimation, NodeTrack
+
+    _PATHS = {"Lcl Translation": "translation",
+              "Lcl Rotation": "rotation",
+              "Lcl Scaling": "scale"}
+
+    def curve_data(cnode):
+        kt = cnode.prop_array("KeyTime")
+        kv = cnode.prop_array("KeyValueFloat")
+        if kt is None or kv is None or len(kt) == 0:
+            return None
+        n = min(len(kt), len(kv))
+        return (np.asarray(kt[:n], np.float64) / _KTIME,
+                np.asarray(kv[:n], np.float32))
+
+    def stack_of(an_id):
+        for lid in oo_parents.get(an_id, []):
+            if kind.get(lid) == "AnimationLayer":
+                for sid in oo_parents.get(lid, []):
+                    if kind.get(sid) == "AnimationStack":
+                        return sid
+        return -1
+
+    # (stack, entity) -> {path: channel}
+    stacks: Dict[int, Dict[int, List]] = {}
+    for an_id, node in by_id.items():
+        if kind.get(an_id) != "AnimationCurveNode":
+            continue
+        # Component curves feeding this node (OP child->this, prop d|X..).
+        comps: Dict[str, tuple] = {}
+        for cid, links in op_links.items():
+            if kind.get(cid) != "AnimationCurve":
+                continue
+            for (pid, prop) in links:
+                if pid == an_id and prop.startswith("d|"):
+                    cd = curve_data(by_id[cid])
+                    if cd is not None:
+                        comps[prop[2:3].upper()] = cd
+        if not comps:
+            continue
+        defaults = _props70(node)
+        for (mid, prop) in op_links.get(an_id, []):
+            path = _PATHS.get(prop)
+            ent = node_entity.get(mid)
+            if path is None or ent is None:
+                continue
+            t_stat, q_stat, s_stat = model_trs(by_id[mid])
+            static = {"translation": t_stat,
+                      "rotation": _props70(by_id[mid]).get(
+                          "Lcl Rotation", [0, 0, 0])[:3],
+                      "scale": s_stat}[path]
+            times = np.unique(np.concatenate(
+                [c[0] for c in comps.values()]))
+            cols = []
+            for ax_i, ax in enumerate("XYZ"):
+                if ax in comps:
+                    ct, cv = comps[ax]
+                    cols.append(np.interp(times, ct, cv))
+                else:
+                    d = defaults.get(f"d|{ax}", [static[ax_i]])
+                    cols.append(np.full(times.shape,
+                                        float(d[0]), np.float64))
+            if path == "rotation":
+                pre = _props70(by_id[mid]).get("PreRotation")
+                qs = []
+                for k in range(len(times)):
+                    q = _euler_xyz_deg_to_quat(cols[0][k], cols[1][k],
+                                               cols[2][k])
+                    if pre:
+                        q = _quat_mul(_euler_xyz_deg_to_quat(
+                            *[float(x) for x in pre[:3]]), q)
+                    # Hemisphere continuity so key-to-key lerp is short-arc.
+                    if qs and float(np.dot(qs[-1], q)) < 0.0:
+                        q = -q
+                    qs.append(q)
+                vals = np.asarray(qs, np.float32)
+            else:
+                vals = np.stack(cols, -1).astype(np.float32)
+            ch = Channel(0, path, times.astype(np.float32), vals, "LINEAR")
+            stacks.setdefault(stack_of(an_id), {}).setdefault(
+                ent, []).append(ch)
+
+    clips = []
+    for sid, per_ent in stacks.items():
+        snode = by_id.get(sid)
+        name = (str(snode.props[1]).split("\x00")[0].split("::")[-1]
+                if snode is not None and len(snode.props) > 1 else "fbx_anim")
+        clips.append(NodeAnimation(name, [
+            NodeTrack(ent, chans) for ent, chans in per_ent.items()]))
+    return clips

@@ -203,3 +203,104 @@ def test_binary_fbx_loads(tmp_path):
     md = meshes.get(0)
     assert md.num_triangles == 1
     assert np.allclose(md.positions[:, :2].max(0), [1, 1])
+
+
+ASCII_FBX_ANIM = """; FBX 7.4.0 project file
+FBXHeaderExtension:  {
+\tFBXVersion: 7400
+}
+Objects:  {
+\tGeometry: 140, "Geometry::tri", "Mesh" {
+\t\tVertices: *9 {
+\t\t\ta: 0,0,0, 1,0,0, 0,1,0
+\t\t}
+\t\tPolygonVertexIndex: *3 {
+\t\t\ta: 0,1,-3
+\t\t}
+\t}
+\tModel: 100, "Model::tri", "Mesh" {
+\t\tVersion: 232
+\t\tProperties70:  {
+\t\t\tP: "Lcl Translation", "Lcl Translation", "", "A",1,0,0
+\t\t}
+\t}
+\tAnimationStack: 500, "AnimStack::walk", "" {
+\t}
+\tAnimationLayer: 510, "AnimLayer::base", "" {
+\t}
+\tAnimationCurveNode: 520, "AnimCurveNode::T", "" {
+\t\tProperties70:  {
+\t\t\tP: "d|X", "Number", "", "A",1
+\t\t\tP: "d|Y", "Number", "", "A",0
+\t\t\tP: "d|Z", "Number", "", "A",0
+\t\t}
+\t}
+\tAnimationCurveNode: 530, "AnimCurveNode::R", "" {
+\t}
+\tAnimationCurve: 540, "AnimCurve::", "" {
+\t\tKeyTime: *2 {
+\t\t\ta: 0,92372316000
+\t\t}
+\t\tKeyValueFloat: *2 {
+\t\t\ta: 1,5
+\t\t}
+\t}
+\tAnimationCurve: 550, "AnimCurve::", "" {
+\t\tKeyTime: *2 {
+\t\t\ta: 0,92372316000
+\t\t}
+\t\tKeyValueFloat: *2 {
+\t\t\ta: 0,90
+\t\t}
+\t}
+}
+Connections:  {
+\tC: "OO",140,100
+\tC: "OO",520,510
+\tC: "OO",530,510
+\tC: "OO",510,500
+\tC: "OP",540,520,"d|X"
+\tC: "OP",550,530,"d|Z"
+\tC: "OP",520,100,"Lcl Translation"
+\tC: "OP",530,100,"Lcl Rotation"
+}
+"""
+
+
+def test_fbx_animation_curves(tmp_path):
+    """AnimationStack import: T curve on X (1 -> 5 over 2 s, Y/Z from the
+    curve-node defaults) and an R curve on Z (0 -> 90 deg) drive the
+    model's Position/Rotation through NodeAnimation.apply."""
+    from basicrenderer_tpu.scene.components import Position, Rotation
+    p = str(tmp_path / "anim.fbx")
+    with open(p, "w") as f:
+        f.write(ASCII_FBX_ANIM)
+    sc, meshes, mats = Scene(), MeshRegistry(), MaterialRegistry()
+    out = load_fbx(p, sc, meshes, mats)
+    clips = out["clips"]
+    assert len(clips) == 1
+    clip = clips[0]
+    assert clip.name == "walk"
+    assert abs(clip.duration - 2.0) < 1e-6
+    ents = {tr.entity for tr in clip.tracks}
+    assert len(ents) == 1
+    ent = next(iter(ents))
+    paths = {ch.path for tr in clip.tracks for ch in tr.channels}
+    assert paths == {"translation", "rotation"}
+
+    clip.apply(sc, 0.0)
+    pos = sc.world.get(ent, Position)
+    np.testing.assert_allclose(pos.value, [1, 0, 0], atol=1e-6)
+    clip.apply(sc, 1.0)          # halfway: x = 3, rz = 45 deg
+    pos = sc.world.get(ent, Position)
+    np.testing.assert_allclose(pos.value, [3, 0, 0], atol=1e-5)
+    rot = sc.world.get(ent, Rotation)
+    np.testing.assert_allclose(
+        rot.value, [0, 0, np.sin(np.pi / 8), np.cos(np.pi / 8)], atol=2e-2)
+    clip.apply(sc, 2.0)
+    pos = sc.world.get(ent, Position)
+    np.testing.assert_allclose(pos.value, [1, 0, 0], atol=1e-5)  # looped
+    clip.apply(sc, 1.999999, loop=False)
+    pos = sc.world.get(ent, Position)
+    np.testing.assert_allclose(pos.value, [5, 0, 0], atol=1e-4)
+    sc.propagate_transforms()    # downstream consumers see the new TRS
