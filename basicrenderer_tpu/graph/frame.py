@@ -630,15 +630,32 @@ def _render_body(scene: SceneBuffers, view: ViewData, params: FrameParams,
                 cut=cut, scene=scene,
                 max_visible=config.vsm_page_clusters)
 
-        vsm_term, vsm_state_out, vsm_stats = vsm_ops.update_vsm(
-            scene, view, config, params, vsm_state,
-            gather_rows(depth), page_compact, full_h=full_h)
-        shadow_term = local_rows(vsm_term)
-        shadow_term = jnp.where(scene.num_dir_lights > 0, shadow_term, 1.0)
+        # One independent page cache per VSM'd directional light (the
+        # bridge packs directional lights first; vsm_num_lights > 1
+        # threads a tuple of VsmStates through the frame).
+        nl_vsm = getattr(config, "vsm_num_lights", 1)
+        vsm_states_in = (vsm_state,) if nl_vsm <= 1 else tuple(vsm_state)
+        gdepth = gather_rows(depth)
+        vsm_terms, vsm_states_new = [], []
+        vsm_stats = None
+        for k in range(nl_vsm):
+            term_k, st_k, stats_k = vsm_ops.update_vsm(
+                scene, view, config, params, vsm_states_in[k],
+                gdepth, page_compact, full_h=full_h, light_row=k)
+            term_k = local_rows(term_k)
+            vsm_terms.append(jnp.where(scene.num_dir_lights > k,
+                                       term_k, 1.0))
+            vsm_states_new.append(st_k)
+            vsm_stats = stats_k if vsm_stats is None else \
+                {kk: vsm_stats[kk] + stats_k[kk] for kk in vsm_stats}
+        vsm_state_out = vsm_states_new[0] if nl_vsm <= 1 \
+            else tuple(vsm_states_new)
 
         def shadow_fn(i, wp, n):
-            return jnp.where(i == 0, shadow_term,
-                             jnp.ones_like(shadow_term))
+            t = jnp.ones_like(vsm_terms[0])
+            for k in range(nl_vsm):
+                t = jnp.where(i == k, vsm_terms[k], t)
+            return t
     elif config.enable_shadows:
         # Cascaded shadow maps for the primary directional light
         # (reference: LightManager directional cascades; ops/shadows.py).

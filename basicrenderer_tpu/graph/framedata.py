@@ -265,6 +265,12 @@ class FrameConfig:
     reyes_tris: int = 512
     reyes_dice: int = 4
     reyes_px: float = 48.0
+    reyes_split_tris: int = 0     # split-stage budget: parents over
+    #                               reyes_px*reyes_split_factor take a
+    #                               4-way midpoint split before dicing
+    #                               (the statically-unrolled analogue of
+    #                               the reference's split ping-pong)
+    reyes_split_factor: float = 4.0
     enable_taa: bool = False
     enable_oit: bool = False
     oit_layers: int = 4
@@ -278,6 +284,10 @@ class FrameConfig:
     oit_overflow_probe: bool = True   # count beyond-K fragments (1 extra
     #                                   pass) + estimated transmittance
     oit_overflow_alpha: float = 0.5   # alpha estimate for beyond-K fade
+    oit_max_pairs: int = 1 << 16      # transparent bin capacity (smaller
+    #                                   than max_pairs: the sort-based
+    #                                   binning prices by CAPACITY, and
+    #                                   transparent geometry is sparse)
     enable_alpha_mask: bool = False   # alpha-cutoff (MASK) material pass
     enable_coat: bool = False         # OpenPBR clear-coat lobe
     enable_fuzz: bool = False         # OpenPBR fuzz (Charlie sheen) lobe
@@ -301,8 +311,20 @@ class FrameConfig:
     vsm_mark_downscale: int = 4
     vsm_page_pairs: int = 1 << 15       # raster bin capacity per page
     vsm_page_clusters: int = 512        # cluster budget per page
-    vsm_filter_taps: int = 1            # 1 = point, 4 = 2x2 PCF (SMRT tier;
-    #                                     each tap costs a per-pixel gather)
+    vsm_filter_taps: int = 1            # 1 = point, 4 = 2x2 PCF
+    #                                     (each tap costs a per-pixel gather)
+    vsm_rays: int = 0                   # SMRT quality tier: jittered rays
+    #                                     toward the light cone (0 = off;
+    #                                     cost = rays*samples gathers at the
+    #                                     vsm sample rate)
+    vsm_ray_samples: int = 3            # march samples per SMRT ray
+    vsm_num_lights: int = 1             # VSM'd directional lights (each
+    #                                     carries an independent page cache)
+    vsm_page_size: int = 128            # texels per page edge
+    vsm_levels: int = 6                 # clipmap levels
+    vsm_page_grid: int = 8              # page-grid edge per level
+    vsm_slots: int = 128                # physical pages in the pool
+    vsm_base_extent: float = 16.0       # world extent of clipmap level 0
     enable_culling: bool = True
     enable_clod: bool = False        # cluster-LOD cut selection (ops/clod.py)
     enable_streaming: bool = False   # geometry page streaming feedback
@@ -350,6 +372,8 @@ class FrameParams:
     gtao_intensity: jnp.ndarray
     clod_error_px: jnp.ndarray  # LOD cut threshold tau (pixels)
     frame_index: jnp.ndarray  # i32
+    light_size: float = 0.03  # tangent of the sun's angular radius (drives
+    #                           SMRT penumbra width; real sun ~0.0047)
 
     @staticmethod
     def default() -> "FrameParams":

@@ -481,6 +481,10 @@ def load_model(path: str, scene: Scene, meshes: MeshRegistry,
     if ext == ".stl":
         from .meshformats import load_stl
         return load_stl(path, scene, meshes, materials, parent)
+    if ext == ".nif":
+        from .nif import load_nif
+        return load_nif(path, scene, meshes, materials, skeletons, parent,
+                        textures=textures)
     raise ValueError(f"unsupported model format: {ext} (supported: .gltf, "
                      ".glb, .obj, .usda, .usdc, .usdz, .fbx, .dae, .ply, "
-                     ".stl)")
+                     ".stl, .nif)")

@@ -120,11 +120,32 @@ def dice_reyes(gs, tri_valid, comp, scene, viewproj: jnp.ndarray,
         jnp.abs(sx[0] - sx[2]) + jnp.abs(sy[0] - sy[2]))
     eligible = (tri_valid & (dscale > 0.0) & (wmin > 1e-3)
                 & (edge_px > config.reyes_px))
-    slot = jnp.sort(jnp.where(eligible,
+
+    # --- SPLIT tier (reference: the Reyes split ping-pong queues,
+    # CLodExtension.cpp:366 + reyesSplit*.hlsl). A dynamic work frontier
+    # is anti-TPU; the statically-unrolled equivalent: triangles whose
+    # projected edge exceeds reyes_split_factor * reyes_px take a 4-way
+    # barycentric midpoint split FIRST (a separate fixed budget), and the
+    # 4 children enter the same uniform dice — so a huge patch's
+    # micro-triangle edge is halved again, bounding micropolygon size one
+    # extra level (each additional level would unroll the same way).
+    # Corner rows blend linearly in [clip4 | wnormal3 | uv2] space (clip
+    # coords are linear over the triangle), so children need no world
+    # round-trip and shared child edges stay bit-identical.
+    SL = getattr(config, "reyes_split_tris", 0)
+    if SL > 0:
+        split_px = config.reyes_px * getattr(config, "reyes_split_factor",
+                                             4.0)
+        huge = eligible & (edge_px > split_px)
+        norm_el = eligible & ~huge
+    else:
+        huge = jnp.zeros_like(eligible)
+        norm_el = eligible
+    slot = jnp.sort(jnp.where(norm_el,
                               jnp.arange(Kt, dtype=jnp.int32), Kt))[:K]
     live = slot < Kt
     src = jnp.minimum(slot, Kt - 1)
-    overflow = jnp.maximum(jnp.sum(eligible) - K, 0)
+    overflow = jnp.maximum(jnp.sum(norm_el) - K, 0)
     # Diced parents leave the main stream (micro surface replaces them).
     parent_keep = ~(jnp.zeros((Kt,), bool).at[
         jnp.where(live, src, Kt)].set(True, mode="drop"))
@@ -132,6 +153,36 @@ def dice_reyes(gs, tri_valid, comp, scene, viewproj: jnp.ndarray,
     # --- parent corner columns ------------------------------------------
     inv_vp = jnp.linalg.inv(viewproj)
     pc = [gs[c][src] for c in range(3)]                 # (K, 9) row gathers
+    src_all = src
+    live_all = live
+    if SL > 0:
+        slot2 = jnp.sort(jnp.where(huge,
+                                   jnp.arange(Kt, dtype=jnp.int32), Kt))[:SL]
+        live2 = slot2 < Kt
+        src2 = jnp.minimum(slot2, Kt - 1)
+        overflow = overflow + jnp.maximum(jnp.sum(huge) - SL, 0)
+        parent_keep = parent_keep & ~(
+            jnp.zeros((Kt,), bool).at[
+                jnp.where(live2, src2, Kt)].set(True, mode="drop"))
+        p2 = [gs[c][src2] for c in range(3)]            # (SL, 9)
+        # Children (corner barycentrics on the parent): corner order keeps
+        # the parent's winding.
+        _B = np.array([
+            [(1, 0, 0), (.5, .5, 0), (.5, 0, .5)],
+            [(.5, .5, 0), (0, 1, 0), (0, .5, .5)],
+            [(.5, 0, .5), (0, .5, .5), (0, 0, 1)],
+            [(.5, .5, 0), (0, .5, .5), (.5, 0, .5)],    # center (flipped)
+        ], np.float32)                                  # (4, 3, 3)
+        kids = []
+        for c in range(3):
+            rows = jnp.stack([
+                _B[ch, c, 0] * p2[0] + _B[ch, c, 1] * p2[1]
+                + _B[ch, c, 2] * p2[2]
+                for ch in range(4)], axis=1)            # (SL, 4, 9)
+            kids.append(rows.reshape(SL * 4, 9))
+        pc = [jnp.concatenate([pc[c], kids[c]], axis=0) for c in range(3)]
+        src_all = jnp.concatenate([src, jnp.repeat(src2, 4)])
+        live_all = jnp.concatenate([live, jnp.repeat(live2, 4)])
 
     def world_cols(g):
         # clip -> homogeneous world via inv(viewproj) (column math).
@@ -150,11 +201,11 @@ def dice_reyes(gs, tri_valid, comp, scene, viewproj: jnp.ndarray,
     pw = [world_cols(g) for g in pc]                    # 3 x (wx, wy, wz)
     bary = _bary_grid(D)                                # (D^2, 3, 3) const
     D2 = D * D
-    scale_m = jnp.repeat(dscale[src], D2)               # (K*D2,)
-    dtex_m = jnp.repeat(dtex[src], D2)
-    mat_m = jnp.repeat(comp.material[src], D2)
-    obj_m = jnp.repeat(comp.object[src], D2)
-    ev = jnp.repeat(live, D2)
+    scale_m = jnp.repeat(dscale[src_all], D2)           # ((K+4*SL)*D2,)
+    dtex_m = jnp.repeat(dtex[src_all], D2)
+    mat_m = jnp.repeat(comp.material[src_all], D2)
+    obj_m = jnp.repeat(comp.object[src_all], D2)
+    ev = jnp.repeat(live_all, D2)
 
     def blend(cols3, c):
         """Parent-corner columns (3 x (K,)) -> micro corner c (K*D2,)."""

@@ -162,6 +162,12 @@ class Renderer:
             enable_energy_comp=s.get("enableEnergyCompensation", False),
             enable_auto_exposure=s.get("enableAutoExposure"),
             enable_vsm=s.get("enableVSM"),
+            vsm_num_lights=s.get("vsmNumLights", 1),
+            vsm_filter_taps=s.get("vsmFilterTaps", 1),
+            vsm_rays=s.get("vsmRays", 0),
+            vsm_ray_samples=s.get("vsmRaySamples", 3),
+            vsm_slots=s.get("vsmSlots", 128),
+            vsm_levels=s.get("vsmLevels", 6),
             enable_culling=s.get("enableFrustumCulling", True),
             enable_clod=s.get("enableClod"),
             enable_streaming=s.get("enableStreaming", False),
@@ -175,6 +181,8 @@ class Renderer:
             reyes_tris=s.get("reyesTriBudget", 512),
             reyes_dice=s.get("reyesDiceRate", 4),
             reyes_px=s.get("reyesPixelThreshold", 48.0),
+            reyes_split_tris=s.get("reyesSplitBudget", 0),
+            reyes_split_factor=s.get("reyesSplitFactor", 4.0),
             enable_voxel_rt=s.get("enableVoxelRT", False),
             enable_rt_reflect=s.get("enableRTReflections", False),
             enable_voxel_fallback=s.get("enableVoxelFallback", False),
@@ -402,9 +410,18 @@ class Renderer:
                             + max(float(r0), float(r1))
                         spheres[i] = [*mid, rad]
                     import jax.numpy as jnp
-                    self._vsm_state = vsm_ops.invalidate_pages(
-                        self._vsm_state, jnp.asarray(spheres),
-                        jnp.asarray(lights[0, 4:7]))
+                    st = self._vsm_state
+                    cfg = self.current_config()
+                    if isinstance(st, tuple):
+                        self._vsm_state = tuple(
+                            vsm_ops.invalidate_pages(
+                                s, jnp.asarray(spheres),
+                                jnp.asarray(lights[k, 4:7]), cfg)
+                            for k, s in enumerate(st))
+                    else:
+                        self._vsm_state = vsm_ops.invalidate_pages(
+                            st, jnp.asarray(spheres),
+                            jnp.asarray(lights[0, 4:7]), cfg)
             self._vsm_prev_mats = mats.copy()
             self._vsm_prev_bounds = bounds.copy()
         # Voxel ray tier: (re)build the radiance pyramid when enabled and
@@ -497,8 +514,14 @@ class Renderer:
             self._prev_object_mats = cur_mats.copy()
         if config.enable_vsm:
             from .ops import vsm as vsm_ops
-            if getattr(self, "_vsm_state", None) is None:
-                self._vsm_state = vsm_ops.init_state()
+            # A geometry/light-count settings change obsoletes the cached
+            # page state (different table/atlas shapes) — rebuild it.
+            geom = (vsm_ops.geometry(config),
+                    getattr(config, "vsm_num_lights", 1))
+            if getattr(self, "_vsm_state", None) is None or \
+                    getattr(self, "_vsm_geom", None) != geom:
+                self._vsm_state = vsm_ops.init_states(config)
+            self._vsm_geom = geom
             kwargs["vsm_state"] = self._vsm_state
         if config.enable_texture_streaming and \
                 getattr(self, "_tex_streamer", None):

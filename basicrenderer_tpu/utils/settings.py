@@ -130,6 +130,18 @@ def make_default_settings() -> SettingsManager:
                description="raster framebuffer tile (rows, cols); cols=128 matches TPU lanes")
     s.register("enableShadows", True, structural=True)
     s.register("enableVSM", False, structural=True, description="virtual shadow maps")
+    s.register("vsmNumLights", 1, structural=True,
+               description="VSM'd directional lights (independent caches)")
+    s.register("vsmFilterTaps", 1, structural=True,
+               description="1=point, 4=2x2 bilinear visibility filter")
+    s.register("vsmRays", 0, structural=True,
+               description="SMRT rays (0=off); penumbrae via params.light_size")
+    s.register("vsmRaySamples", 3, structural=True,
+               description="march samples per SMRT ray")
+    s.register("vsmSlots", 128, structural=True,
+               description="physical VSM pages in the pool")
+    s.register("vsmLevels", 6, structural=True,
+               description="VSM clipmap levels")
     s.register("numShadowCascades", 4, structural=True)
     s.register("shadowResolution", 1024, structural=True)
     s.register("enableClusteredLighting", True, structural=True)
@@ -169,6 +181,10 @@ def make_default_settings() -> SettingsManager:
     s.register("reyesDiceRate", 4, structural=True,
                description="micro-grid subdivisions per parent edge")
     s.register("reyesPixelThreshold", 48.0, structural=True)
+    s.register("reyesSplitBudget", 0, structural=True,
+               description="split-stage parent budget (0 = dice only)")
+    s.register("reyesSplitFactor", 4.0, structural=True,
+               description="split threshold = factor * pixel threshold")
     s.register("enableSceneOverlap", False,
                description="pipeline scene sync on a worker thread: frame "
                            "N's transforms/snapshot run during frame N-1's "

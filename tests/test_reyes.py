@@ -107,3 +107,42 @@ def test_reyes_without_displacement_is_identity():
         reyes_px=16.0)))(buffers, vd, params)
     np.testing.assert_array_equal(np.asarray(flat["image"]),
                                   np.asarray(reyes["image"]))
+
+
+def test_reyes_split_stage_no_holes():
+    """The split tier (reyes_split_tris > 0): huge parents take a 4-way
+    midpoint split before dicing (reference: the Reyes split ping-pong,
+    CLodExtension.cpp:366). split_factor=1.0 forces EVERY eligible parent
+    through the split path; the finer micro surface must still be
+    crack-free and still displace."""
+    buffers, vd = _rig(displacement=0.5)
+    params = FrameParams.default()
+    flat = jax.jit(build_frame_fn(FrameConfig(**CFG)))(buffers, vd, params)
+    reyes = jax.jit(build_frame_fn(FrameConfig(
+        **CFG, enable_reyes=True, reyes_tris=256, reyes_dice=4,
+        reyes_px=16.0, reyes_split_tris=64,
+        reyes_split_factor=1.0)))(buffers, vd, params)
+    img_f = np.asarray(flat["image"]).astype(np.int32)
+    img_r = np.asarray(reyes["image"]).astype(np.int32)
+    assert np.abs(img_f - img_r).mean() > 0.5
+    cov_f = np.asarray(flat["depth_padded"]) > 0
+    cov_r = np.asarray(reyes["depth_padded"]) > 0
+    lost = cov_f & ~cov_r
+    enclosed = (np.roll(cov_r, 2, 0) & np.roll(cov_r, -2, 0)
+                & np.roll(cov_r, 2, 1) & np.roll(cov_r, -2, 1))
+    holes = (lost & enclosed).sum()
+    assert holes == 0, f"{holes} crack pixels inside the split surface"
+
+
+def test_reyes_split_without_displacement_is_identity():
+    """Split + dice of an undisplaced surface reproduces the flat render
+    bit-for-bit — the 4 children + D^2 grid tile parents exactly."""
+    buffers, vd = _rig(displacement=0.0)
+    params = FrameParams.default()
+    flat = jax.jit(build_frame_fn(FrameConfig(**CFG)))(buffers, vd, params)
+    reyes = jax.jit(build_frame_fn(FrameConfig(
+        **CFG, enable_reyes=True, reyes_tris=256, reyes_dice=4,
+        reyes_px=16.0, reyes_split_tris=64,
+        reyes_split_factor=1.0)))(buffers, vd, params)
+    np.testing.assert_array_equal(np.asarray(flat["image"]),
+                                  np.asarray(reyes["image"]))

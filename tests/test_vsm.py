@@ -167,3 +167,110 @@ def test_vsm_filtered_taps_smooth():
     diff = np.abs(img4 - img1).mean(-1)
     assert (diff > 2).sum() > 10          # edges differ (filtering acted)
     assert (diff > 2).mean() < 0.2        # but the images broadly agree
+
+
+def _floating_scene(two_lights=False):
+    """Detached caster (floating cube) over a plane: the shadow has a free
+    boundary on all sides — the SMRT penumbra test signal."""
+    meshes, mats = MeshRegistry(), MaterialRegistry()
+    cube = meshes.add(procedural.make_cube(1.2))
+    plane = meshes.add(procedural.make_plane(16.0, 2))
+    white = mats.add(Material(base_color=np.array([1, 1, 1, 1], np.float32),
+                              roughness=0.9))
+    sc = Scene()
+    sc.create_renderable(plane, white)
+    sc.create_renderable(cube, white, position=(0, 2.5, 0))
+    sc.create_directional_light(direction=(-0.15, -1.0, -0.1), intensity=3.0)
+    if two_lights:
+        sc.create_directional_light(direction=(0.9, -0.8, 0.2), intensity=2.0)
+    sc.set_camera(position=(5, 6, 6), target=(0, 0.5, 0), aspect=1.0)
+    sc.propagate_transforms()
+    caps = BridgeCapacities(max_vertices=1 << 10, max_triangles=1 << 10,
+                            max_objects=8, max_materials=4, max_lights=4,
+                            max_clusters=32)
+    bridge = SceneRenderBridge(sc, meshes, mats, caps)
+    buffers = bridge.build_scene_buffers()
+    view, proj, pos = sc.camera_matrices(aspect=1.0)
+    return buffers, make_view(view, proj, pos)
+
+
+def _converge(cfg, buffers, vd, params, frames=8, state=None):
+    frame = jax.jit(build_frame_fn(cfg))
+    if state is None:
+        state = vsm_ops.init_states(cfg)
+    for _ in range(frames):
+        out = frame(buffers, vd, params, vsm_state=state)
+        state = out["vsm_state"]
+    return out
+
+
+def test_vsm_settings_driven_geometry():
+    """SLOTS/LEVELS come from FrameConfig (VERDICT r4 #9): a smaller pool +
+    fewer levels still converges and still shadows."""
+    cfg = dataclasses.replace(CFG, vsm_slots=48, vsm_levels=4,
+                              vsm_pages_per_frame=8)
+    st = vsm_ops.init_state(cfg)
+    assert st.atlas.shape == (48, 128, 128)
+    assert st.slot_of_cell.shape == (4 * 8 * 8,)
+    buffers, vd = _shadow_scene()
+    params = FrameParams.default()
+    out = _converge(cfg, buffers, vd, params, frames=10)
+    assert int(out["vsm_stats"]["dirty"]) == 0, "small pool did not converge"
+    cfg0 = dataclasses.replace(cfg, enable_vsm=False)
+    base = np.asarray(jax.jit(build_frame_fn(cfg0))(
+        buffers, vd, params)["image"]).astype(np.float32)
+    img = np.asarray(out["image"]).astype(np.float32)
+    ratio = (img.mean(-1) + 1) / (base.mean(-1) + 1)
+    assert (ratio < 0.7).sum() > 50          # shadows still present
+
+
+def test_vsm_smrt_penumbra_widens_with_light_size():
+    """The SMRT tier (vsm_rays > 0) produces penumbrae whose width tracks
+    params.light_size (reference: SMRT params, ShaderBuffers.h:92-96).
+    light_size is a traced FrameParam: same compiled frame, two values."""
+    buffers, vd = _floating_scene()
+    cfg = dataclasses.replace(CFG, vsm_rays=4, vsm_ray_samples=4,
+                              vsm_pages_per_frame=8)
+    cfg0 = dataclasses.replace(CFG, enable_vsm=False)
+    params = FrameParams.default()
+    base = np.asarray(jax.jit(build_frame_fn(cfg0))(
+        buffers, vd, params)["image"]).astype(np.float32)
+
+    def shadow_ratio(light_size):
+        p = dataclasses.replace(params, light_size=light_size)
+        out = _converge(cfg, buffers, vd, p, frames=8)
+        img = np.asarray(out["image"]).astype(np.float32)
+        return (img.mean(-1) + 1) / (base.mean(-1) + 1)
+
+    r_hard = shadow_ratio(0.001)
+    r_soft = shadow_ratio(0.30)
+    # Umbra survives in both (the cube still fully blocks its core)...
+    assert (r_hard < 0.5).sum() > 30
+    assert (r_soft < 0.5).sum() > 30
+    # ...the wide light actually changed a real region...
+    assert (np.abs(r_hard - r_soft) > 0.03).sum() > 100
+    # ...and the shadowed footprint grows (outer penumbra band).
+    n_hard = (r_hard < 0.7).sum()
+    n_soft = (r_soft < 0.7).sum()
+    assert n_soft > n_hard * 1.2 + 10, (n_hard, n_soft)
+
+
+def test_vsm_two_directional_lights():
+    """vsm_num_lights=2: each directional light carries an independent page
+    cache; the second light's shadow actually lands (it was unshadowed
+    before — VERDICT r4 #9 'a second VSM'd directional light')."""
+    buffers, vd = _floating_scene(two_lights=True)
+    params = FrameParams.default()
+    cfg1 = dataclasses.replace(CFG, vsm_pages_per_frame=8)
+    cfg2 = dataclasses.replace(cfg1, vsm_num_lights=2)
+    out1 = _converge(cfg1, buffers, vd, params, frames=8)
+    out2 = _converge(cfg2, buffers, vd, params, frames=8)
+    assert isinstance(out2["vsm_state"], tuple) and len(out2["vsm_state"]) == 2
+    img1 = np.asarray(out1["image"]).astype(np.float32).mean(-1)
+    img2 = np.asarray(out2["image"]).astype(np.float32).mean(-1)
+    # Light-2 shadowing only darkens: no pixel gets brighter, and a real
+    # second shadow region (>40 px) appears.
+    darker = (img2 < img1 - 3.0)
+    brighter = (img2 > img1 + 3.0)
+    assert darker.sum() > 40, darker.sum()
+    assert brighter.sum() < darker.sum() * 0.2, (darker.sum(), brighter.sum())
