@@ -111,6 +111,9 @@ class SceneBuffers:
     voxel_meta: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros(8, jnp.float32))  # origin3, cell,
     #                              n, levels, radiance_scale, pad
+    voxel_sggx: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros(2, jnp.uint32))  # (2*Ncells,)
+    #                              SGGX moment words (models/voxels.py)
     # Mikktspace vertex tangents, per-triangle FLAT (corner-0 wedge):
     # object-space [tx|ty|tz|w] plane-major per geometry cluster. The
     # setup rotates them to world and encodes a theta against the world
@@ -250,6 +253,8 @@ class FrameConfig:
     enable_voxel_rt: bool = False        # reflection cone trace (SSR miss)
     enable_voxel_fallback: bool = False  # primary-visibility hole fill
     voxel_n: int = 64
+    voxel_sggx: bool = False   # anisotropic SGGX occlusion in cone traces
+    #                            (two extra gathers per march step)
     voxel_level_offsets: Tuple[int, ...] = (0,)
     voxel_rt_downscale: int = 8
     voxel_rt_steps: int = 12

@@ -51,6 +51,13 @@ class VoxelSceneGrid:
     n: int                      # level-0 edge resolution
     levels: int
     level_offsets: Tuple[int, ...]   # static flat offset per level
+    # SGGX normal-distribution moments per cell (reference:
+    # VoxelGroupBuilder's SGGX fit): S = E[n n^T], packed as TWO u32 per
+    # cell interleaved [xx yy zz | xy xz yz] (diagonal bytes in [0,1],
+    # off-diagonal offset-encoded from [-0.5, 0.5]). Projected area along
+    # a ray is sqrt(w^T S w) — the anisotropic occlusion the cone trace
+    # uses when FrameConfig.voxel_sggx is on. (2,) zeros when absent.
+    sggx: np.ndarray = None
 
     def meta(self) -> np.ndarray:
         return np.array([*self.origin, self.cell, float(self.n),
@@ -79,6 +86,18 @@ def _pack_rgba8(rgb: np.ndarray, a: np.ndarray) -> np.ndarray:
     q = np.round(e * 255.0).astype(np.uint32)
     qa = np.round(np.clip(a, 0.0, 1.0) * 255.0).astype(np.uint32)
     return (q[..., 0] << 24) | (q[..., 1] << 16) | (q[..., 2] << 8) | qa
+
+
+def _pack_sggx(m: np.ndarray) -> np.ndarray:
+    """(N, 6) SGGX moments [xx yy zz xy xz yz] -> (N, 2) u32: word 0 holds
+    the diagonal bytes ([0,1]), word 1 the off-diagonals offset-encoded
+    from [-0.5, 0.5]."""
+    d = np.round(np.clip(m[:, 0:3], 0.0, 1.0) * 255.0).astype(np.uint32)
+    o = np.round((np.clip(m[:, 3:6], -0.5, 0.5) + 0.5) * 255.0) \
+        .astype(np.uint32)
+    w0 = (d[:, 0] << 16) | (d[:, 1] << 8) | d[:, 2]
+    w1 = (o[:, 0] << 16) | (o[:, 1] << 8) | o[:, 2]
+    return np.stack([w0, w1], axis=-1).astype(np.uint32)
 
 
 def build_voxel_scene(positions: np.ndarray, indices: np.ndarray,
@@ -167,11 +186,26 @@ def build_voxel_scene(positions: np.ndarray, indices: np.ndarray,
     rgb0 = np.where(occ[:, None], rgb0 / np.maximum(w, 1.0)[:, None], 0.0)
     a0 = occ.astype(np.float64)
 
+    # SGGX second moments S = E[n n^T] per cell (reference:
+    # VoxelGroupBuilder's per-voxel SGGX distributions). The moment matrix
+    # filters LINEARLY, so mips just average it (the property SGGX was
+    # designed for). Projected area along w is sqrt(w^T S w): a flat
+    # surface viewed edge-on occludes ~nothing, a normal-on view fully.
+    sn = nrm[tid]
+    moms = np.stack([sn[:, 0] * sn[:, 0], sn[:, 1] * sn[:, 1],
+                     sn[:, 2] * sn[:, 2], sn[:, 0] * sn[:, 1],
+                     sn[:, 0] * sn[:, 2], sn[:, 1] * sn[:, 2]], axis=-1)
+    m0 = np.stack([np.bincount(flat, weights=moms[:, k], minlength=ncell0)
+                   for k in range(6)], axis=-1)
+    m0 = np.where(occ[:, None], m0 / np.maximum(w, 1.0)[:, None], 0.0)
+
     # Mip pyramid: premultiplied averages (standard volume prefilter).
     levels = int(min(levels, int(np.log2(n)) + 1))
     prem = (rgb0 * a0[:, None]).reshape(n, n, n, 3)
     aa = a0.reshape(n, n, n)
+    mm = (m0 * a0[:, None]).reshape(n, n, n, 6)   # premultiplied moments
     parts: List[np.ndarray] = []
+    sparts: List[np.ndarray] = []
     offsets = []
     off = 0
     nl_ = n
@@ -182,6 +216,9 @@ def build_voxel_scene(positions: np.ndarray, indices: np.ndarray,
                        0.0)
         packed = _pack_rgba8((rgb * np.maximum(al, 0.0)[:, None]), al)
         parts.append(packed.astype(np.uint32))
+        ml = np.where(al[:, None] > 1e-6,
+                      mm.reshape(-1, 6) / np.maximum(al, 1e-6)[:, None], 0.0)
+        sparts.append(_pack_sggx(ml))
         offsets.append(off)
         off += nl_ ** 3
         if nl_ == 1:
@@ -190,11 +227,15 @@ def build_voxel_scene(positions: np.ndarray, indices: np.ndarray,
             .mean(axis=(1, 3, 5))
         aa = aa.reshape(nl_ // 2, 2, nl_ // 2, 2, nl_ // 2, 2).mean(
             axis=(1, 3, 5))
+        mm = mm.reshape(nl_ // 2, 2, nl_ // 2, 2, nl_ // 2, 2, 6) \
+            .mean(axis=(1, 3, 5))
         nl_ //= 2
 
     grid = np.concatenate(parts)
+    sggx = np.concatenate(sparts).reshape(-1)
     return VoxelSceneGrid(grid=grid, origin=origin, cell=float(cell), n=n,
-                          levels=len(parts), level_offsets=tuple(offsets))
+                          levels=len(parts), level_offsets=tuple(offsets),
+                          sggx=sggx)
 
 
 def empty_voxel_scene(n: int = 1) -> VoxelSceneGrid:
@@ -202,4 +243,5 @@ def empty_voxel_scene(n: int = 1) -> VoxelSceneGrid:
     shapes static and tiny)."""
     return VoxelSceneGrid(grid=np.zeros(1, np.uint32),
                           origin=np.zeros(3, np.float32), cell=1.0, n=1,
-                          levels=1, level_offsets=(0,))
+                          levels=1, level_offsets=(0,),
+                          sggx=np.zeros(2, np.uint32))

@@ -69,19 +69,36 @@ def _make_tri_body(buf_ref, px, py, depth_ref, vis_ref, chan_ref,
             passd = passd & (z < peel_z)
         if accum:
             # Accumulation mode (OIT beyond-K probe, the AVBOIT-tier
-            # analogue): sum per-fragment alpha + per-channel optical
-            # depth from the quantized payload lanes 30/31
-            # (ops/oit.py packs them; ops/raster_setup.py layout), plus
-            # the fragment count. depth_ref stays at its seed so the
-            # peel band is stable. The byte unpack is SCALAR per-row
-            # (floor-divide chains — Mosaic has no scalar bitcast).
+            # analogue): depth-warp-weighted Σw·alpha (0) and
+            # Σw·premult-color (1..3, payload lane 28), per-channel
+            # optical depth (4..6, lanes 30/31), fragment count (7).
+            # depth_ref stays at its seed so the peel band is stable;
+            # w(u) = u^2 + 0.05 over the fragment's normalized position
+            # in the (K-th layer .. opaque) band — the AVBOIT depth-warp
+            # analogue (nearer tail fragments dominate the emission
+            # average). Byte unpacks are SCALAR per-row (floor-divide
+            # chains — Mosaic has no scalar bitcast).
             p30 = buf_ref[base + 30]
             hi = jnp.floor(p30 * (1.0 / 256.0))
             a8 = p30 - hi * 256.0
             hi2 = jnp.floor(hi * (1.0 / 256.0))
             odr8 = hi - hi2 * 256.0
-            chan_ref[0] = chan_ref[0] + jnp.where(passd, a8 * (1.0 / 255.0),
-                                                  0.0)
+            p28 = buf_ref[base + 28]
+            c1 = jnp.floor(p28 * (1.0 / 256.0))
+            r8 = p28 - c1 * 256.0
+            b8 = jnp.floor(c1 * (1.0 / 256.0))
+            g8 = c1 - b8 * 256.0
+            if peeled:
+                u = jnp.clip((z - depth_ref[:])
+                             / jnp.maximum(peel_z - depth_ref[:], 1e-6),
+                             0.0, 1.0)
+                wgt = jnp.where(passd, u * u + 0.05, 0.0)
+            else:
+                wgt = jnp.where(passd, 1.0, 0.0)
+            chan_ref[0] = chan_ref[0] + wgt * (a8 * (1.0 / 255.0))
+            chan_ref[1] = chan_ref[1] + wgt * (r8 * (1.0 / 255.0))
+            chan_ref[2] = chan_ref[2] + wgt * (g8 * (1.0 / 255.0))
+            chan_ref[3] = chan_ref[3] + wgt * (b8 * (1.0 / 255.0))
             chan_ref[4] = chan_ref[4] + jnp.where(
                 passd, odr8 * (4.0 / 255.0), 0.0)
             chan_ref[5] = chan_ref[5] + jnp.where(

@@ -89,22 +89,43 @@ def raster_tiles_ref(pairs: BinnedPairs, config: FrameConfig,
                 passd = passd & (z < peel_z)
             if accum:
                 # Accumulation mode (AVBOIT-tier probe; see the Pallas
-                # twin): `vis` is an (8, th, tw) f32 stack — Σalpha in 0,
+                # twin): `vis` is an (8, th, tw) f32 stack — depth-warp-
+                # weighted Σw·alpha in 0, Σw·premult-color in 1..3,
                 # per-channel Σoptical-depth in 4..6, count in 7 —
-                # decoded from payload lanes 30/31 with the identical
-                # floor-divide chain (pixel-exact parity).
+                # decoded from payload lanes 28/30/31 with the identical
+                # floor-divide chain (pixel-exact parity). The warp
+                # weight w(u) = u^2 + 0.05 of the fragment's normalized
+                # position in the (K-th layer .. opaque) band is the
+                # AVBOIT depth-warp analogue: nearer tail fragments
+                # dominate the tail's emission average.
                 p30 = d[30]
                 hi = jnp.floor(p30 * (1.0 / 256.0))
                 a8 = p30 - hi * 256.0
                 hi2 = jnp.floor(hi * (1.0 / 256.0))
                 odr8 = hi - hi2 * 256.0
+                p28 = d[28]
+                c1 = jnp.floor(p28 * (1.0 / 256.0))
+                r8 = p28 - c1 * 256.0
+                b8 = jnp.floor(c1 * (1.0 / 256.0))
+                g8 = c1 - b8 * 256.0
                 pf = passd.astype(jnp.float32)
+                if peel_z is not None:
+                    u = jnp.clip((z - zbuf)
+                                 / jnp.maximum(peel_z - zbuf, 1e-6),
+                                 0.0, 1.0)
+                    wgt = (u * u + 0.05) * pf
+                else:
+                    wgt = pf
                 adds = jnp.stack([
-                    a8 * (1.0 / 255.0), jnp.float32(0), jnp.float32(0),
-                    jnp.float32(0), odr8 * (4.0 / 255.0),
-                    hi2 * (4.0 / 255.0), d[31] * (4.0 / 255.0),
-                    jnp.float32(1)])
-                return zbuf, vis + adds[:, None, None] * pf[None]
+                    wgt * (a8 * (1.0 / 255.0)),
+                    wgt * (r8 * (1.0 / 255.0)),
+                    wgt * (g8 * (1.0 / 255.0)),
+                    wgt * (b8 * (1.0 / 255.0)),
+                    pf * (odr8 * (4.0 / 255.0)),
+                    pf * (hi2 * (4.0 / 255.0)),
+                    pf * (d[31] * (4.0 / 255.0)),
+                    pf])
+                return zbuf, vis + adds
             zbuf = jnp.where(passd, z, zbuf)
             vis = jnp.where(passd, tri_id_f.astype(jnp.int32), vis)
             return zbuf, vis

@@ -30,7 +30,7 @@ def cone_trace(grid: jnp.ndarray, origin: jnp.ndarray, cell: jnp.ndarray,
                n: int, level_offsets: Tuple[int, ...],
                px, py, pz, dx, dy, dz,
                steps: int = 12, start_t=None, growth: float = 1.35,
-               cone_tan: float = 0.12,
+               cone_tan: float = 0.12, sggx: jnp.ndarray = None,
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """March cones from (px,py,pz) along (dx,dy,dz) through the packed
     RGBA8 mip pyramid. Returns planar accumulated radiance (r, g, b) and
@@ -38,6 +38,12 @@ def cone_trace(grid: jnp.ndarray, origin: jnp.ndarray, cell: jnp.ndarray,
 
     `n`/`level_offsets` are static (host build constants); origin/cell are
     traced scalars so light/geometry rebuilds don't recompile.
+
+    `sggx` (optional, models/voxels._pack_sggx layout — reference:
+    VoxelGroupBuilder's SGGX distributions): per-cell normal second
+    moments; occlusion scales by the projected area sqrt(w^T S w) along
+    the ray, so a wall grazed edge-on barely occludes while a normal-on
+    hit occludes fully. Costs two extra gathers per step.
     """
     levels = len(level_offsets)
     offs = jnp.asarray(level_offsets, jnp.int32)
@@ -83,6 +89,24 @@ def cone_trace(grid: jnp.ndarray, origin: jnp.ndarray, cell: jnp.ndarray,
         b8 = ((w >> 8) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
         a8 = (w & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
         a = jnp.where(inside, a8, 0.0)
+        if sggx is not None:
+            # Anisotropic projected-area modulation: sigma(w) =
+            # sqrt(w^T S w); isotropic-equivalent scaling 2*sigma (a
+            # uniform normal sphere has E|cos| = 1/2), capped at 1.
+            w0 = jnp.take(sggx, flat * 2, mode="clip")
+            w1 = jnp.take(sggx, flat * 2 + 1, mode="clip")
+            sxx = ((w0 >> 16) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+            syy = ((w0 >> 8) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+            szz = (w0 & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+            sxy = ((w1 >> 16) & 0xFF).astype(jnp.float32) \
+                * (1.0 / 255.0) - 0.5
+            sxz = ((w1 >> 8) & 0xFF).astype(jnp.float32) \
+                * (1.0 / 255.0) - 0.5
+            syz = (w1 & 0xFF).astype(jnp.float32) * (1.0 / 255.0) - 0.5
+            q = (sxx * dx * dx + syy * dy * dy + szz * dz * dz
+                 + 2.0 * (sxy * dx * dy + sxz * dx * dz + syz * dy * dz))
+            sigma = jnp.sqrt(jnp.maximum(q, 0.0))
+            a = a * jnp.minimum(2.0 * sigma, 1.0)
         # sqrt-encoded premultiplied radiance (models/voxels._pack_rgba8)
         pr = r8 * r8 * RADIANCE_SCALE
         pg = g8 * g8 * RADIANCE_SCALE
@@ -153,7 +177,9 @@ def voxel_reflections(scene, depth, normal, view, config, row0=0,
         scene.voxel_grid, origin, cell, config.voxel_n,
         config.voxel_level_offsets,
         px + nx * bias, py + ny * bias, pz + nz * bias, rx, ry, rz,
-        steps=config.voxel_rt_steps, growth=1.32, cone_tan=0.14)
+        steps=config.voxel_rt_steps, growth=1.32, cone_tan=0.14,
+        sggx=scene.voxel_sggx if getattr(config, "voxel_sggx", False)
+        else None)
     live = d > 0
     tr = jnp.where(live, tr, 1.0)
     col = jnp.stack([jnp.where(live, cr, 0.0), jnp.where(live, cg, 0.0),
@@ -197,7 +223,9 @@ def voxel_primary(scene, view, config, H, W, row0=0, full_h=None):
     cr, cg, cb, tr = cone_trace(
         scene.voxel_grid, origin, cell, config.voxel_n,
         config.voxel_level_offsets, ox, oy, oz, dx, dy, dz,
-        steps=config.voxel_primary_steps, growth=1.22, cone_tan=0.004)
+        steps=config.voxel_primary_steps, growth=1.22, cone_tan=0.004,
+        sggx=scene.voxel_sggx if getattr(config, "voxel_sggx", False)
+        else None)
     col = jnp.stack([cr, cg, cb], axis=-1)
     if ds > 1:
         col = jax.image.resize(col, (H, W, 3), method="bilinear")

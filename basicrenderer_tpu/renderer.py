@@ -187,6 +187,7 @@ class Renderer:
             enable_rt_reflect=s.get("enableRTReflections", False),
             enable_voxel_fallback=s.get("enableVoxelFallback", False),
             voxel_n=s.get("voxelResolution", 64),
+            voxel_sggx=s.get("voxelSGGX", False),
             voxel_level_offsets=_vox_offsets(s.get("voxelResolution", 64)),
         )
 
@@ -630,6 +631,20 @@ class Renderer:
         """Render + sync: returns the (H, W, 3) uint8 image."""
         return np.asarray(self.render()["image"])
 
+    def render_async(self, keys=("image",)):
+        """Render + async readback (reference: ReadbackManager's fenced
+        path): dispatches the frame, stages the device->host DMA, and
+        returns a concurrent.futures.Future resolving to {key: np.ndarray}
+        on the readback worker — the caller's thread never blocks on the
+        fetch. At most 3 readbacks are in flight (frames-in-flight
+        backpressure); results resolve in request order."""
+        out = self.render()
+        rb = getattr(self, "_readback", None)
+        if rb is None:
+            from .utils.readback import ReadbackManager
+            rb = self._readback = ReadbackManager(max_in_flight=3)
+        return rb.request({k: out[k] for k in keys if k in out})
+
     def _frame_params(self) -> FrameParams:
         import jax.numpy as jnp
         s = self.settings
@@ -645,4 +660,5 @@ class Renderer:
             gtao_intensity=jnp.float32(s.get("gtaoIntensity")),
             clod_error_px=jnp.float32(s.get("clodErrorPx")),
             frame_index=jnp.int32(self._frame_index),
+            light_size=float(s.get("lightSize", 0.03)),
         )

@@ -498,7 +498,10 @@ class SceneRenderBridge:
         if v is None:
             return {}
         return {"voxel_grid": jnp.asarray(v.grid),
-                "voxel_meta": jnp.asarray(v.meta())}
+                "voxel_meta": jnp.asarray(v.meta()),
+                "voxel_sggx": jnp.asarray(
+                    v.sggx if v.sggx is not None
+                    else np.zeros(2, np.uint32))}
 
     def build_voxel_scene(self, n: int = 64, **kw):
         """Voxelize the packed world geometry + bake current lights into

@@ -166,6 +166,8 @@ def make_default_settings() -> SettingsManager:
                            "VoxelGroupBuilder)")
     s.register("voxelResolution", 64, structural=True,
                description="voxel pyramid level-0 edge cells")
+    s.register("voxelSGGX", False, structural=True,
+               description="anisotropic SGGX occlusion in voxel cone traces")
     s.register("textureFormat", "rgba8", structural=True,
                description="atlas-at-rest format: rgba8 | bc3 (BC3 "
                            "blocks, 4x smaller; decoded in the sampler)")
@@ -245,4 +247,6 @@ def make_default_settings() -> SettingsManager:
     s.register("taaBlend", 0.1)
     s.register("skyIntensity", 1.0)
     s.register("clodErrorPx", 1.0, description="LOD cut screen-space error (px)")
+    s.register("lightSize", 0.03,
+               description="sun angular-radius tangent (SMRT penumbra width)")
     return s

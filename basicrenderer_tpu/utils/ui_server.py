@@ -159,6 +159,8 @@ class UIServer:
                         self._json(ui.settings_payload())
                     elif u.path == "/api/scene/transform":
                         self._json(ui.apply_transform(body))
+                    elif u.path == "/api/input":
+                        self._json(ui.push_input(body))
                     else:
                         self._json({"error": "not found"}, 404)
                 except Exception as e:
@@ -228,6 +230,26 @@ class UIServer:
         return {"queued": {"entity": eid,
                            "fields": [k for k in ("position", "rotation",
                                                   "scale") if k in body]}}
+
+    def push_input(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Enqueue raw input events (reference: the window message loop
+        feeding InputContext::ProcessInput — headless here, so events
+        arrive over HTTP: [{kind, key?, dx?, dy?, wheel?, buttons?}, ...]
+        or a single event object). The embedding app owns the InputPump
+        (renderer.input_pump when set) and calls pump(dt) per frame."""
+        from .input import InputEvent
+        pump = getattr(self.renderer, "input_pump", None)
+        if pump is None:
+            return {"error": "no input pump attached"}
+        events = body if isinstance(body, list) else [body]
+        for e in events:
+            pump.push(InputEvent(
+                kind=str(e.get("kind", "key_down")),
+                key=str(e.get("key", "")),
+                dx=float(e.get("dx", 0.0)), dy=float(e.get("dy", 0.0)),
+                wheel=float(e.get("wheel", 0.0)),
+                buttons=int(e.get("buttons", 0))))
+        return {"queued": len(events)}
 
     def settings_payload(self) -> Dict[str, Any]:
         s = self.renderer.settings

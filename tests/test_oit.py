@@ -218,3 +218,60 @@ def test_oit_tail_per_channel_tint():
     assert ret[0] > 3.0 * ret[1], ret
     assert ret[0] > 3.0 * ret[2], ret
     assert ret[0] > 0.25, ret
+
+
+def test_oit_tail_emission_is_depth_weighted():
+    """The beyond-K tail composites a depth-warp-weighted emission average
+    (AVBOIT depth-warp/adaptive-fit analogue, AVBOITDepthWarp.hlsl):
+    NEARER tail fragments dominate the tail's color. Swapping a red and a
+    blue pane inside the tail flips the composited hue; plain Σod
+    attenuation alone commutes and could not tell the orders apart."""
+    import dataclasses
+
+    def stack(order):
+        meshes = MeshRegistry()
+        mats = MaterialRegistry()
+        plane = meshes.add(procedural.make_plane(8.0, 1))
+        white = mats.add(Material(
+            base_color=np.array([1, 1, 1, 1], np.float32), roughness=1.0))
+        gray = mats.add(Material(
+            base_color=np.array([0.5, 0.5, 0.5, 0.5], np.float32),
+            alpha_blend=True, roughness=0.5))
+        red = mats.add(Material(
+            base_color=np.array([1, 0.05, 0.05, 0.6], np.float32),
+            alpha_blend=True, roughness=0.5))
+        blue = mats.add(Material(
+            base_color=np.array([0.05, 0.05, 1, 0.6], np.float32),
+            alpha_blend=True, roughness=0.5))
+        sc = Scene()
+        import basicrenderer_tpu.utils.math3d as m3
+        q = np.asarray(m3.quat_from_axis_angle([1, 0, 0], np.pi / 2))
+        sc.create_renderable(plane, white, position=(0, 0, -2), rotation=q)
+        sc.create_renderable(plane, gray, position=(0, 0, 1), rotation=q,
+                             scale=(0.4, 1, 0.4))
+        for k, mat in enumerate(order):
+            sc.create_renderable(plane, mat == "r" and red or blue,
+                                 position=(0, 0, 0.2 - 0.4 * k), rotation=q,
+                                 scale=(0.4, 1, 0.4))
+        sc.create_directional_light(direction=(0, -0.3, -1), intensity=3.0)
+        sc.set_camera(position=(0, 0, 5), target=(0, 0, 0), aspect=1.0)
+        sc.propagate_transforms()
+        caps = BridgeCapacities(max_vertices=1 << 9, max_triangles=1 << 9,
+                                max_objects=16, max_materials=8,
+                                max_lights=4, max_clusters=64)
+        return sc, SceneRenderBridge(sc, meshes, mats, caps)
+
+    cfg = FrameConfig(width=128, height=128, tile_h=16, tile_w=128,
+                      max_pairs=1 << 11, use_pallas_raster=False,
+                      enable_clod=True, max_visible_clusters=64,
+                      enable_oit=True, oit_layers=1, oit_clusters=64)
+    px = {}
+    for order in ("rb", "br"):          # near..far inside the tail
+        sc, bridge = stack(order)
+        buffers = bridge.build_scene_buffers()
+        view, proj, pos = sc.camera_matrices(aspect=1.0)
+        out = jax.jit(build_frame_fn(cfg))(
+            buffers, make_view(view, proj, pos), FrameParams.default())
+        px[order] = np.asarray(out["hdr"])[64, 64]
+    # Red-near order leans redder than blue-near order, and vice versa.
+    assert px["rb"][0] - px["rb"][2] > px["br"][0] - px["br"][2] + 0.01, px

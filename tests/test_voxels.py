@@ -107,3 +107,42 @@ def test_empty_grid_traces_clear():
                             jnp.float32([0.0]), jnp.float32([0.0]),
                             steps=8)
     assert float(np.asarray(t)[0]) == 1.0
+
+
+def test_sggx_anisotropic_occlusion():
+    """SGGX moments (reference: VoxelGroupBuilder's per-voxel normal
+    distributions): a flat quad's voxels occlude a perpendicular ray fully
+    but a ray grazing IN the quad's plane only weakly — the isotropic
+    trace can't tell the directions apart."""
+    pos, idx = _quad(size=4.0, z=0.0)
+    tmat, tobj, mats, mat, lights = _scene_arrays(pos, idx)
+    vox = build_voxel_scene(pos, idx, tmat, tobj, mats, mat, lights,
+                            num_dir_lights=1, n=32, ambient=0.0,
+                            bounds=(np.float32([-4.2, -4.2, -4.2]),
+                                    np.float32([4.2, 4.2, 4.2])))
+    assert vox.sggx is not None and vox.sggx.size == 2 * vox.grid.size
+    grid = jnp.asarray(vox.grid)
+    sggx = jnp.asarray(vox.sggx)
+    origin = jnp.asarray(vox.origin)
+    # Ray 0: perpendicular (along -Z, the quad normal) -> blocked.
+    # Ray 1: grazing, traveling IN the quad plane at z=0 -> SGGX projected
+    # area ~0 -> mostly transmits (isotropically it would be fully
+    # blocked after a few steps through occupied cells).
+    px = jnp.float32([0.0, -3.9])
+    py = jnp.float32([0.0, 0.0])
+    pz = jnp.float32([3.0, -0.08])
+    dx = jnp.float32([0.0, 1.0])
+    dy = jnp.float32([0.0, 0.0])
+    dz = jnp.float32([-1.0, 0.0])
+    args = (grid, origin, jnp.float32(vox.cell), vox.n, vox.level_offsets,
+            px, py, pz, dx, dy, dz)
+    kw = dict(steps=24, growth=1.2, cone_tan=0.0)
+    _, _, _, t_iso = cone_trace(*args, **kw)
+    _, _, _, t_sgx = cone_trace(*args, **kw, sggx=sggx)
+    t_iso, t_sgx = np.asarray(t_iso), np.asarray(t_sgx)
+    # Perpendicular: both block hard (sigma ~ 1 head-on).
+    assert t_sgx[0] < 0.35, (t_iso, t_sgx)
+    assert t_sgx[0] < t_iso[0] + 0.1
+    # Grazing: isotropic trace kills the ray, SGGX mostly passes it.
+    assert t_iso[1] < 0.2, (t_iso, t_sgx)
+    assert t_sgx[1] > 0.6, (t_iso, t_sgx)
